@@ -1,0 +1,47 @@
+"""Engine configuration — the tuning-knob surface (SURVEY.md §2.10).
+
+Graft of the reference's knobs (M / ef_construction / ef_search /
+num_initializations / num_threads, /root/reference/python-bindings/src/flatnav/
+bindings.cpp:484-504): here the knobs are partition count, codec block size,
+BM25 parameters, analyzer version and actor-pool sizing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass
+
+from .functions.codec import BLOCK_SIZE
+from .functions.tokenize import ANALYZER_VERSION
+from .functions.extract import EXTRACTOR_VERSION
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    num_partitions: int = 16
+    block_size: int = BLOCK_SIZE
+    k1: float = 1.2
+    b: float = 0.75
+    scorer: str = "bm25"
+    analyzer: str = ANALYZER_VERSION
+    extractor: str = EXTRACTOR_VERSION
+    langs: tuple[str, ...] | None = None  # optional lang filter at build
+    layout: str = "doc"  # "doc" (shard-per-doc-partition) or "term"
+
+    def fingerprint(self) -> str:
+        """Stable hash of everything that affects index bytes — manifest rows
+        carry it so a resume never mixes configs."""
+        d = asdict(self)
+        d["langs"] = list(self.langs) if self.langs else None
+        return hashlib.blake2b(
+            json.dumps(d, sort_keys=True).encode(), digest_size=8
+        ).hexdigest()
+
+
+@dataclass(frozen=True)
+class QueryConfig:
+    k: int = 10
+    method: str = "maxscore"  # "taat" (exact baseline) or "maxscore" (block-max pruned, also exact)
+    concurrency: int = 8
+    scorer: str = "bm25"

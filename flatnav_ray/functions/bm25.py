@@ -1,0 +1,119 @@
+"""BM25 scoring kernels — the grafted distance functions (SURVEY.md §2.2 M6/M7).
+
+Plays the role of the reference's pluggable SIMD distance kernels
+(/root/reference/include/flatnav/distances/SquaredL2Distance.h:40-44,
+InnerProductDistance.h:39-43, DistanceInterface.h:22-59 CRTP): a `Scorer`
+protocol with a vectorized default (BM25, Lucene idf variant) and a TF-IDF
+alternate, both pure numpy over decoded posting blocks.
+
+Determinism contract (north_rule rank-identity): scores are computed in
+float64 with a fixed accumulation order (query terms sorted lexicographically),
+ties broken (score desc, doc_id asc). k1=1.2, b=0.75 defaults match the
+brute-force oracle and the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
+    """Lucene/BM25+ idf: ln(1 + (N - df + 0.5) / (df + 0.5)) — always > 0,
+    which block-max pruning relies on (score upper bounds stay monotone)."""
+    return np.log1p((n_docs - np.asarray(df, dtype=np.float64) + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5))
+
+
+def bm25_term_scores(
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    df: int,
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> np.ndarray:
+    """Vectorized per-posting BM25 contribution of one term."""
+    tf = tfs.astype(np.float64)
+    dl = doc_lens.astype(np.float64)
+    w = float(idf(float(df), n_docs))
+    denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+    return w * (tf * (k1 + 1.0)) / denom
+
+
+def bm25_block_upper_bound(
+    block_max_tf: np.ndarray,
+    block_min_dl: np.ndarray,
+    df: int,
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> np.ndarray:
+    """Per-block score upper bound from (max tf, min doc_len) — valid because
+    the BM25 term score is increasing in tf and decreasing in doc_len."""
+    return bm25_term_scores(block_max_tf, block_min_dl, df, n_docs, avgdl, k1, b)
+
+
+@dataclass(frozen=True)
+class Bm25Scorer:
+    """Default scorer (SURVEY.md M6)."""
+
+    k1: float = K1_DEFAULT
+    b: float = B_DEFAULT
+    name: str = "bm25"
+
+    def term_scores(self, tfs, doc_lens, df, n_docs, avgdl):
+        return bm25_term_scores(tfs, doc_lens, df, n_docs, avgdl, self.k1, self.b)
+
+    def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl):
+        return bm25_block_upper_bound(block_max_tf, block_min_dl, df, n_docs, avgdl, self.k1, self.b)
+
+
+@dataclass(frozen=True)
+class TfIdfScorer:
+    """Alternate pluggable scorer (SURVEY.md M7 — the 'second metric').
+
+    score = idf * tf / doc_len (length-normalized tf-idf)."""
+
+    name: str = "tfidf"
+
+    def term_scores(self, tfs, doc_lens, df, n_docs, avgdl):
+        w = float(idf(float(df), n_docs))
+        return w * tfs.astype(np.float64) / np.maximum(doc_lens.astype(np.float64), 1.0)
+
+    def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl):
+        w = float(idf(float(df), n_docs))
+        return w * block_max_tf.astype(np.float64) / np.maximum(block_min_dl.astype(np.float64), 1.0)
+
+
+SCORERS = {"bm25": Bm25Scorer(), "tfidf": TfIdfScorer()}
+
+
+def bm25_score_py(tf: int, dl: int, df: int, n_docs: int, avgdl: float,
+                  k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> float:
+    """Scalar closed-form reference used by kernel tests (tests/test_bm25.py)."""
+    w = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    return w * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def topk_select(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic top-k: (score desc, doc_id asc); returns (doc_ids, scores)."""
+    n = scores.size
+    if n == 0:
+        return doc_ids[:0], scores[:0]
+    if n > k:
+        # argpartition prune before the exact sort; keep everything tied with
+        # the k-th score so the doc_id tiebreak stays deterministic
+        kth = np.partition(-scores, k - 1)[k - 1]
+        cand = np.flatnonzero(-scores <= kth)
+    else:
+        cand = np.arange(n)
+    order = np.lexsort((doc_ids[cand], -scores[cand]))
+    sel = cand[order][:k]
+    return doc_ids[sel], scores[sel]

@@ -1,0 +1,194 @@
+"""Posting-list codec: delta + varint in 128-doc blocks with per-block maxima.
+
+The analog of the reference's packed node-record layout
+(/root/reference/include/flatnav/index/Index.h:61-63, 555-573: hand-packed
+`[data | M links | label]` byte records addressed by offset): posting lists are
+opaque binary blobs we encode/decode ourselves, with block metadata
+(last doc id, max tf, min doc len) enabling block-max skipping — the grafted
+form of flatnav's candidate pruning (`Index.h:714-763`) per SURVEY.md §2.7 D3.
+
+All encode/decode paths are vectorized numpy (no per-value Python loops): the
+role the SIMD distance kernels play in the reference
+(/root/reference/include/flatnav/util/SquaredL2SimdExtensions.h).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+_U64 = np.uint64
+_SEVEN = np.uint64(7)
+_LOW7 = np.uint64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-style varint encoding of a uint64 array, vectorized."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp >>= _SEVEN
+    while np.any(tmp):
+        more = tmp > 0
+        nbytes[more] += 1
+        tmp >>= _SEVEN
+    del nbits
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    starts = ends - nbytes
+    out = np.zeros(total, dtype=np.uint8)
+    maxb = int(nbytes.max())
+    shifted = v.copy()
+    for k in range(maxb):
+        active = nbytes > k
+        pos = starts[active] + k
+        byte = (shifted[active] & _LOW7).astype(np.uint8)
+        cont = (nbytes[active] > k + 1)
+        out[pos] = byte | np.where(cont, _CONT, np.uint8(0))
+        shifted >>= _SEVEN
+    return out.tobytes()
+
+
+def decode_varint(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode a varint byte buffer -> uint64 array, vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & _CONT) == 0
+    # value index of each byte: 0-based id of the varint it belongs to
+    vid = np.zeros(b.size, dtype=np.int64)
+    vid[1:] = np.cumsum(is_last[:-1])
+    nvals = int(vid[-1]) + 1
+    starts = np.zeros(nvals, dtype=np.int64)
+    # byte position where each value starts
+    last_pos = np.flatnonzero(is_last)
+    starts[1:] = last_pos[:-1] + 1
+    pos_in_val = np.arange(b.size, dtype=np.int64) - starts[vid]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (pos_in_val.astype(np.uint64) * _SEVEN)
+    out = np.zeros(nvals, dtype=np.uint64)
+    np.add.at(out, vid, contrib)
+    return out
+
+
+@dataclass
+class EncodedPostings:
+    """One term's posting list for one partition (one `segments` row)."""
+
+    df: int
+    doc_blob: bytes            # delta+varint doc ids; block-start deltas are absolute
+    tf_blob: bytes             # varint term frequencies, same order
+    block_last_doc: np.ndarray  # int64 (n_blocks,) last doc id per block
+    block_max_tf: np.ndarray    # int32 (n_blocks,)
+    block_min_dl: np.ndarray    # int32 (n_blocks,) min doc length per block
+    block_doc_offs: np.ndarray  # int32 (n_blocks,) byte offset of block start in doc_blob
+    block_tf_offs: np.ndarray   # int32 (n_blocks,) byte offset of block start in tf_blob
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> EncodedPostings:
+    """Encode a sorted (by doc_id) posting list into delta+varint blocks.
+
+    Each block's first delta is absolute (delta from 0) so blocks decode
+    independently — required for block-max skipping.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    doc_lens = np.ascontiguousarray(doc_lens, dtype=np.int64)
+    n = doc_ids.size
+    assert n > 0
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+    block_starts = np.arange(0, n, block_size, dtype=np.int64)
+    # block-start deltas absolute for independent decode
+    deltas[block_starts] = doc_ids[block_starts].astype(np.uint64)
+    nb = block_starts.size
+    block_ends = np.minimum(block_starts + block_size, n)
+
+    # per-value byte length to derive per-block byte offsets
+    def _byte_offs(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+        blob = encode_varint(vals)
+        lens = np.ones(n, dtype=np.int64)
+        tmp = vals.copy()
+        tmp >>= _SEVEN
+        while np.any(tmp):
+            lens[tmp > 0] += 1
+            tmp >>= _SEVEN
+        ends = np.cumsum(lens)
+        starts_b = ends - lens
+        return blob, starts_b[block_starts].astype(np.int32)
+
+    doc_blob, doc_offs = _byte_offs(deltas)
+    tf_blob, tf_offs = _byte_offs(tfs.astype(np.uint64))
+
+    max_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int32)
+    min_dl = np.minimum.reduceat(doc_lens, block_starts).astype(np.int32)
+    last_doc = doc_ids[block_ends - 1].astype(np.int64)
+    return EncodedPostings(
+        df=n,
+        doc_blob=doc_blob,
+        tf_blob=tf_blob,
+        block_last_doc=last_doc,
+        block_max_tf=max_tf,
+        block_min_dl=min_dl,
+        block_doc_offs=doc_offs.astype(np.int32),
+        block_tf_offs=tf_offs.astype(np.int32),
+    )
+
+
+def decode_postings(
+    doc_blob: bytes,
+    tf_blob: bytes,
+    block_last_doc: np.ndarray,
+    block_doc_offs: np.ndarray | None = None,
+    block_tf_offs: np.ndarray | None = None,
+    block_mask: np.ndarray | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode (optionally a subset of blocks of) a posting list.
+
+    Returns (doc_ids int64, tfs int64). With `block_mask` (bool per block),
+    only selected blocks' byte ranges are decoded — block-max skipping.
+    """
+    if block_mask is not None and not block_mask.all():
+        assert block_doc_offs is not None and block_tf_offs is not None
+        sel = np.flatnonzero(block_mask)
+        if sel.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        doc_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+        nb = len(block_last_doc)
+        d_ends = np.append(block_doc_offs[1:], len(doc_blob))
+        t_ends = np.append(block_tf_offs[1:], len(tf_blob))
+        for bidx in sel:
+            deltas = decode_varint(doc_blob[block_doc_offs[bidx]: d_ends[bidx]])
+            doc_parts.append(np.cumsum(deltas.astype(np.int64)))
+            tf_parts.append(
+                decode_varint(tf_blob[block_tf_offs[bidx]: t_ends[bidx]]).astype(np.int64)
+            )
+        return np.concatenate(doc_parts), np.concatenate(tf_parts)
+
+    deltas = decode_varint(doc_blob).astype(np.int64)
+    n = deltas.size
+    tfs = decode_varint(tf_blob).astype(np.int64)
+    # fix up block-start absolutes: convert back to true deltas, then cumsum
+    nb = len(block_last_doc)
+    if nb > 1:
+        starts = np.arange(0, n, block_size, dtype=np.int64)[1:nb]
+        prev_last = np.asarray(block_last_doc, dtype=np.int64)[: starts.size]
+        deltas[starts] = deltas[starts] - prev_last
+    doc_ids = np.cumsum(deltas)
+    return doc_ids, tfs

@@ -1,0 +1,82 @@
+"""Tokenizer / normalizer — the analog of the reference's ingest transform +
+dataset normalization (/root/reference/include/flatnav/distances/DistanceInterface.h:45-52
+`transformData`; `--normalize` in /root/reference/experiments/README.md:223).
+
+Canonical analyzer (versioned; rank-identity depends on it):
+    lower-case -> split on runs of [^a-z0-9] -> drop empty tokens.
+
+Exactly expressible in DuckDB as
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+which is what the oracle SQL in __ray_entry__.py uses — tokenizer parity is a
+tested invariant (tests/test_tokenize.py).
+
+All kernels are Arrow-native (pyarrow.compute) and operate on whole batches —
+no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_SPLIT_REGEX = "[^a-z0-9]+"
+_PY_SPLIT = re.compile(TOKEN_SPLIT_REGEX)
+
+ANALYZER_VERSION = "v1-lower-alnum"
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Scalar reference tokenizer (oracle for the vectorized kernel)."""
+    return [t for t in _PY_SPLIT.split(text.lower()) if t]
+
+
+def explode_tokens(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized tokenize+explode: texts -> (row_index per token, token).
+
+    Returns (parents int64 ndarray, flat tokens StringArray), empties removed.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(texts)
+    toks = pc.split_pattern_regex(low, TOKEN_SPLIT_REGEX)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    mask = pc.invert(pc.equal(flat, ""))
+    flat = pc.filter(flat, mask)
+    parents = pc.filter(parents, mask)
+    return parents.to_numpy(zero_copy_only=False).astype(np.int64), flat
+
+
+def doc_token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row token count (doc length in tokens), vectorized."""
+    n = len(texts)
+    parents, _ = explode_tokens(texts)
+    out = np.zeros(n, dtype=np.int64)
+    np.add.at(out, parents, 1)
+    return out
+
+
+def term_frequencies(
+    doc_ids: np.ndarray, texts: pa.Array | pa.ChunkedArray
+) -> pa.Table:
+    """Batch kernel: (doc_id, text) rows -> exploded (term, doc_id, tf) postings.
+
+    The flat-postings producer feeding the index build (SURVEY.md §2.2 M4).
+    Grouping is done with Arrow's hash group-by (C++), not Python loops.
+    """
+    parents, terms = explode_tokens(texts)
+    if len(terms) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+    tok_doc = pa.array(np.asarray(doc_ids, dtype=np.int64)[parents], type=pa.int64())
+    t = pa.table({"term": terms, "doc_id": tok_doc})
+    agg = t.group_by(["term", "doc_id"], use_threads=False).aggregate([([], "count_all")])
+    return agg.rename_columns(["term", "doc_id", "tf"])

@@ -1,0 +1,168 @@
+"""End-to-end index build pipeline (SURVEY.md §3.1 flagship trace, build side).
+
+    read_parquet(pages)
+      -> map_batches(extract + doc_id + partition)   [stateless, Arrow]
+      -> groupby(partition).map_groups(build_partition)  [the ONE wide shuffle]
+      -> per-partition segment/docmap files + manifests  [atomic, resumable]
+      -> term_stats: column-pruned read over segments -> groupby(term).sum(df)
+      -> stats.json (n_docs, avgdl, fingerprint)
+
+Design note vs SURVEY.md A8: postings are built PARTITION-LOCAL — the heavy
+(term, doc_id, tf) stream never crosses the network. Only the tiny (term, df)
+pairs shuffle globally for BM25's idf (classic partial-aggregation/combiner).
+The groupby(term) full-posting shuffle with heavy-hitter salting + hierarchical
+merge exists as the alternative "term" layout in stages/termbuild.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import IndexConfig
+from ..functions.extract import extract_text_batch
+from ..functions.hashes import doc_ids_for_urls
+from ..stages.build import build_partition
+from ..state.manifest import completed_partitions, manifest_dir, read_manifest
+from ..state.stats import save_stats, term_stats_dir
+
+
+def prepare_batch(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | None) -> pa.Table:
+    """Stateless prep: extract text (M1), assign doc_id (M3: stable url hash —
+    or the carried ext_doc_id on the adapter path), derive partition, drop the
+    heavy html column immediately (SURVEY.md §7 'wide rows')."""
+    batch = extract_text_batch(batch)
+    if "ext_doc_id" in batch.column_names:
+        doc_id = batch.column("ext_doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.drop_columns(["ext_doc_id"])
+    else:
+        doc_id = doc_ids_for_urls(batch.column("url").to_pylist()).astype(np.int64)
+    part = (doc_id % np.int64(num_partitions)).astype(np.int32)
+    batch = batch.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
+    batch = batch.append_column("partition", pa.array(part, type=pa.int32()))
+    if langs is not None:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_in(batch.column("lang"), value_set=pa.array(langs)))
+    keep = ["url", "warc_ts", "text", "lang", "doc_id", "partition"]
+    return batch.select(keep)
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    sum_doc_len: int
+    avgdl: float
+    num_partitions: int
+    n_partitions_built: int
+    n_partitions_skipped: int
+    bytes: int
+
+
+def build_index(
+    pages: ray.data.Dataset,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = True,
+) -> BuildResult:
+    """Build (or resume) the partitioned inverted index from a pages Dataset."""
+    cfg = cfg or IndexConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    fingerprint = cfg.fingerprint()
+    done = completed_partitions(index_dir, fingerprint) if resume else set()
+
+    prepared = pages.map_batches(
+        prepare_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"num_partitions": cfg.num_partitions, "langs": cfg.langs},
+    )
+    manifest_rows = prepared.groupby("partition").map_groups(
+        build_partition,
+        batch_format="pyarrow",
+        fn_kwargs={"index_dir": index_dir, "cfg": cfg, "resume": done},
+    )
+    # tiny (num_partitions rows): safe to materialize; this drives execution
+    mt = pa.concat_tables(manifest_rows.iter_batches(batch_format="pyarrow"))
+    built = mt.filter(pa.compute.equal(mt.column("skipped_resume"), False)) if len(mt) else mt
+
+    # authoritative stats come from the on-disk manifests (includes resumed parts)
+    n_docs = 0
+    sum_dl = 0
+    nbytes = 0
+    n_built = 0
+    mdir = manifest_dir(index_dir)
+    parts_on_disk = []
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("part-") and name.endswith(".json"):
+                p = int(name[5:-5])
+                m = read_manifest(index_dir, p)
+                if m and m.config_fingerprint == fingerprint:
+                    parts_on_disk.append(p)
+                    n_docs += m.n_docs
+                    sum_dl += m.sum_doc_len
+                    nbytes += m.bytes
+                    n_built += 1
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    _build_term_stats(index_dir)
+
+    save_stats(
+        index_dir,
+        {
+            "n_docs": n_docs,
+            "sum_doc_len": sum_dl,
+            "avgdl": avgdl,
+            "num_partitions": cfg.num_partitions,
+            "partitions": parts_on_disk,
+            "config_fingerprint": fingerprint,
+            "block_size": cfg.block_size,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "scorer": cfg.scorer,
+            "analyzer": cfg.analyzer,
+            "layout": cfg.layout,
+        },
+    )
+    return BuildResult(
+        index_dir=index_dir,
+        n_docs=n_docs,
+        sum_doc_len=sum_dl,
+        avgdl=avgdl,
+        num_partitions=cfg.num_partitions,
+        n_partitions_built=len(built),
+        n_partitions_skipped=len(done),
+        bytes=nbytes,
+    )
+
+
+def _build_term_stats(index_dir: str) -> None:
+    """Global (term, df): column-pruned read of segment files (only term+df
+    leave disk), partial dfs combine in a small groupby — the combiner-style
+    aggregation SURVEY.md §4 prescribes instead of shuffling postings."""
+    seg_dir = os.path.join(index_dir, "segments")
+    files = [
+        os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir)) if f.endswith(".parquet")
+    ]
+    ts = (
+        ray.data.read_parquet(files, columns=["term", "df"])
+        .groupby("term")
+        .sum("df")
+        .map_batches(
+            lambda b: b.rename_columns(["term", "df"]),
+            batch_format="pyarrow",
+        )
+        .sort("term")
+    )
+    out_dir = term_stats_dir(index_dir)
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    ts.write_parquet(out_dir)

@@ -1,0 +1,78 @@
+"""End-to-end query pipeline (SURVEY.md §3.1 flagship trace, search side).
+
+    queries (small table)
+      -> tokenize + global df lookup -> QueryPlan   [driver, tiny]
+      -> ray.put(plan)                              [broadcast once, J3]
+      -> Dataset over partitions -> map_batches(ShardSearcher actor pool)
+      -> groupby(query_id).map_groups(merge_topk)   [partial -> final top-k]
+
+The fan-out axis is PARTITIONS (the big side); queries ride along as one
+broadcast object — the reference's 'every query probes the whole index'
+(bindings.cpp:196-212 parallel query loop) turned inside out for sharding.
+"""
+
+from __future__ import annotations
+
+import ray
+import ray.data
+import pyarrow as pa
+
+from ..config import QueryConfig
+from ..stages.search import ShardSearcher, make_query_plan, merge_topk
+from ..functions.tokenize import tokenize_py
+from ..state.stats import load_stats, lookup_term_df
+
+
+def plan_for(index_dir: str, queries: pa.Table, k: int):
+    stats = load_stats(index_dir)
+    distinct: set[str] = set()
+    for t in queries.column("text").to_pylist():
+        distinct.update(tokenize_py(t))
+    term_df = lookup_term_df(index_dir, sorted(distinct))
+    return (
+        make_query_plan(queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k),
+        stats,
+    )
+
+
+def search(
+    index_dir: str,
+    queries: pa.Table,
+    query_cfg: QueryConfig | None = None,
+) -> ray.data.Dataset:
+    """Top-k search over the whole index. Returns a Dataset of
+    (query_id, rank, doc_id, url, score) — the analog of the reference's
+    (Q×K distances, Q×K labels) return (bindings.cpp:214-227)."""
+    query_cfg = query_cfg or QueryConfig()
+    plan, stats = plan_for(index_dir, queries, query_cfg.k)
+    plan_ref = ray.put(plan)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", query_cfg.concurrency))
+    concurrency = max(1, min(query_cfg.concurrency, len(parts), ncpu))
+    partials = ray.data.from_items(parts).map_batches(
+        ShardSearcher,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (concurrency * 2) or 1),
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "query_cfg": query_cfg,
+            "block_size": int(stats["block_size"]),
+        },
+    )
+    results = (
+        partials.drop_columns(["docs_scored", "blocks_decoded"])
+        .groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow", fn_kwargs={"k": query_cfg.k})
+    )
+    return results
+
+
+def search_to_table(index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
+    """Convenience: materialized, deterministically ordered results."""
+    ds = search(index_dir, queries, query_cfg)
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]))
