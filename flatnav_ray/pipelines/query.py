@@ -72,7 +72,18 @@ def search(
 def search_to_table(index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
     """Convenience: materialized, deterministically ordered results."""
     ds = search(index_dir, queries, query_cfg)
-    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:  # e.g. every query term absent from the corpus
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    t = pa.concat_tables(batches)
     import pyarrow.compute as pc
 
     return t.take(pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]))
