@@ -1,0 +1,136 @@
+"""E2E build + query tests — the grafted integration layer (SURVEY.md §5):
+
+* rank identity vs brute-force oracle (the gtruth conformance of
+  /root/reference/tools/query_npy.cpp:52-66, but exact: floor = 1.0)
+* build determinism across partition counts (graft of
+  /root/reference/python-bindings/unit_tests/test_parallel_insertions.py)
+* serialization round trip: fresh searcher over on-disk segments returns
+  identical results (graft of test_serialization.cpp:64-75)
+* taat == maxscore (pruned search is exact)
+* checkpoint-resume skips completed partitions
+"""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from flatnav_ray.config import IndexConfig, QueryConfig
+from flatnav_ray.pipelines.build import build_index, prepare_batch
+from flatnav_ray.pipelines.oracle import brute_force_topk, recall_at_k
+from flatnav_ray.pipelines.query import search_to_table
+from flatnav_ray.stages.build import dedup_latest
+from flatnav_ray.stages.introspect import canonical_postings
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, small_corpus, tmp_path_factory):
+    import ray.data
+
+    pages, queries = small_corpus
+    ix = str(tmp_path_factory.mktemp("ix") / "main")
+    res = build_index(ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=8))
+    return ix, res, pages, queries
+
+
+def _oracle(pages, queries, k=10):
+    deduped = dedup_latest(prepare_batch(pages, 8, None))
+    return brute_force_topk(deduped.select(["doc_id", "text"]), queries, k=k)
+
+
+class TestRankIdentity:
+    def test_taat_rank_identical_to_oracle(self, built_index):
+        ix, res, pages, queries = built_index
+        out = search_to_table(ix, queries, QueryConfig(k=10, method="taat"))
+        gt = _oracle(pages, queries)
+        assert len(out) == len(gt)
+        assert out.column("doc_id").to_pylist() == gt.column("doc_id").to_pylist()
+        np.testing.assert_allclose(
+            out.column("score").to_numpy(), gt.column("score").to_numpy(), rtol=0, atol=1e-9
+        )
+        # recall floor 1.0 — stronger than the reference's 0.97
+        assert recall_at_k(out, gt) == 1.0
+
+    def test_maxscore_equals_taat(self, built_index):
+        ix, _, _, queries = built_index
+        a = search_to_table(ix, queries, QueryConfig(k=10, method="taat"))
+        b = search_to_table(ix, queries, QueryConfig(k=10, method="maxscore"))
+        assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+        np.testing.assert_array_equal(
+            a.column("score").to_numpy(), b.column("score").to_numpy()
+        )
+
+    def test_empty_and_absent_queries(self, built_index):
+        ix, *_ = built_index
+        q = pa.table(
+            {
+                "query_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["zzznotinvocab qqqmissing", ""], type=pa.string()),
+            }
+        )
+        out = search_to_table(ix, q, QueryConfig(k=10))
+        assert len(out) == 0
+
+
+class TestDeterminism:
+    def test_partition_count_invariance(self, ray_session, small_corpus, tmp_path):
+        """Graft of parallel==serial build equivalence: canonical postings are
+        identical for num_partitions 4 vs 8 (doc_ids are stable url hashes,
+        independent of the shuffle)."""
+        import ray.data
+
+        pages, _ = small_corpus
+        ix4, ix8 = str(tmp_path / "p4"), str(tmp_path / "p8")
+        build_index(ray.data.from_arrow(pages), ix4, IndexConfig(num_partitions=4))
+        build_index(ray.data.from_arrow(pages), ix8, IndexConfig(num_partitions=8))
+        c4, c8 = canonical_postings(ix4), canonical_postings(ix8)
+        assert c4.equals(c8)
+
+    def test_serialization_round_trip(self, built_index):
+        """Fresh searcher processes (new actor pool) over the same on-disk
+        segments return identical results — segments ARE the serialized index."""
+        ix, _, _, queries = built_index
+        a = search_to_table(ix, queries, QueryConfig(k=10))
+        b = search_to_table(ix, queries, QueryConfig(k=10))
+        assert a.equals(b)
+
+
+class TestResume:
+    def test_resume_skips_completed_partitions(self, ray_session, small_corpus, tmp_path):
+        import ray.data
+
+        pages, _ = small_corpus
+        ix = str(tmp_path / "rix")
+        r1 = build_index(ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=6))
+        assert r1.n_partitions_built == 6 and r1.n_partitions_skipped == 0
+        r2 = build_index(ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=6))
+        assert r2.n_partitions_built == 0 and r2.n_partitions_skipped == 6
+        assert r2.n_docs == r1.n_docs  # stats survive the resume
+
+    def test_config_change_invalidates_manifests(self, ray_session, small_corpus, tmp_path):
+        import ray.data
+
+        pages, _ = small_corpus
+        ix = str(tmp_path / "cix")
+        build_index(ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=6))
+        r = build_index(
+            ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=6, block_size=64)
+        )
+        assert r.n_partitions_skipped == 0  # fingerprint changed -> full rebuild
+
+
+class TestDedup:
+    def test_dedup_keeps_latest(self, small_corpus):
+        pages, _ = small_corpus
+        prep = prepare_batch(pages, 8, None)
+        dd = dedup_latest(prep)
+        urls = dd.column("url").to_pylist()
+        assert len(urls) == len(set(urls))
+        # recrawls exist in the fixture and were removed
+        assert len(dd) < len(prep)
+        # kept row per duplicated url is the max warc_ts one
+        t = prep.to_pandas()
+        kept = dd.to_pandas().set_index("url")["warc_ts"]
+        for url, grp in t.groupby("url"):
+            assert kept[url] == grp["warc_ts"].max()

@@ -1,0 +1,149 @@
+"""Tokenizer / BM25 / hash / extractor kernel tests (FIXTURES.md §5)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from flatnav_ray.functions.bm25 import (
+    Bm25Scorer,
+    bm25_score_py,
+    bm25_term_scores,
+    topk_select,
+)
+from flatnav_ray.functions.extract import extract_text_bytes
+from flatnav_ray.functions.hashes import (
+    doc_ids_for_urls,
+    hash64_str,
+    minhash_signature,
+    simhash64,
+    stable_hash64,
+)
+from flatnav_ray.functions.tokenize import (
+    doc_token_counts,
+    explode_tokens,
+    term_frequencies,
+    tokenize_py,
+)
+from flatnav_ray.sources.synth import PagesGenerator
+
+
+class TestTokenizer:
+    def test_vectorized_matches_scalar(self):
+        texts = [
+            "Hello, World 42!",
+            "",
+            "the THE the",
+            "a-b_c d",
+            "ünïcode stäys out",
+            "  leading trailing  ",
+            "123abc DEF456",
+        ]
+        arr = pa.array(texts)
+        parents, toks = explode_tokens(arr)
+        per_row = [[] for _ in texts]
+        for p, t in zip(parents, toks.to_pylist()):
+            per_row[p].append(t)
+        for row, text in zip(per_row, texts):
+            assert row == tokenize_py(text), text
+
+    def test_doc_token_counts(self):
+        arr = pa.array(["a b c", "", "x"])
+        assert doc_token_counts(arr).tolist() == [3, 0, 1]
+
+    def test_term_frequencies(self):
+        t = term_frequencies(np.array([1, 2]), pa.array(["a a b", "b"]))
+        rows = sorted(
+            zip(t.column("term").to_pylist(), t.column("doc_id").to_pylist(), t.column("tf").to_pylist())
+        )
+        assert rows == [("a", 1, 2), ("b", 1, 1), ("b", 2, 1)]
+
+
+class TestBm25:
+    def test_closed_form_toy_corpus(self):
+        # 5-doc toy corpus, hand-computed (FIXTURES.md §5)
+        n, avgdl = 5, 10.0
+        s = bm25_score_py(tf=3, dl=10, df=2, n_docs=n, avgdl=avgdl)
+        w = math.log(1 + (5 - 2 + 0.5) / (2 + 0.5))
+        expect = w * (3 * 2.2) / (3 + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+        assert abs(s - expect) < 1e-12
+
+    def test_vectorized_matches_scalar(self):
+        rng = np.random.default_rng(3)
+        tfs = rng.integers(1, 50, 200)
+        dls = rng.integers(5, 500, 200)
+        vec = bm25_term_scores(tfs, dls, df=17, n_docs=1000, avgdl=123.4)
+        for i in range(200):
+            assert abs(vec[i] - bm25_score_py(int(tfs[i]), int(dls[i]), 17, 1000, 123.4)) < 1e-12
+
+    def test_topk_ties_break_by_doc_id(self):
+        scores = np.array([1.0, 2.0, 2.0, 0.5])
+        docs = np.array([40, 30, 10, 5])
+        d, s = topk_select(scores, docs, 3)
+        assert d.tolist() == [10, 30, 40]
+        assert s.tolist() == [2.0, 2.0, 1.0]
+
+    def test_block_bound_dominates(self):
+        rng = np.random.default_rng(4)
+        tfs = rng.integers(1, 50, 128)
+        dls = rng.integers(5, 500, 128)
+        sc = Bm25Scorer()
+        actual = sc.term_scores(tfs, dls, 7, 1000, 100.0)
+        bound = sc.block_bound(
+            np.array([tfs.max()]), np.array([dls.min()]), 7, 1000, 100.0
+        )[0]
+        assert (actual <= bound + 1e-12).all()
+
+
+class TestHashes:
+    def test_vectorized_matches_scalar(self):
+        strs = ["", "a", "hello world", "https://d0001.example.com/c0/p423", "ü"]
+        vec = stable_hash64(strs)
+        for s, h in zip(strs, vec):
+            assert int(h) == hash64_str(s)
+
+    def test_doc_ids_fit_int63_and_distinct(self):
+        urls = [f"https://x.com/{i}" for i in range(5000)]
+        ids = doc_ids_for_urls(urls)
+        assert (ids < 2**63).all()
+        assert len(np.unique(ids)) == 5000
+
+    def test_minhash_similar_docs_share_bands(self):
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 2**63, 200).astype(np.uint64)
+        near = base.copy()
+        near[:10] = rng.integers(0, 2**63, 10).astype(np.uint64)  # 95% overlap
+        far = rng.integers(0, 2**63, 200).astype(np.uint64)
+        s1, s2, s3 = (minhash_signature(x, 64) for x in (base, near, far))
+        assert (s1 == s2).mean() > 0.7
+        assert (s1 == s3).mean() < 0.2
+
+    def test_simhash_hamming(self):
+        rng = np.random.default_rng(1)
+        base = rng.integers(0, 2**63, 300).astype(np.uint64)
+        near = base.copy()
+        near[:5] = rng.integers(0, 2**63, 5).astype(np.uint64)
+        far = rng.integers(0, 2**63, 300).astype(np.uint64)
+        h = lambda a, b: bin(a ^ b).count("1")
+        assert h(simhash64(base), simhash64(near)) < 10
+        assert h(simhash64(base), simhash64(far)) > 20
+
+
+class TestExtractor:
+    def test_round_trip_byte_identical(self):
+        """The per-row invariant (BASELINE.json input_hint): extraction of the
+        generated html equals the golden text column byte-for-byte."""
+        gen = PagesGenerator(seed=11, vocab_size=500, mean_len=40)
+        t = gen.chunk(0, 100)
+        for h, txt in zip(t.column("html").to_pylist(), t.column("text").to_pylist()):
+            assert extract_text_bytes(h) == txt
+
+    def test_strips_boilerplate_and_unescapes(self):
+        html = (
+            b"<html><head><title>t</title></head><body>"
+            b"<nav>skip me</nav><p>a &amp; b &lt;c&gt;</p>"
+            b"<script>var x=1</script><h2>head</h2>"
+            b"<footer>skip</footer></body></html>"
+        )
+        assert extract_text_bytes(html) == 'a & b <c>\nhead'
