@@ -1,16 +1,8 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for flatnav-ft (Ray-Data-native full-text + training-data
+engine; see SURVEY.md §2 for the operator inventory each entry maps to).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +10,140 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Canonical analyzer, expressed identically in engine code
+# (flatnav_ray/functions/tokenize.py) and DuckDB SQL:
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_TERMS = (
+    "SELECT doc_id, unnest(" + _TOKS + ") AS term FROM documents"
+)
+_STOP_SQL = "['the','of','and','to','a','in','is','it','you','that','he','was','for','on','are','with','as','i','his','they']"
+
+_LANG_PROFILES_SQL = {
+    "de": "['der','die','und','in','den','von','zu','das','mit','sich','des','auf','für','ist','im','dem','nicht','ein']",
+    "en": _STOP_SQL,
+    "es": "['el','la','de','que','y','a','en','un','ser','se','no','haber','por','con','su','para','como','estar']",
+    "fr": "['le','de','un','être','et','à','il','avoir','ne','je','son','que','se','qui','ce','dans','en','du','elle']",
+    "zh": "['的','一','是','在','不','了','有','和','人','这','中','大','为','上','个','国','我','以','要','他']",
+}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: adapt documents -> pages, build the
+    partitioned inverted index, derive the reference query set, serve top-k
+    BM25 via the shard-actor pool."""
+    from flatnav_ray.pipelines.documents import bm25_topk
+
+    return bm25_topk("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from flatnav_ray.pipelines import documents as d
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # tokenizer / stats family (M4, A6, A8, A9)
+        "doc_token_stats": d.doc_token_stats,
+        "term_df": d.term_df,
+        "term_cf": d.term_cf,
+        "top_terms": d.top_terms,
+        "lang_counts": d.lang_counts,
+        "doc_quality": d.doc_quality,
+        "langid_pred": d.langid_pred,
+        # dedup family (D4 + training-data extensions)
+        "dedup_exact": d.dedup_exact,
+        "jaccard_pairs": d.jaccard_pairs,
+        "minhash_clusters": d.minhash_clusters,   # rows-only
+        "simhash_dups": d.simhash_dups,           # rows-only
+        "fingerprints": d.fingerprints,           # rows-only
+        # embeddings / similarity search
+        "knn_cosine": d.knn_cosine,
+        "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
+        "embedding_dups": d.embedding_dups,
+        # the engine itself (flagship: build + BM25 top-k, rank-identical)
+        "bm25_topk": d.bm25_topk,
+        "bm25_topk_multi": d.bm25_topk_multi,     # rows-only (pytest holds oracle)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS
+    terms = _TERMS
+    lang_scores = ", ".join(
+        f"len(list_filter({toks}, x -> list_contains({_LANG_PROFILES_SQL[lang]}, x))) AS s_{lang}"
+        for lang in sorted(_LANG_PROFILES_SQL)
+    )
+    return {
+        "doc_token_stats": (
+            f"SELECT doc_id, len({toks}) AS n_tokens FROM documents ORDER BY doc_id"
+        ),
+        "term_df": (
+            f"SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term ORDER BY term"
+        ),
+        "term_cf": (
+            f"SELECT term, count(*) AS cf FROM ({terms}) GROUP BY term ORDER BY term"
+        ),
+        "top_terms": (
+            f"SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term "
+            "ORDER BY df DESC, term ASC LIMIT 50"
+        ),
+        "lang_counts": (
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "doc_quality": (
+            f"SELECT doc_id, len({toks}) AS n_tokens, "
+            f"len(list_filter({toks}, x -> list_contains({_STOP_SQL}, x))) AS n_stopwords "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "langid_pred": (
+            f"WITH scores AS (SELECT doc_id, {lang_scores} FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und' "
+            "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
+            "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
+            "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+            "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred "
+            "FROM scores ORDER BY doc_id"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "jaccard_pairs": (
+            f"WITH toksl AS (SELECT doc_id, {toks} AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+            "FOR i IN generate_series(1, len(t)-2)]) AS s FROM toksl WHERE len(t) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+            "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard "
+            "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2 ORDER BY doc_a, doc_b"
+        ),
+        "knn_cosine": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) - 1 AS rank FROM s) "
+            "SELECT query_id, rank, vec_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+        "embedding_dups": (
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY 1, 2"
+        ),
+        "bm25_topk": (
+            f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+            f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+            "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+            f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+            "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+            "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+            "scored AS (SELECT qt.query_id, tf.doc_id, "
+            "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+            "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+            "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+            "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+            "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+    }

@@ -1,0 +1,142 @@
+"""Text analysis kernels for training-data pipelines: quality scoring,
+language ID, token stats, document fingerprinting.
+
+These extend the engine beyond the reference's operator set (the reference's
+payload is opaque vectors; its only scalar kernels are distances —
+SURVEY.md §2.8). All kernels are vectorized (pyarrow.compute / numpy) batch
+functions intended for `map_batches(batch_format="pyarrow")`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashes import splitmix64, stable_hash64
+from .tokenize import explode_tokens
+
+# 25 common-word profiles per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny + deterministic (no model downloads).
+_LANG_PROFILES: dict[str, set[str]] = {
+    "en": set("the of and to a in is it you that he was for on are with as i his they".split()),
+    "de": set("der die und in den von zu das mit sich des auf für ist im dem nicht ein".split()),
+    "fr": set("le de un être et à il avoir ne je son que se qui ce dans en du elle".split()),
+    "es": set("el la de que y a en un ser se no haber por con su para como estar".split()),
+    "zh": set("的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国 我 以 要 他".split()),
+}
+
+STOPWORDS_EN = _LANG_PROFILES["en"]
+
+
+def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality signals: n_chars, n_tokens, avg_token_len,
+    stopword_ratio, digit_ratio, upper_ratio. Appends columns to the batch."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    parents, toks = explode_tokens(texts)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    np.add.at(n_tokens, parents, 1)
+    tok_lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_tok_len = np.zeros(n, dtype=np.int64)
+    np.add.at(sum_tok_len, parents, tok_lens)
+    avg_token_len = np.where(n_tokens > 0, sum_tok_len / np.maximum(n_tokens, 1), 0.0)
+
+    is_stop = pc.is_in(toks, value_set=pa.array(sorted(STOPWORDS_EN))).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = np.zeros(n, dtype=np.int64)
+    np.add.at(n_stop, parents, is_stop.astype(np.int64))
+    stopword_ratio = np.where(n_tokens > 0, n_stop / np.maximum(n_tokens, 1), 0.0)
+
+    # digit ratio over characters (vectorized via regex count)
+    n_digit = pc.count_substring_regex(texts, "[0-9]").to_numpy(zero_copy_only=False)
+    n_upper = pc.count_substring_regex(texts, "[A-Z]").to_numpy(zero_copy_only=False)
+    digit_ratio = np.where(n_chars > 0, n_digit / np.maximum(n_chars, 1), 0.0)
+    upper_ratio = np.where(n_chars > 0, n_upper / np.maximum(n_chars, 1), 0.0)
+
+    out = batch
+    for name, arr, typ in [
+        ("n_chars_calc", n_chars, pa.int64()),
+        ("n_tokens", n_tokens, pa.int64()),
+        ("avg_token_len", avg_token_len, pa.float64()),
+        ("stopword_ratio", stopword_ratio, pa.float64()),
+        ("digit_ratio", digit_ratio, pa.float64()),
+        ("upper_ratio", upper_ratio, pa.float64()),
+    ]:
+        out = out.append_column(name, pa.array(arr, type=typ))
+    return out
+
+
+def detect_lang(batch: pa.Table, text_col: str = "text", out_col: str = "lang_pred") -> pa.Table:
+    """Stopword-profile language ID (n-gram heuristic): argmax over per-lang
+    hit counts; 'und' (undetermined) when nothing matches. Deterministic."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    parents, toks = explode_tokens(texts)
+    langs = sorted(_LANG_PROFILES)
+    scores = np.zeros((n, len(langs)), dtype=np.int64)
+    for li, lang in enumerate(langs):
+        hit = pc.is_in(toks, value_set=pa.array(sorted(_LANG_PROFILES[lang]))).to_numpy(
+            zero_copy_only=False
+        )
+        np.add.at(scores[:, li], parents, hit.astype(np.int64))
+    best = np.argmax(scores, axis=1)
+    has_any = scores.max(axis=1) > 0
+    pred = np.where(has_any, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column(out_col, pa.array(pred.tolist(), type=pa.string()))
+
+
+def fingerprint_docs(
+    batch: pa.Table,
+    text_col: str = "text",
+    window: int = 4,
+    out_col: str = "fingerprint",
+) -> pa.Table:
+    """Rolling-hash document fingerprint: hash of token w-shingles combined
+    order-invariantly (xor) into one stable uint63 per doc — near-identical
+    token streams share it; any token change flips it."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    parents, toks = explode_tokens(texts)
+    th = stable_hash64(toks.to_pylist())
+    fp = np.zeros(n, dtype=np.uint64)
+    if th.size:
+        # rolling combine: shingle hash = mix of w consecutive token hashes
+        sh = th.copy()
+        for off in range(1, window):
+            nxt = np.zeros_like(th)
+            nxt[:-off] = th[off:]
+            same_doc = np.zeros(th.size, dtype=bool)
+            if th.size > off:
+                same_doc[:-off] = parents[off:] == parents[:-off]
+            sh = np.where(same_doc, splitmix64(sh) ^ nxt, sh)
+        np.bitwise_xor.at(fp, parents, sh)
+    fp &= np.uint64((1 << 63) - 1)
+    return batch.append_column(out_col, pa.array(fp.astype(np.int64), type=pa.int64()))
+
+
+def token_shingles(texts: pa.Array | pa.ChunkedArray, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, shingle_hash) for word n-grams of each text — feeds
+    MinHash/LSH and n-gram-Jaccard dedup. Vectorized over the token stream."""
+    parents, toks = explode_tokens(texts)
+    th = stable_hash64(toks.to_pylist())
+    if th.size < n:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    sh = th[: th.size - n + 1].copy()
+    ok = np.ones(sh.size, dtype=bool)
+    for off in range(1, n):
+        # order-sensitive rolling combine: mix THEN xor (mix(s ^ (b+off))
+        # collides for swapped adjacent tokens with even hashes — xor with a
+        # +1 commutes on even values)
+        sh = splitmix64(sh) ^ th[off : off + sh.size]
+        ok &= parents[off : off + sh.size] == parents[: sh.size]
+    return parents[: sh.size][ok], sh[ok]

@@ -1,0 +1,256 @@
+"""Driver-testdata pipelines: every operator exposed through __ray_entry__
+`queries()` runs through here, over `/root/testdata/sf*/documents.parquet`
+(and embeddings.parquet), with DuckDB-checkable semantics.
+
+The flagship path (`bm25_topk`) drives the REAL engine end-to-end: adapt
+documents -> pages, build the partitioned index (cached per sf under /tmp,
+resume-skipped on rebuild), derive the reference query set from the corpus
+(top-df terms — derivable identically in SQL), search, return ranks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import IndexConfig, QueryConfig
+from ..functions.textstats import detect_lang, quality_stats
+from ..functions.tokenize import term_frequencies
+from ..sources.pages import documents_as_pages
+from ..stages.introspect import df_distribution
+from .build import build_index
+from .query import search_to_table
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _concat(ds: ray.data.Dataset) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+# ---------- token / term statistics (SQL-checkable) ----------
+
+def doc_token_stats(sf_dir: str) -> pa.Table:
+    """Per-doc token count — analyzer parity surface (M4)."""
+    out = _docs(sf_dir).map_batches(
+        lambda b: quality_stats(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _concat(out).sort_by("doc_id")
+
+
+def term_df(sf_dir: str) -> pa.Table:
+    """Global document frequency per term (A6/A8 partial-agg pattern:
+    per-batch distinct (term, doc) pairs, then a small groupby count)."""
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = term_frequencies(
+            b.column("doc_id").to_numpy(zero_copy_only=False), b.column("text")
+        )
+        return t.select(["term", "doc_id"])
+
+    pairs = _docs(sf_dir).map_batches(_pairs, batch_format="pyarrow")
+    agg = pairs.groupby("term").count()
+    out = _concat(agg).rename_columns(["term", "df"])
+    return out.sort_by("term")
+
+
+def term_cf(sf_dir: str) -> pa.Table:
+    """Collection frequency per term."""
+    def _tf(b: pa.Table) -> pa.Table:
+        return term_frequencies(
+            b.column("doc_id").to_numpy(zero_copy_only=False), b.column("text")
+        ).select(["term", "tf"])
+
+    tfs = _docs(sf_dir).map_batches(_tf, batch_format="pyarrow")
+    agg = tfs.groupby("term").sum("tf")
+    out = _concat(agg).rename_columns(["term", "cf"])
+    return out.sort_by("term")
+
+
+def top_terms(sf_dir: str, n: int = 50) -> pa.Table:
+    """Top-n terms by (df desc, term asc) — deterministic tie order."""
+    t = term_df(sf_dir)
+    order = pc.sort_indices(t, sort_keys=[("df", "descending"), ("term", "ascending")])
+    return t.take(order[:n])
+
+
+def lang_counts(sf_dir: str) -> pa.Table:
+    out = _concat(_docs(sf_dir).groupby("lang").count()).rename_columns(["lang", "n_docs"])
+    return out.sort_by("lang")
+
+
+def doc_quality(sf_dir: str) -> pa.Table:
+    """Quality signals as exact integers (no float-hash fragility)."""
+    def _q(b: pa.Table) -> pa.Table:
+        q = quality_stats(b)
+        toks = q.column("n_tokens").to_numpy(zero_copy_only=False)
+        stop = (
+            q.column("stopword_ratio").to_numpy(zero_copy_only=False) * np.maximum(toks, 1)
+        ).round().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": q.column("doc_id"),
+                "n_tokens": q.column("n_tokens"),
+                "n_stopwords": pa.array(stop, type=pa.int64()),
+            }
+        )
+
+    return _concat(
+        _docs(sf_dir).map_batches(_q, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
+def langid_pred(sf_dir: str) -> pa.Table:
+    """Stopword-profile language ID per doc (SQL-expressible heuristic)."""
+    out = _docs(sf_dir).map_batches(
+        lambda b: detect_lang(b).select(["doc_id", "lang_pred"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _concat(out).sort_by("doc_id")
+
+
+# ---------- dedup family ----------
+
+def dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact text dedup: min doc_id per distinct text."""
+    from ..stages.dedup import exact_text_dedup
+
+    out = _concat(exact_text_dedup(_docs(sf_dir)))
+    return pa.table({"doc_id": out.column("doc_id")}).sort_by("doc_id")
+
+
+def jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2) -> pa.Table:
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), n=n, threshold=threshold)
+
+
+def minhash_clusters(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import minhash_lsh_clusters
+
+    return minhash_lsh_clusters(_docs(sf_dir))
+
+
+def simhash_dups(sf_dir: str) -> pa.Table:
+    from ..stages.dedup import simhash_clusters
+
+    return simhash_clusters(_docs(sf_dir))
+
+
+def fingerprints(sf_dir: str) -> pa.Table:
+    from ..functions.textstats import fingerprint_docs
+
+    out = _docs(sf_dir).map_batches(
+        lambda b: fingerprint_docs(b).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _concat(out).sort_by("doc_id")
+
+
+# ---------- embeddings / ANN ----------
+
+def knn_cosine(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
+    """Brute-force cosine top-k; queries = the first n_queries vectors."""
+    from ..stages.knn import brute_force_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id < {n_queries}")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    qv = np.stack(qt.column("embedding").to_pylist())
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    out = brute_force_knn(emb, qv, k=k, query_ids=qids)
+    out = out.select(["query_id", "rank", "vec_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 10, nprobe: int = 4) -> pa.Table:
+    """IVF ANN variant (recall<1 scale path) — rows-only check."""
+    from ..stages.knn import IvfIndex
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = IvfIndex.train(emb, n_centroids=16)
+    assigned = ivf.assign(emb)
+    qt = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id < {n_queries}")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    qv = np.stack(qt.column("embedding").to_pylist())
+    return ivf.search(assigned, qv, k=k, nprobe=nprobe)
+
+
+def embedding_dups(sf_dir: str, threshold: float = 0.3) -> pa.Table:
+    from ..stages.dedup import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=threshold).select(["doc_a", "doc_b"])
+
+
+# ---------- the flagship: real index build + BM25 top-k ----------
+
+def _index_dir_for(sf_dir: str, cfg: IndexConfig) -> str:
+    key = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|{cfg.fingerprint()}".encode(), digest_size=8
+    ).hexdigest()
+    return os.path.join("/tmp", "flatnav_ft_ix", key)
+
+
+def build_documents_index(sf_dir: str, num_partitions: int = 8) -> str:
+    """Build (resume-cached) the inverted index over the documents table."""
+    cfg = IndexConfig(num_partitions=num_partitions)
+    ix = _index_dir_for(sf_dir, cfg)
+    build_index(documents_as_pages(sf_dir), ix, cfg, resume=True)
+    return ix
+
+
+def derived_queries(index_dir: str, n_queries: int = 20) -> pa.Table:
+    """The reference query set, derived from the corpus itself so the oracle
+    SQL can derive it identically: top-n terms by (df desc, term asc),
+    one single-term query each; query_id = rank."""
+    d = df_distribution(index_dir)
+    order = pc.sort_indices(d, sort_keys=[("df", "descending"), ("term", "ascending")])
+    top = d.take(order[:n_queries])
+    return pa.table(
+        {
+            "query_id": pa.array(np.arange(len(top), dtype=np.int64)),
+            "text": top.column("term"),
+        }
+    )
+
+
+def bm25_topk(sf_dir: str, k: int = 10, method: str = "maxscore") -> pa.Table:
+    """End-to-end engine run: build -> derive queries -> shard search -> ranks."""
+    ix = build_documents_index(sf_dir)
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k, method=method))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
+    """Multi-term queries (WAND/MaxScore intersection path): pair consecutive
+    top terms. Rows-only driver check; pytest holds the rank-identity oracle."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=20)
+    texts = single.column("text").to_pylist()
+    multi = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array([f"{texts[i]} {texts[i + 10]}" for i in range(10)], type=pa.string()),
+        }
+    )
+    return search_to_table(ix, multi, QueryConfig(k=k, method="maxscore"))
