@@ -1,0 +1,170 @@
+"""Benchmark harness for flatnav-ft — the graft of the reference's
+experiments/run-benchmark.py (metrics: build throughput, query throughput,
+latency percentiles; /root/reference/experiments/run-benchmark.py:44-124,
+472-481).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+`--scaling` runs the headline build+query phases twice in fresh subprocesses
+(num_cpus=8 and 32 — the sandbox evidence for the N vs 4N cluster-size
+criterion) and reports throughput at both plus scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+GRAFT_BENCH_PAGES (synthetic corpus size, default 24000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from flatnav_ray.config import IndexConfig, QueryConfig
+    from flatnav_ray.pipelines.build import build_index
+    from flatnav_ray.pipelines.query import search_to_table
+    from flatnav_ray.pipelines import documents as docp
+    from flatnav_ray.sources.synth import pages_dataset, queries_table
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- headline phase 1: index build over the synthetic pages corpus ----
+    pages_dir = f"/tmp/flatnav_bench/pages_{pages_n}"
+    if not os.path.isdir(pages_dir):  # corpus generation is not part of the benchmark
+        pages_dataset(pages_n, seed=42, chunk_rows=1000).write_parquet(pages_dir)
+    ix_dir = f"/tmp/flatnav_bench/ix_{pages_n}_{num_cpus}"
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = build_index(
+        ray.data.read_parquet(pages_dir), ix_dir,
+        IndexConfig(num_partitions=max(num_cpus, 16)), resume=False,
+    )
+    timings["build_pages"] = time.perf_counter() - t0
+    extras["build_docs_per_sec"] = res.n_docs / timings["build_pages"]
+    extras["build_n_docs"] = res.n_docs
+
+    # ---- headline phase 2: batched BM25 top-10 queries (server mode) ----
+    from flatnav_ray.stages.search import SearchSession
+
+    queries = queries_table(1000, seed=43)
+    qcfg = QueryConfig(k=10, method="maxscore", concurrency=num_cpus)
+    sess = SearchSession(ix_dir, num_actors=num_cpus)
+    sess.search(queries_table(32, seed=44), qcfg)  # warm segment load
+    t0 = time.perf_counter()
+    out = sess.search(queries, qcfg)
+    timings["query_bm25_1000"] = time.perf_counter() - t0
+    extras["query_qps"] = len(queries) / timings["query_bm25_1000"]
+    # p50 latency over repeated small batches (per-query latency analog)
+    lats = []
+    for i in range(5):
+        qb = queries_table(50, seed=100 + i)
+        t0 = time.perf_counter()
+        sess.search(qb, qcfg)
+        lats.append((time.perf_counter() - t0) / 50 * 1000)
+    extras["query_p50_ms"] = float(np.percentile(lats, 50))
+    sess.shutdown()
+
+    # ---- operator suite over the driver testdata ----
+    t0 = time.perf_counter()
+    docp.term_df(sf_dir)
+    timings["term_df"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.dedup_exact(sf_dir)
+    timings["dedup_exact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.minhash_clusters(sf_dir)
+    timings["minhash_clusters"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.knn_cosine(sf_dir)
+    timings["knn_cosine"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.bm25_topk(sf_dir)
+    timings["bm25_topk_documents"] = time.perf_counter() - t0
+
+    ray.shutdown()
+    return {
+        "metric": "flatnav-ft build docs/sec + query qps (top-10 BM25) + operator suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": _sf(sf_dir),
+        "num_cpus": num_cpus,
+        **{k: round(v, 3) for k, v in extras.items()},
+    }
+
+
+def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Same job at two parallelism levels in fresh processes -> throughput at
+    both + scaling efficiency (the sandbox stand-in for N vs 4N nodes)."""
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        env["GRAFT_BENCH_PAGES"] = str(pages_n)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = results[cpus_lo], results[cpus_hi]
+    factor = cpus_hi / cpus_lo
+    build_eff = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / factor
+    query_eff = (hi["query_qps"] / lo["query_qps"]) / factor
+    return {
+        "metric": "scaling efficiency N->4N (cpus 8 vs 32, fresh sessions)",
+        "value": round(min(build_eff, query_eff), 3),
+        "unit": "efficiency",
+        "queries": {
+            f"build_docs_per_sec@{cpus_lo}": lo["build_docs_per_sec"],
+            f"build_docs_per_sec@{cpus_hi}": hi["build_docs_per_sec"],
+            f"query_qps@{cpus_lo}": lo["query_qps"],
+            f"query_qps@{cpus_hi}": hi["query_qps"],
+        },
+        "build_scaling_efficiency": round(build_eff, 3),
+        "query_scaling_efficiency": round(query_eff, 3),
+        "sf": _sf(sf_dir),
+        "num_cpus": cpus_hi,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    pages_n = int(os.environ.get("GRAFT_BENCH_PAGES", "24000"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir, pages_n)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus, pages_n)))
+
+
+if __name__ == "__main__":
+    main()

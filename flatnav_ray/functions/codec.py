@@ -149,6 +149,105 @@ def encode_postings(
     )
 
 
+def _varint_byte_lens(vals: np.ndarray) -> np.ndarray:
+    lens = np.ones(vals.size, dtype=np.int64)
+    tmp = vals.copy()
+    tmp >>= _SEVEN
+    while np.any(tmp):
+        lens[tmp > 0] += 1
+        tmp >>= _SEVEN
+    return lens
+
+
+def encode_segment_table(
+    p_terms: np.ndarray,
+    p_docs: np.ndarray,
+    p_tfs: np.ndarray,
+    p_dls: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+):
+    """Vectorized whole-partition segment encode: postings sorted by
+    (term, doc_id) -> per-term segment-row arrays with NO per-term Python
+    loop. One varint pass over the concatenated delta stream; per-term blobs
+    are offset slices of the shared buffer (Arrow BinaryArray from offsets).
+
+    Returns a dict of pyarrow arrays matching stages.build.SEGMENT_SCHEMA
+    (minus 'term', returned separately as the unique term array).
+    """
+    import pyarrow as pa
+
+    n = p_docs.size
+    assert n > 0
+    # term boundaries (p_terms sorted)
+    tb = np.flatnonzero(np.concatenate(([True], p_terms[1:] != p_terms[:-1])))
+    te = np.append(tb[1:], n)
+    nterms = tb.size
+    term_of = np.repeat(np.arange(nterms, dtype=np.int64), te - tb)
+    pos_in_term = np.arange(n, dtype=np.int64) - tb[term_of]
+
+    # block structure: block start wherever pos_in_term % block_size == 0
+    is_block_start = (pos_in_term % block_size) == 0
+    block_id = np.cumsum(is_block_start) - 1           # global block index
+    nblocks = int(block_id[-1]) + 1
+    block_starts = np.flatnonzero(is_block_start)
+    block_ends = np.append(block_starts[1:], n)
+
+    # deltas: doc - prev doc within term; absolute at block starts
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (p_docs[1:] - p_docs[:-1]).astype(np.uint64)
+    deltas[block_starts] = p_docs[block_starts].astype(np.uint64)
+
+    doc_blob_all = encode_varint(deltas)
+    doc_lens_b = _varint_byte_lens(deltas)
+    doc_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(doc_lens_b, out=doc_off[1:])
+
+    tf_u = p_tfs.astype(np.uint64)
+    tf_blob_all = encode_varint(tf_u)
+    tf_lens_b = _varint_byte_lens(tf_u)
+    tf_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_lens_b, out=tf_off[1:])
+
+    # per-term binary slices as Arrow BinaryArray built from offset buffers
+    def _bin_from_offsets(blob: bytes, global_off: np.ndarray) -> pa.Array:
+        offs = global_off[np.append(tb, n)]
+        assert offs[-1] < 2**31, "partition blob exceeds 2GB — lower docs per partition"
+        off_buf = pa.py_buffer(offs.astype(np.int32).tobytes())
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), nterms, [None, off_buf, pa.py_buffer(blob)]
+        )
+
+    doc_blob_arr = _bin_from_offsets(doc_blob_all, doc_off)
+    tf_blob_arr = _bin_from_offsets(tf_blob_all, tf_off)
+
+    # per-block metadata (vectorized reduceat over global block starts)
+    bl_last = p_docs[block_ends - 1].astype(np.int64)
+    bl_maxtf = np.maximum.reduceat(p_tfs, block_starts).astype(np.int32)
+    bl_mindl = np.minimum.reduceat(p_dls, block_starts).astype(np.int32)
+    bl_doffs = (doc_off[block_starts] - doc_off[tb][term_of[block_starts]]).astype(np.int32)
+    bl_toffs = (tf_off[block_starts] - tf_off[tb][term_of[block_starts]]).astype(np.int32)
+
+    # per-term list offsets into the block arrays
+    term_of_block = term_of[block_starts]
+    list_off = np.zeros(nterms + 1, dtype=np.int32)
+    np.add.at(list_off, term_of_block + 1, 1)
+    np.cumsum(list_off, out=list_off)
+
+    def _list_arr(values: np.ndarray, typ) -> pa.Array:
+        return pa.ListArray.from_arrays(pa.array(list_off), pa.array(values, type=typ))
+
+    return {
+        "df": pa.array((te - tb).astype(np.int32), type=pa.int32()),
+        "doc_blob": doc_blob_arr,
+        "tf_blob": tf_blob_arr,
+        "block_last_doc": _list_arr(bl_last, pa.int64()),
+        "block_max_tf": _list_arr(bl_maxtf, pa.int32()),
+        "block_min_dl": _list_arr(bl_mindl, pa.int32()),
+        "block_doc_offs": _list_arr(bl_doffs, pa.int32()),
+        "block_tf_offs": _list_arr(bl_toffs, pa.int32()),
+    }, tb, te
+
+
 def decode_postings(
     doc_blob: bytes,
     tf_blob: bytes,

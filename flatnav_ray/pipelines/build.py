@@ -26,7 +26,7 @@ import ray.data
 from ..config import IndexConfig
 from ..functions.extract import extract_text_batch
 from ..functions.hashes import doc_ids_for_urls
-from ..stages.build import build_partition
+from ..stages.build import build_partitions_block
 from ..state.manifest import completed_partitions, manifest_dir, read_manifest
 from ..state.stats import save_stats, term_stats_dir
 
@@ -82,9 +82,16 @@ def build_index(
         zero_copy_batch=True,
         fn_kwargs={"num_partitions": cfg.num_partitions, "langs": cfg.langs},
     )
-    manifest_rows = prepared.groupby("partition").map_groups(
-        build_partition,
+    # key-based repartition needs the hash shuffle strategy (no global sort);
+    # the planner reads the context snapshot captured by the dataset, so set
+    # it there (scoped to this pipeline — other datasets are unaffected)
+    prepared.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    manifest_rows = prepared.repartition(
+        num_blocks=cfg.num_partitions, keys=["partition"], sort=False
+    ).map_batches(
+        build_partitions_block,
         batch_format="pyarrow",
+        batch_size=None,  # one batch per hash-partitioned block
         fn_kwargs={"index_dir": index_dir, "cfg": cfg, "resume": done},
     )
     # tiny (num_partitions rows): safe to materialize; this drives execution
@@ -142,14 +149,43 @@ def build_index(
     )
 
 
+DRIVER_SIDE_TERMSTATS_ROWS = 20_000_000
+
+
 def _build_term_stats(index_dir: str) -> None:
     """Global (term, df): column-pruned read of segment files (only term+df
     leave disk), partial dfs combine in a small groupby — the combiner-style
-    aggregation SURVEY.md §4 prescribes instead of shuffling postings."""
+    aggregation SURVEY.md §4 prescribes instead of shuffling postings.
+
+    Small/medium vocabularies aggregate driver-side in Arrow C++ (a Ray
+    groupby+sort costs seconds of fixed overhead); huge ones fall back to the
+    distributed path."""
+    import shutil
+
     seg_dir = os.path.join(index_dir, "segments")
     files = [
         os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir)) if f.endswith(".parquet")
     ]
+    out_dir = term_stats_dir(index_dir)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if total_rows <= DRIVER_SIDE_TERMSTATS_ROWS:
+        t = pads.dataset(files, format="parquet").to_table(columns=["term", "df"])
+        agg = t.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
+        agg = agg.sort_by("term")
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            agg.cast(pa.schema([("term", pa.string()), ("df", pa.int64())])),
+            os.path.join(out_dir, "term_stats.parquet"),
+            row_group_size=65536,
+        )
+        return
+
     ts = (
         ray.data.read_parquet(files, columns=["term", "df"])
         .groupby("term")
@@ -160,9 +196,4 @@ def _build_term_stats(index_dir: str) -> None:
         )
         .sort("term")
     )
-    out_dir = term_stats_dir(index_dir)
-    import shutil
-
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
     ts.write_parquet(out_dir)

@@ -4,11 +4,15 @@
       -> tokenize + global df lookup -> QueryPlan   [driver, tiny]
       -> ray.put(plan)                              [broadcast once, J3]
       -> Dataset over partitions -> map_batches(ShardSearcher actor pool)
-      -> groupby(query_id).map_groups(merge_topk)   [partial -> final top-k]
+      -> merge partials: driver-side vectorized when k×P×Q is small,
+         groupby(query_id).map_groups otherwise    [partial -> final top-k]
 
 The fan-out axis is PARTITIONS (the big side); queries ride along as one
 broadcast object — the reference's 'every query probes the whole index'
 (bindings.cpp:196-212 parallel query loop) turned inside out for sharding.
+
+For repeated query batches over one index use stages.search.SearchSession
+(persistent shard actors, load-once/serve-many).
 """
 
 from __future__ import annotations
@@ -18,9 +22,17 @@ import ray.data
 import pyarrow as pa
 
 from ..config import QueryConfig
-from ..stages.search import ShardSearcher, make_query_plan, merge_topk
+from ..stages.search import (
+    ShardSearcher,
+    make_query_plan,
+    merge_topk,
+    merge_topk_table,
+)
 from ..functions.tokenize import tokenize_py
 from ..state.stats import load_stats, lookup_term_df
+
+# above this many partial rows the final merge happens distributed
+DRIVER_MERGE_MAX_ROWS = 5_000_000
 
 
 def plan_for(index_dir: str, queries: pa.Table, k: int):
@@ -35,14 +47,11 @@ def plan_for(index_dir: str, queries: pa.Table, k: int):
     )
 
 
-def search(
-    index_dir: str,
-    queries: pa.Table,
-    query_cfg: QueryConfig | None = None,
-) -> ray.data.Dataset:
-    """Top-k search over the whole index. Returns a Dataset of
-    (query_id, rank, doc_id, url, score) — the analog of the reference's
-    (Q×K distances, Q×K labels) return (bindings.cpp:214-227)."""
+def search_partials(
+    index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None
+) -> tuple[ray.data.Dataset, dict]:
+    """Per-shard partial top-k as a Dataset (carries the per-query counters —
+    the reference's distance-computation stats, Index.h:83-84)."""
     query_cfg = query_cfg or QueryConfig()
     plan, stats = plan_for(index_dir, queries, query_cfg.k)
     plan_ref = ray.put(plan)
@@ -61,28 +70,57 @@ def search(
             "block_size": int(stats["block_size"]),
         },
     )
-    results = (
+    return partials, stats
+
+
+def search(
+    index_dir: str,
+    queries: pa.Table,
+    query_cfg: QueryConfig | None = None,
+) -> ray.data.Dataset:
+    """Top-k search as a streaming Dataset (distributed merge). Returns
+    (query_id, rank, doc_id, url, score) — the analog of the reference's
+    (Q×K distances, Q×K labels) return (bindings.cpp:214-227)."""
+    query_cfg = query_cfg or QueryConfig()
+    partials, _ = search_partials(index_dir, queries, query_cfg)
+    return (
         partials.drop_columns(["docs_scored", "blocks_decoded"])
         .groupby("query_id")
         .map_groups(merge_topk, batch_format="pyarrow", fn_kwargs={"k": query_cfg.k})
     )
-    return results
+
+
+_EMPTY_RESULT = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int32()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "url": pa.array([], type=pa.string()),
+        "score": pa.array([], type=pa.float64()),
+    }
+)
 
 
 def search_to_table(index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
-    """Convenience: materialized, deterministically ordered results."""
+    """Materialized, deterministically ordered results. Merges driver-side
+    when the partial set is small (k × partitions × queries rows)."""
+    query_cfg = query_cfg or QueryConfig()
+    stats = load_stats(index_dir)
+    est_rows = query_cfg.k * len(stats["partitions"]) * len(queries)
+    if est_rows <= DRIVER_MERGE_MAX_ROWS:
+        partials, _ = search_partials(index_dir, queries, query_cfg)
+        batches = list(
+            partials.drop_columns(["docs_scored", "blocks_decoded"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        if not batches:
+            return _EMPTY_RESULT
+        return merge_topk_table(pa.concat_tables(batches), query_cfg.k)
     ds = search(index_dir, queries, query_cfg)
     batches = list(ds.iter_batches(batch_format="pyarrow"))
-    if not batches:  # e.g. every query term absent from the corpus
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "rank": pa.array([], type=pa.int32()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "url": pa.array([], type=pa.string()),
-                "score": pa.array([], type=pa.float64()),
-            }
-        )
+    if not batches:
+        return _EMPTY_RESULT
     t = pa.concat_tables(batches)
     import pyarrow.compute as pc
 

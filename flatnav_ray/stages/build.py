@@ -26,8 +26,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import IndexConfig
-from ..functions.codec import encode_postings
-from ..functions.tokenize import doc_token_counts, term_frequencies
+from ..functions.codec import encode_segment_table
+from ..functions.tokenize import term_frequencies
 from ..state.manifest import PartitionManifest, write_manifest
 
 SEGMENT_SCHEMA = pa.schema(
@@ -98,10 +98,30 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> int:
     return os.path.getsize(path)
 
 
+def build_partitions_block(
+    block: pa.Table, index_dir: str, cfg: IndexConfig, resume: set[int] | None = None
+) -> pa.Table:
+    """map_batches fn over a hash-repartitioned block (repartition(keys=
+    ["partition"], sort=False) co-locates each partition's rows in one block
+    WITHOUT a global sort — cheaper than the sort-based groupby and exactly
+    the ownership transfer the build needs). A block may carry several
+    partitions; loop them."""
+    if len(block) == 0:
+        return MANIFEST_ROW_SCHEMA.empty_table()
+    import pyarrow.compute as pc
+
+    parts = pc.unique(block.column("partition")).to_pylist()
+    outs = []
+    for p in sorted(parts):
+        grp = block.filter(pc.equal(block.column("partition"), p))
+        outs.append(build_partition(grp, index_dir, cfg, resume))
+    return pa.concat_tables(outs)
+
+
 def build_partition(
     group: pa.Table, index_dir: str, cfg: IndexConfig, resume: set[int] | None = None
 ) -> pa.Table:
-    """map_groups fn: all pages of one partition -> segment files + manifest row."""
+    """All pages of one partition -> segment files + manifest row."""
     if len(group) == 0:
         return pa.table([[-1], [0], [0], [0], [0], [False]], schema=MANIFEST_ROW_SCHEMA)
     partition = int(group.column("partition")[0].as_py())
@@ -118,7 +138,6 @@ def build_partition(
     deduped = deduped.take(pc.sort_indices(deduped, sort_keys=[("doc_id", "ascending")]))
     doc_ids = deduped.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = deduped.column("text")
-    doc_lens = doc_token_counts(texts)
 
     postings = term_frequencies(doc_ids, texts)
     # group postings by term: Arrow sort then boundary scan
@@ -128,51 +147,38 @@ def build_partition(
     p_terms = postings.column("term").to_numpy(zero_copy_only=False)
     p_docs = postings.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     p_tfs = postings.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-    # doc_len per posting via searchsorted against the sorted docmap
+    # doc_len = sum of tfs per doc (no second tokenize pass); doc_len per
+    # posting via searchsorted against the sorted docmap
     pos = np.searchsorted(doc_ids, p_docs)
+    doc_lens = np.zeros(doc_ids.size, dtype=np.int64)
+    np.add.at(doc_lens, pos, p_tfs)
     p_dls = doc_lens[pos]
 
-    if len(p_terms):
-        bounds = np.flatnonzero(
-            np.concatenate(([True], p_terms[1:] != p_terms[:-1]))
-        )
-        ends = np.append(bounds[1:], len(p_terms))
-    else:
-        bounds = np.empty(0, dtype=np.int64)
-        ends = bounds
-
-    terms_out, dfs, doc_blobs, tf_blobs = [], [], [], []
-    bl_last, bl_maxtf, bl_mindl, bl_doffs, bl_toffs = [], [], [], [], []
     hasher = hashlib.blake2b(digest_size=16)
-    for s, e in zip(bounds, ends):
-        ep = encode_postings(
-            p_docs[s:e], p_tfs[s:e], p_dls[s:e], block_size=cfg.block_size
+    if len(p_terms):
+        cols, tb, _te = encode_segment_table(
+            p_terms, p_docs, p_tfs, p_dls, block_size=cfg.block_size
         )
-        terms_out.append(p_terms[s])
-        dfs.append(ep.df)
-        doc_blobs.append(ep.doc_blob)
-        tf_blobs.append(ep.tf_blob)
-        bl_last.append(ep.block_last_doc.tolist())
-        bl_maxtf.append(ep.block_max_tf.tolist())
-        bl_mindl.append(ep.block_min_dl.tolist())
-        bl_doffs.append(ep.block_doc_offs.tolist())
-        bl_toffs.append(ep.block_tf_offs.tolist())
-        hasher.update(ep.doc_blob)
-
-    segment = pa.table(
-        [
-            pa.array(terms_out, type=pa.string()),
-            pa.array(dfs, type=pa.int32()),
-            pa.array(doc_blobs, type=pa.binary()),
-            pa.array(tf_blobs, type=pa.binary()),
-            pa.array(bl_last, type=pa.list_(pa.int64())),
-            pa.array(bl_maxtf, type=pa.list_(pa.int32())),
-            pa.array(bl_mindl, type=pa.list_(pa.int32())),
-            pa.array(bl_doffs, type=pa.list_(pa.int32())),
-            pa.array(bl_toffs, type=pa.list_(pa.int32())),
-        ],
-        schema=SEGMENT_SCHEMA,
-    )
+        terms_arr = pa.array(p_terms[tb], type=pa.string())
+        hasher.update(cols["doc_blob"].buffers()[2])  # shared values buffer
+        segment = pa.table(
+            [
+                terms_arr,
+                cols["df"],
+                cols["doc_blob"],
+                cols["tf_blob"],
+                cols["block_last_doc"],
+                cols["block_max_tf"],
+                cols["block_min_dl"],
+                cols["block_doc_offs"],
+                cols["block_tf_offs"],
+            ],
+            schema=SEGMENT_SCHEMA,
+        )
+        n_terms_out = len(terms_arr)
+    else:
+        segment = SEGMENT_SCHEMA.empty_table()
+        n_terms_out = 0
     docmap = pa.table(
         [
             pa.array(doc_ids, type=pa.int64()),
@@ -192,7 +198,7 @@ def build_partition(
             partition=partition,
             n_docs=len(doc_ids),
             sum_doc_len=int(doc_lens.sum()),
-            n_terms=len(terms_out),
+            n_terms=n_terms_out,
             bytes=nbytes,
             checksum=hasher.hexdigest(),
             segment_path=seg_p,
@@ -205,7 +211,7 @@ def build_partition(
             [partition],
             [len(doc_ids)],
             [int(doc_lens.sum())],
-            [len(terms_out)],
+            [n_terms_out],
             [nbytes],
             [False],
         ],

@@ -1,23 +1,29 @@
-"""Query serving — shard searcher actor pool + top-k merge.
+"""Query serving — shard searcher state, actor pool, and top-k merge.
 
 Graft of the reference's search path
 (/root/reference/python-bindings/src/flatnav/bindings.cpp:161-228 `searchImpl`,
 /root/reference/include/flatnav/index/Index.h:387-409 `search`, 606-659
 `beamSearch`): a loaded, read-mostly index served by a pool of workers.
 
-* `ShardSearcher` is a callable CLASS used with
-  `map_batches(cls, concurrency=N)` — segments load once per (actor,
-  partition) in a cache (`Index.h:442-479` loadIndex -> warm actors, S7) and
-  are reused across query batches.
-* Exact scoring (`method="taat"`) is the brute-force term-at-a-time baseline.
-* `method="maxscore"` adds block-max pruning: terms are split into
-  essential / non-essential by score upper bound against the running top-k
-  threshold, and non-essential posting blocks that cannot contain a candidate
-  are never decoded — the grafted form of flatnav's pruning + visited-set
-  machinery (`Index.h:714-763` selectNeighbors, VisitedSetPool.h). Both
-  methods return identical (rank-identity) results; tests assert it.
-* Per-query instrumentation (docs_scored, blocks_decoded) grafts the
-  reference's distance-computation counters (`Index.h:83-84,689-691`).
+Two serving modes share one scoring core (`_ShardState`):
+
+* Dataset mode: `map_batches(ShardSearcher, concurrency=N)` over a Dataset of
+  partition ids — one-shot pipelines, fits Ray Data streaming execution.
+* Server mode: `SearchSession` — persistent `@ray.remote` shard actors that
+  load segments once and serve many query batches (the reference's
+  load-once/serve-many lifecycle, Index.h:442-479 loadIndex; bench + any
+  interactive use). Queries broadcast via ray.put; partials merge driver-side
+  when small, via groupby(query_id) when not.
+
+Scoring: per-term BM25 contributions are query-independent (idf, tf, doc_len
+are all fixed at index time), so each decoded term is scored ONCE and cached;
+a query batch then costs one fused multiply-add per (query, term) —
+the vectorized-kernel analog of the reference's SIMD distance dispatch.
+`method="maxscore"` adds block-max pruning for long posting lists; both
+methods are exact and return identical results (tests assert it).
+
+Per-query instrumentation (docs_scored, blocks_decoded) grafts the reference's
+distance-computation counters (`Index.h:83-84,689-691`).
 """
 
 from __future__ import annotations
@@ -42,7 +48,7 @@ class QueryPlan:
     the small side never reshuffles (SURVEY.md §2.4 J3 broadcast pattern)."""
 
     query_ids: np.ndarray          # (Q,) int64
-    query_terms: list[list[tuple[str, int]]]  # per query: [(term, qtf)]
+    query_terms: list[list[tuple[str, int]]]  # per query: [(term, qtf)] sorted
     term_idf: dict[str, float]     # global idf per distinct query term
     term_df: dict[str, int]
     n_docs: int
@@ -61,111 +67,135 @@ def make_query_plan(
     qterms: list[list[tuple[str, int]]] = []
     distinct: set[str] = set()
     for t in texts:
-        toks = tokenize_py(t)
         counts: dict[str, int] = {}
-        for tok in toks:
+        for tok in tokenize_py(t):
             counts[tok] = counts.get(tok, 0) + 1
-        terms = sorted(counts.items())
-        qterms.append(terms)
+        qterms.append(sorted(counts.items()))
         distinct.update(counts)
     tdf = {t: int(term_df.get(t, 0)) for t in distinct}
     tidf = {t: float(idf_fn(df, n_docs)) if df > 0 else 0.0 for t, df in tdf.items()}
     return QueryPlan(
-        query_ids=qids,
-        query_terms=qterms,
-        term_idf=tidf,
-        term_df=tdf,
-        n_docs=n_docs,
-        avgdl=avgdl,
-        k=k,
+        query_ids=qids, query_terms=qterms, term_idf=tidf, term_df=tdf,
+        n_docs=n_docs, avgdl=avgdl, k=k,
     )
 
 
-class _Segment:
-    """Decoded-on-demand view of one partition's posting lists."""
+class _ShardState:
+    """One partition's loaded segment + docmap + per-term score cache."""
 
-    __slots__ = ("term_row", "table", "docmap_ids", "docmap_lens", "docmap_urls")
-
-    def __init__(self, index_dir: str, partition: int, terms_filter: list[str] | None = None):
-        seg_file = segment_path(index_dir, partition)
-        filters = None
-        if terms_filter is not None:
-            filters = [("term", "in", terms_filter)]
-        self.table = pq.read_table(seg_file, filters=filters)
-        self.term_row = {
-            t: i for i, t in enumerate(self.table.column("term").to_pylist())
-        }
+    def __init__(self, index_dir: str, partition: int, block_size: int,
+                 terms_filter: list[str] | None = None):
+        self.block_size = block_size
+        filters = [("term", "in", terms_filter)] if terms_filter is not None else None
+        self.table = pq.read_table(segment_path(index_dir, partition), filters=filters)
+        self.term_row = {t: i for i, t in enumerate(self.table.column("term").to_pylist())}
         dm = pq.read_table(docmap_path(index_dir, partition))
         self.docmap_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_lens = dm.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_urls = dm.column("url")
+        # caches (query-independent once (scorer, stats) fixed)
+        self._contrib: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        self._stats_key: tuple | None = None
+        # reusable scratch (the VisitedSetPool analog, SURVEY.md T3)
+        self._scores = np.zeros(self.docmap_ids.size, dtype=np.float64)
+        self._touched = np.zeros(self.docmap_ids.size, dtype=bool)
 
-    def postings(self, term: str):
+    def _postings_row(self, term: str):
         i = self.term_row.get(term)
         if i is None:
             return None
-        row = self.table.slice(i, 1)
+        t = self.table
         return {
-            "df": int(row.column("df")[0].as_py()),
-            "doc_blob": row.column("doc_blob")[0].as_py(),
-            "tf_blob": row.column("tf_blob")[0].as_py(),
-            "block_last_doc": np.asarray(row.column("block_last_doc")[0].as_py(), dtype=np.int64),
-            "block_max_tf": np.asarray(row.column("block_max_tf")[0].as_py(), dtype=np.int64),
-            "block_min_dl": np.asarray(row.column("block_min_dl")[0].as_py(), dtype=np.int64),
-            "block_doc_offs": np.asarray(row.column("block_doc_offs")[0].as_py(), dtype=np.int32),
-            "block_tf_offs": np.asarray(row.column("block_tf_offs")[0].as_py(), dtype=np.int32),
+            "df": t.column("df")[i].as_py(),
+            "doc_blob": t.column("doc_blob")[i].as_py(),
+            "tf_blob": t.column("tf_blob")[i].as_py(),
+            "block_last_doc": np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
+            "block_max_tf": np.asarray(t.column("block_max_tf")[i].as_py(), dtype=np.int64),
+            "block_min_dl": np.asarray(t.column("block_min_dl")[i].as_py(), dtype=np.int64),
+            "block_doc_offs": np.asarray(t.column("block_doc_offs")[i].as_py(), dtype=np.int32),
+            "block_tf_offs": np.asarray(t.column("block_tf_offs")[i].as_py(), dtype=np.int32),
         }
 
+    def term_contrib(self, term: str, plan: QueryPlan, scorer):
+        """(local_positions, per-posting score contribution, n_blocks) for one
+        term — decoded and scored once, reused by every query in every batch."""
+        key = (plan.n_docs, plan.avgdl, scorer.name)
+        if key != self._stats_key:
+            self._contrib.clear()
+            self._stats_key = key
+        hit = self._contrib.get(term)
+        if hit is not None:
+            return hit
+        p = self._postings_row(term)
+        if p is None:
+            self._contrib[term] = None
+            return None
+        doc_ids, tfs = decode_postings(
+            p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
+        )
+        pos = np.searchsorted(self.docmap_ids, doc_ids)
+        dls = self.docmap_lens[pos]
+        contrib = scorer.term_scores(tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl)
+        out = (pos, contrib, len(p["block_last_doc"]))
+        if len(self._contrib) > 100_000:  # bounded actor memory (arena-sizing analog)
+            self._contrib.clear()
+        self._contrib[term] = out
+        return out
 
-class ShardSearcher:
-    """Actor-pool stage: batches of {partition} rows -> partial top-k rows.
+    def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore") -> pa.Table:
+        """Score every query in the plan against this shard; return partial
+        top-k rows. Accumulation order per query: lexicographic terms (pinned
+        float order).
 
-    Constructor args arrive via fn_constructor_kwargs; the query plan is an
-    object-store ref (`ray.put` once, zero-copy read in every actor)."""
-
-    def __init__(self, index_dir: str, plan_ref, query_cfg: QueryConfig, block_size: int):
-        import ray
-
-        self.index_dir = index_dir
-        self.plan: QueryPlan = ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
-        self.cfg = query_cfg
-        self.block_size = block_size
-        self.scorer = SCORERS[query_cfg.scorer]
-        self._seg_cache: dict[int, _Segment] = {}
-        # every distinct term any query needs — segment reads filter to these
-        self._needed_terms = sorted(self.plan.term_idf.keys())
-
-    def _segment(self, partition: int) -> _Segment:
-        seg = self._seg_cache.get(partition)
-        if seg is None:
-            seg = _Segment(self.index_dir, partition, self._needed_terms)
-            if len(self._seg_cache) >= 64:  # bounded actor memory (arena-sizing analog)
-                self._seg_cache.pop(next(iter(self._seg_cache)))
-            self._seg_cache[partition] = seg
-        return seg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        method="taat"/"maxscore": cached term-at-a-time (contributions decoded
+        + scored once per term, reused across the whole batch) — optimal for
+        batched serving. method="wand": block-max pruned evaluation that
+        decodes only blocks that can affect the top-k (no cache) — the scale
+        path for long posting lists / ad-hoc queries. All exact."""
         out_qid, out_doc, out_url, out_score = [], [], [], []
         out_scored, out_blocks = [], []
-        for part in batch.column("partition").to_pylist():
-            part = int(part)
-            if not os.path.exists(segment_path(self.index_dir, part)):
-                continue
-            seg = self._segment(part)
-            for qi in range(len(self.plan.query_ids)):
-                qid = int(self.plan.query_ids[qi])
-                if self.cfg.method == "maxscore":
-                    docs, scores, n_scored, n_blocks = self._score_maxscore(seg, qi)
+        scores = self._scores
+        for qi in range(len(plan.query_ids)):
+            qid = int(plan.query_ids[qi])
+            if method == "wand":
+                docs, ssc, n_cand, n_blocks = self.search_one_pruned(plan, qi, scorer)
+            else:
+                entries = []
+                n_blocks = 0
+                for term, qtf in plan.query_terms[qi]:
+                    if plan.term_idf.get(term, 0.0) <= 0.0:
+                        continue
+                    hit = self.term_contrib(term, plan, scorer)
+                    if hit is None:
+                        continue
+                    entries.append((qtf, hit[0], hit[1]))
+                    n_blocks += hit[2]
+                if not entries:
+                    continue
+                if len(entries) == 1:
+                    qtf, pos, contrib = entries[0]
+                    sc = contrib if qtf == 1 else qtf * contrib
+                    docs, ssc = topk_select(sc, self.docmap_ids[pos], plan.k)
+                    n_cand = pos.size
                 else:
-                    docs, scores, n_scored, n_blocks = self._score_taat(seg, qi)
-                for d, s in zip(docs, scores):
-                    pos = np.searchsorted(seg.docmap_ids, d)
-                    out_qid.append(qid)
-                    out_doc.append(int(d))
-                    out_url.append(seg.docmap_urls[pos].as_py())
-                    out_score.append(float(s))
-                    out_scored.append(n_scored)
-                    out_blocks.append(n_blocks)
+                    touched_parts = [e[1] for e in entries]
+                    cand = np.unique(np.concatenate(touched_parts))
+                    scores[cand] = 0.0
+                    for qtf, pos, contrib in entries:
+                        if qtf == 1:
+                            scores[pos] += contrib
+                        else:
+                            scores[pos] += qtf * contrib
+                    docs, ssc = topk_select(scores[cand], self.docmap_ids[cand], plan.k)
+                    n_cand = cand.size
+            for d, s in zip(docs, ssc):
+                p = np.searchsorted(self.docmap_ids, d)
+                out_qid.append(qid)
+                out_doc.append(int(d))
+                out_url.append(self.docmap_urls[p].as_py())
+                out_score.append(float(s))
+                out_scored.append(n_cand)
+                out_blocks.append(n_blocks)
         return pa.table(
             {
                 "query_id": pa.array(out_qid, type=pa.int64()),
@@ -177,91 +207,50 @@ class ShardSearcher:
             }
         )
 
-    # ---- scoring methods (both exact; tests assert identical output) ----
 
-    def _term_postings(self, seg: _Segment, terms):
-        out = []
-        for term, qtf in terms:
-            w = self.plan.term_idf.get(term, 0.0)
-            if w <= 0.0:
+    # ---- block-max pruned path (method="wand") ----
+
+    def search_one_pruned(self, plan: QueryPlan, qi: int, scorer):
+        """Exact top-k with MaxScore term partitioning + block-max skipping
+        (the grafted form of flatnav's candidate pruning, Index.h:714-763,
+        via the codec's independently-decodable blocks).
+
+        1. Order terms by score upper bound (desc); fully score them in that
+           order, maintaining the running k-th-best threshold (partial scores
+           are valid lower bounds).
+        2. Once the remaining terms' summed bounds fall below the threshold,
+           stop expanding candidates: docs appearing ONLY in those terms are
+           provably below threshold.
+        3. For non-essential terms decode ONLY blocks containing a candidate.
+        4. Re-accumulate winners in lexicographic term order so the float sum
+           is bit-identical to TAAT (rank-identity contract)."""
+        tps = []
+        for term, qtf in plan.query_terms[qi]:
+            if plan.term_idf.get(term, 0.0) <= 0.0:
                 continue
-            p = seg.postings(term)
+            p = self._postings_row(term)
             if p is None:
                 continue
-            out.append((term, qtf, p))
-        return out
-
-    def _score_taat(self, seg: _Segment, qi: int):
-        """Exact term-at-a-time: decode every posting of every query term,
-        accumulate per doc in fixed (lexicographic term) order."""
-        plan = self.plan
-        tps = self._term_postings(seg, plan.query_terms[qi])
-        if not tps:
-            e = np.empty(0)
-            return e.astype(np.int64), e, 0, 0
-        acc: dict[int, float] = {}
-        n_blocks = 0
-        all_docs = {}
-        # accumulate via local dense index over this partition's docmap
-        scores = np.zeros(seg.docmap_ids.size, dtype=np.float64)
-        touched = np.zeros(seg.docmap_ids.size, dtype=bool)
-        for term, qtf, p in tps:
-            doc_ids, tfs = decode_postings(
-                p["doc_blob"], p["tf_blob"], p["block_last_doc"],
-                block_size=self.block_size,
-            )
-            n_blocks += len(p["block_last_doc"])
-            pos = np.searchsorted(seg.docmap_ids, doc_ids)
-            dls = seg.docmap_lens[pos]
-            df = self.plan.term_df[term]
-            contrib = qtf * self.scorer.term_scores(tfs, dls, df, plan.n_docs, plan.avgdl)
-            scores[pos] += contrib
-            touched[pos] = True
-        cand = np.flatnonzero(touched)
-        docs, sc = topk_select(scores[cand], seg.docmap_ids[cand], plan.k)
-        return docs, sc, int(cand.size), n_blocks
-
-    def _score_maxscore(self, seg: _Segment, qi: int):
-        """Exact top-k with MaxScore term partitioning + block-max skipping.
-
-        1. Order terms by score upper bound (desc). Bootstrap a threshold by
-           fully scoring the highest-bound term.
-        2. Essential prefix = smallest prefix whose suffix-bound-sum clears the
-           threshold; candidates = union of essential terms' postings (docs
-           appearing only in non-essential terms are provably below threshold).
-        3. For non-essential terms decode ONLY blocks containing a candidate
-           (block_last_doc intersect) — block-max skipping.
-        """
-        plan = self.plan
-        tps = self._term_postings(seg, plan.query_terms[qi])
-        if not tps:
-            e = np.empty(0)
-            return e.astype(np.int64), e, 0, 0
-        n_blocks = 0
-        bounds = []
-        for term, qtf, p in tps:
-            df = plan.term_df[term]
             ub = qtf * float(
-                self.scorer.block_bound(
-                    p["block_max_tf"], p["block_min_dl"], df, plan.n_docs, plan.avgdl
+                scorer.block_bound(
+                    p["block_max_tf"], p["block_min_dl"], plan.term_df[term],
+                    plan.n_docs, plan.avgdl,
                 ).max()
             )
-            bounds.append(ub)
-        order = sorted(range(len(tps)), key=lambda i: (-bounds[i], tps[i][0]))
-        tps = [tps[i] for i in order]
-        bounds = [bounds[i] for i in order]
-        suffix = np.cumsum(np.array(bounds, dtype=np.float64)[::-1])[::-1]
+            tps.append((term, qtf, p, ub))
+        if not tps:
+            e = np.empty(0)
+            return e.astype(np.int64), e, 0, 0
+        tps.sort(key=lambda x: (-x[3], x[0]))
+        suffix = np.cumsum(np.array([x[3] for x in tps], dtype=np.float64)[::-1])[::-1]
 
         k = plan.k
-        # decode + score term by term, tracking which are fully decoded
-        decoded: list[tuple[np.ndarray, np.ndarray]] = []
-        # bootstrap: first term fully decoded
-        scores = np.zeros(seg.docmap_ids.size, dtype=np.float64)
-        touched = np.zeros(seg.docmap_ids.size, dtype=bool)
+        n_blocks = 0
+        scores = np.zeros(self.docmap_ids.size, dtype=np.float64)
+        touched = np.zeros(self.docmap_ids.size, dtype=bool)
         threshold = -np.inf
         essential_end = len(tps)
-        for i, (term, qtf, p) in enumerate(tps):
-            # can we stop treating remaining terms as essential?
+        for i, (term, qtf, p, _ub) in enumerate(tps):
             if i > 0 and threshold > -np.inf and suffix[i] <= threshold:
                 essential_end = i
                 break
@@ -269,23 +258,20 @@ class ShardSearcher:
                 p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
             )
             n_blocks += len(p["block_last_doc"])
-            pos = np.searchsorted(seg.docmap_ids, doc_ids)
-            dls = seg.docmap_lens[pos]
-            df = plan.term_df[term]
-            scores[pos] += qtf * self.scorer.term_scores(tfs, dls, df, plan.n_docs, plan.avgdl)
+            pos = np.searchsorted(self.docmap_ids, doc_ids)
+            dls = self.docmap_lens[pos]
+            scores[pos] += qtf * scorer.term_scores(
+                tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl
+            )
             touched[pos] = True
-            decoded.append((pos, tfs))
-            # partial scores are lower bounds on final scores -> valid threshold
-            part_scores = scores[touched]
-            if part_scores.size >= k:
-                threshold = np.partition(part_scores, part_scores.size - k)[part_scores.size - k]
+            part = scores[touched]
+            if part.size >= k:
+                threshold = np.partition(part, part.size - k)[part.size - k]
 
         cand = np.flatnonzero(touched)
-        # non-essential terms: score only candidate docs, skipping blocks
-        for term, qtf, p in tps[essential_end:]:
-            cand_ids = seg.docmap_ids[cand]
+        cand_ids = self.docmap_ids[cand]
+        for term, qtf, p, _ub in tps[essential_end:]:
             last = p["block_last_doc"]
-            # block b covers (block_last_doc[b-1], block_last_doc[b]]
             bidx = np.searchsorted(last, cand_ids)
             bidx = bidx[bidx < last.size]
             mask = np.zeros(last.size, dtype=bool)
@@ -298,31 +284,32 @@ class ShardSearcher:
             n_blocks += int(mask.sum())
             if doc_ids.size == 0:
                 continue
-            # keep only postings for candidate docs
-            pos_in_cand = np.searchsorted(cand_ids, doc_ids)
-            valid = (pos_in_cand < cand_ids.size)
-            valid[valid] = cand_ids[pos_in_cand[valid]] == doc_ids[valid]
+            pin = np.searchsorted(cand_ids, doc_ids)
+            valid = pin < cand_ids.size
+            valid[valid] = cand_ids[pin[valid]] == doc_ids[valid]
             doc_ids, tfs = doc_ids[valid], tfs[valid]
-            pos = np.searchsorted(seg.docmap_ids, doc_ids)
-            dls = seg.docmap_lens[pos]
-            df = plan.term_df[term]
-            scores[pos] += qtf * self.scorer.term_scores(tfs, dls, df, plan.n_docs, plan.avgdl)
+            pos = np.searchsorted(self.docmap_ids, doc_ids)
+            dls = self.docmap_lens[pos]
+            scores[pos] += qtf * scorer.term_scores(
+                tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl
+            )
 
-        docs, sc = topk_select(scores[cand], seg.docmap_ids[cand], k)
-        # recompute exact scores for winners in fixed term order to pin float
-        # accumulation identically to TAAT (rank-identity contract)
+        docs, ssc = topk_select(scores[cand], cand_ids, k)
         if docs.size:
-            sc = self._rescore_exact(seg, qi, docs)
-            docs2, sc = topk_select(sc, docs, k)
-            docs = docs2
-        return docs, sc, int(cand.size), n_blocks
+            ssc = self._rescore_exact(plan, qi, docs, scorer)
+            docs, ssc = topk_select(ssc, docs, k)
+        return docs, ssc, int(cand.size), n_blocks
 
-    def _rescore_exact(self, seg: _Segment, qi: int, docs: np.ndarray) -> np.ndarray:
-        """Re-accumulate scores for a small doc set in lexicographic term order
-        (identical float op order as TAAT)."""
-        plan = self.plan
+    def _rescore_exact(self, plan: QueryPlan, qi: int, docs: np.ndarray, scorer) -> np.ndarray:
+        """Re-accumulate scores for a small doc set in lexicographic term
+        order (identical float op order as the cached TAAT path)."""
         out = np.zeros(docs.size, dtype=np.float64)
-        for term, qtf, p in self._term_postings(seg, plan.query_terms[qi]):
+        for term, qtf in plan.query_terms[qi]:
+            if plan.term_idf.get(term, 0.0) <= 0.0:
+                continue
+            p = self._postings_row(term)
+            if p is None:
+                continue
             last = p["block_last_doc"]
             bidx = np.searchsorted(last, docs)
             bidx = bidx[bidx < last.size]
@@ -335,16 +322,62 @@ class ShardSearcher:
             )
             if doc_ids.size == 0:
                 continue
-            pos_in = np.searchsorted(doc_ids, docs)
-            valid = pos_in < doc_ids.size
-            valid[valid] = doc_ids[pos_in[valid]] == docs[valid]
-            pos = np.searchsorted(seg.docmap_ids, docs[valid])
-            dls = seg.docmap_lens[pos]
-            df = plan.term_df[term]
-            out[valid] += qtf * self.scorer.term_scores(
-                tfs[pos_in[valid]], dls, df, plan.n_docs, plan.avgdl
+            pin = np.searchsorted(doc_ids, docs)
+            valid = pin < doc_ids.size
+            valid[valid] = doc_ids[pin[valid]] == docs[valid]
+            pos = np.searchsorted(self.docmap_ids, docs[valid])
+            dls = self.docmap_lens[pos]
+            out[valid] += qtf * scorer.term_scores(
+                tfs[pin[valid]], dls, plan.term_df[term], plan.n_docs, plan.avgdl
             )
         return out
+
+
+class ShardSearcher:
+    """Dataset-mode actor stage: batches of {partition} rows -> partial top-k.
+
+    Constructor args arrive via fn_constructor_kwargs; the query plan is an
+    object-store ref (`ray.put` once, zero-copy read in every actor)."""
+
+    def __init__(self, index_dir: str, plan_ref, query_cfg: QueryConfig, block_size: int):
+        import ray
+
+        self.index_dir = index_dir
+        self.plan: QueryPlan = ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
+        self.cfg = query_cfg
+        self.block_size = block_size
+        self.scorer = SCORERS[query_cfg.scorer]
+        self._states: dict[int, _ShardState] = {}
+        self._needed_terms = sorted(self.plan.term_idf.keys())
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            outs.append(self._state(part).search_batch(self.plan, self.scorer, self.cfg.method))
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "url": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                    "docs_scored": pa.array([], type=pa.int64()),
+                    "blocks_decoded": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
 
 
 def merge_topk(group: pa.Table, k: int) -> pa.Table:
@@ -367,3 +400,134 @@ def merge_topk(group: pa.Table, k: int) -> pa.Table:
             "score": top.column("score"),
         }
     )
+
+
+def merge_topk_table(partials: pa.Table, k: int) -> pa.Table:
+    """Vectorized driver-side merge of ALL queries' partials at once:
+    lexsort (query_id, -score, doc_id) then per-group head-k. Used when the
+    partial set is small (k × partitions × queries); the distributed
+    groupby(query_id) path handles the rest."""
+    if len(partials) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    qid = partials.column("query_id").to_numpy(zero_copy_only=False)
+    score = partials.column("score").to_numpy(zero_copy_only=False)
+    doc = partials.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, -score, qid))
+    qs = qid[order]
+    new_q = np.concatenate(([True], qs[1:] != qs[:-1]))
+    grp_start = np.maximum.accumulate(np.where(new_q, np.arange(qs.size), 0))
+    rank = np.arange(qs.size) - grp_start
+    keep = rank < k
+    sel = order[keep]
+    return pa.table(
+        {
+            "query_id": pa.array(qid[sel], type=pa.int64()),
+            "rank": pa.array(rank[keep].astype(np.int32), type=pa.int32()),
+            "doc_id": pa.array(doc[sel], type=pa.int64()),
+            "url": partials.column("url").take(pa.array(sel)),
+            "score": pa.array(score[sel], type=pa.float64()),
+        }
+    )
+
+
+def _shard_actor_cls():
+    import ray
+
+    @ray.remote
+    class ShardActor:
+        """Server-mode shard: loads its partitions' FULL segments once,
+        serves many query batches (the persistent query server, SURVEY.md T2)."""
+
+        def __init__(self, index_dir: str, partitions: list[int], block_size: int):
+            self.states = {
+                p: _ShardState(index_dir, p, block_size)
+                for p in partitions
+                if os.path.exists(segment_path(index_dir, p))
+            }
+
+        def search(self, plan: QueryPlan, scorer_name: str, method: str) -> pa.Table:
+            scorer = SCORERS[scorer_name]
+            outs = [
+                st.search_batch(plan, scorer, method) for st in self.states.values()
+            ]
+            return pa.concat_tables(outs) if outs else None
+
+    return ShardActor
+
+
+class SearchSession:
+    """Persistent shard-actor pool over one index — create once, search many.
+
+    The graft of the reference's loadIndex -> repeated search lifecycle
+    (Index.h:442-479, bindings.cpp:161-228). Partitions are assigned
+    round-robin to `num_actors` actors; each query batch is broadcast and
+    partials are merged driver-side (k×P×Q rows is small by construction)."""
+
+    def __init__(self, index_dir: str, num_actors: int | None = None):
+        import ray
+
+        from ..state.stats import load_stats
+
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        parts = [int(p) for p in self.stats["partitions"]]
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n = max(1, min(num_actors or ncpu, len(parts)))
+        cls = _shard_actor_cls()
+        assign: list[list[int]] = [[] for _ in range(n)]
+        for i, p in enumerate(parts):
+            assign[i % n].append(p)
+        self.actors = [
+            cls.remote(index_dir, a, int(self.stats["block_size"])) for a in assign
+        ]
+
+    def search(self, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
+        import ray
+
+        from ..state.stats import lookup_term_df
+
+        query_cfg = query_cfg or QueryConfig()
+        distinct: set[str] = set()
+        for t in queries.column("text").to_pylist():
+            distinct.update(tokenize_py(t))
+        term_df = lookup_term_df(self.index_dir, sorted(distinct))
+        plan = make_query_plan(
+            queries, term_df, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
+            query_cfg.k,
+        )
+        plan_ref = ray.put(plan)
+        futs = [a.search.remote(plan_ref, query_cfg.scorer, query_cfg.method) for a in self.actors]
+        parts = [t for t in ray.get(futs) if t is not None and len(t)]
+        if not parts:
+            return merge_topk_table(
+                pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "doc_id": pa.array([], type=pa.int64()),
+                        "url": pa.array([], type=pa.string()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                ),
+                query_cfg.k,
+            )
+        merged = merge_topk_table(pa.concat_tables(parts), query_cfg.k)
+        import pyarrow.compute as pc
+
+        return merged.take(
+            pc.sort_indices(merged, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+        )
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -61,6 +61,30 @@ class TestRankIdentity:
             a.column("score").to_numpy(), b.column("score").to_numpy()
         )
 
+    def test_wand_pruned_equals_taat(self, built_index):
+        """Block-max pruned evaluation is exact: identical docs AND scores."""
+        ix, _, _, queries = built_index
+        a = search_to_table(ix, queries, QueryConfig(k=10, method="taat"))
+        b = search_to_table(ix, queries, QueryConfig(k=10, method="wand"))
+        assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+        np.testing.assert_array_equal(
+            a.column("score").to_numpy(), b.column("score").to_numpy()
+        )
+
+    def test_search_session_equals_dataset_path(self, built_index):
+        """Server mode (persistent shard actors) returns identical results to
+        the Dataset pipeline — the serialization/load-once round-trip."""
+        from flatnav_ray.stages.search import SearchSession
+
+        ix, _, _, queries = built_index
+        a = search_to_table(ix, queries, QueryConfig(k=10))
+        sess = SearchSession(ix, num_actors=3)
+        try:
+            b = sess.search(queries, QueryConfig(k=10))
+        finally:
+            sess.shutdown()
+        assert a.equals(b)
+
     def test_empty_and_absent_queries(self, built_index):
         ix, *_ = built_index
         q = pa.table(
