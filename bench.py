@@ -33,10 +33,20 @@ def _sf(sf_dir: str) -> float:
 
 
 def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
+    # Honest parallelism accounting: ray.init(num_cpus=N) only bounds task
+    # scheduling — Arrow/BLAS pools would still use every physical core, which
+    # would let the "8-cpu" run cheat the scaling comparison. One thread per
+    # task, aggregator pool capped to the cpu budget.
+    os.environ.setdefault("ARROW_CPU_COUNT", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              logging_level="ERROR")
+    import ray.data as _rd
+
+    _rd.DataContext.get_current().max_hash_shuffle_aggregators = num_cpus
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import numpy as np
     import pyarrow as pa
@@ -57,10 +67,20 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
         pages_dataset(pages_n, seed=42, chunk_rows=1000).write_parquet(pages_dir)
     ix_dir = f"/tmp/flatnav_bench/ix_{pages_n}_{num_cpus}"
     shutil.rmtree(ix_dir, ignore_errors=True)
+    # warm the Ray worker pool (module imports, ~2-4s once per fresh session)
+    # so the timed phases measure steady-state throughput, not cold start
+    warm_dir = f"/tmp/flatnav_bench/warm_{num_cpus}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(
+        ray.data.read_parquet(pages_dir).limit(256), warm_dir,
+        IndexConfig(num_partitions=4), resume=False,
+    )
     t0 = time.perf_counter()
+    # num_partitions FIXED regardless of num_cpus: the scaling comparison must
+    # run the IDENTICAL job at both parallelism levels
     res = build_index(
         ray.data.read_parquet(pages_dir), ix_dir,
-        IndexConfig(num_partitions=max(num_cpus, 16)), resume=False,
+        IndexConfig(num_partitions=32), resume=False,
     )
     timings["build_pages"] = time.perf_counter() - t0
     extras["build_docs_per_sec"] = res.n_docs / timings["build_pages"]
@@ -69,14 +89,14 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     # ---- headline phase 2: batched BM25 top-10 queries (server mode) ----
     from flatnav_ray.stages.search import SearchSession
 
-    queries = queries_table(1000, seed=43)
+    queries = queries_table(2000, seed=43)
     qcfg = QueryConfig(k=10, method="maxscore", concurrency=num_cpus)
     sess = SearchSession(ix_dir, num_actors=num_cpus)
     sess.search(queries_table(32, seed=44), qcfg)  # warm segment load
     t0 = time.perf_counter()
     out = sess.search(queries, qcfg)
-    timings["query_bm25_1000"] = time.perf_counter() - t0
-    extras["query_qps"] = len(queries) / timings["query_bm25_1000"]
+    timings["query_bm25_batch"] = time.perf_counter() - t0
+    extras["query_qps"] = len(queries) / timings["query_bm25_batch"]
     # p50 latency over repeated small batches (per-query latency analog)
     lats = []
     for i in range(5):
@@ -129,10 +149,15 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         env["GRAFT_BENCH_PAGES"] = str(pages_n)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--json-only"],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
+        # ray.init(num_cpus=N) only bounds the scheduler's bookkeeping — on a
+        # shared machine the N-cpu run would still burn all physical cores
+        # (arrow pools, 0-cpu shuffle aggregators, driver). taskset pins the
+        # whole process tree (workers inherit affinity) to N REAL cores: the
+        # honest stand-in for an N-node vs 4N-node cluster.
+        cmd = [sys.executable, os.path.abspath(__file__), "--json-only"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
     lo, hi = results[cpus_lo], results[cpus_hi]
@@ -161,7 +186,8 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     pages_n = int(os.environ.get("GRAFT_BENCH_PAGES", "24000"))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir, pages_n)))
+        scaling_n = int(os.environ.get("GRAFT_SCALING_PAGES", "192000"))
+        print(json.dumps(run_scaling(sf_dir, scaling_n)))
     else:
         print(json.dumps(run_bench(sf_dir, num_cpus, pages_n)))
 

@@ -1,0 +1,119 @@
+"""CLI entry points — the graft of the reference's tools
+(/root/reference/tools/construct_npy.cpp:90-135, query_npy.cpp:71-160) in the
+`ray job submit` form the north rule requires:
+
+    ray job submit -- python -m flatnav_ray.cli build --input DIR --out IX \
+        [--partitions 32] [--layout doc|term] [--no-resume]
+    ray job submit -- python -m flatnav_ray.cli query --index IX \
+        --queries Q.parquet --out OUT.parquet [--k 10] [--method maxscore]
+    python -m flatnav_ray.cli synth --rows 100000 --out DIR   # fixture corpus
+
+Owns its Ray session (guarded init — under `ray job submit` the cluster is
+already up).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_build(args) -> int:
+    import ray.data
+
+    from .config import IndexConfig
+    from .pipelines.build import build_index
+    from .stages.termbuild import build_term_index
+
+    _ray_init()
+    cfg = IndexConfig(num_partitions=args.partitions, layout=args.layout)
+    t0 = time.perf_counter()
+    src = ray.data.read_parquet(args.input)
+    if args.layout == "term":
+        stats = build_term_index(src, args.out, cfg, salt_threshold=args.salt_threshold)
+        n_docs = stats["n_docs"]
+    else:
+        res = build_index(src, args.out, cfg, resume=not args.no_resume)
+        n_docs = res.n_docs
+    dt = time.perf_counter() - t0
+    print(json.dumps({"stage": "build", "layout": args.layout, "n_docs": n_docs,
+                      "sec": round(dt, 2), "docs_per_sec": round(n_docs / dt, 1),
+                      "index": args.out}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .config import QueryConfig
+    from .pipelines.query import search_to_table
+    from .stages.termbuild import TermIndexSearcher
+    from .state.stats import load_stats
+
+    _ray_init()
+    queries = pq.read_table(args.queries)
+    t0 = time.perf_counter()
+    if load_stats(args.index).get("layout") == "term":
+        out = TermIndexSearcher(args.index).search(queries, k=args.k)
+    else:
+        out = search_to_table(args.index, queries, QueryConfig(k=args.k, method=args.method))
+    dt = time.perf_counter() - t0
+    pq.write_table(out, args.out)
+    print(json.dumps({"stage": "query", "n_queries": len(queries), "rows": len(out),
+                      "sec": round(dt, 3), "qps": round(len(queries) / dt, 1),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from .sources.synth import pages_dataset
+
+    _ray_init()
+    pages_dataset(args.rows, seed=args.seed, chunk_rows=args.chunk_rows).write_parquet(args.out)
+    print(json.dumps({"stage": "synth", "rows": args.rows, "out": args.out}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="flatnav_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--layout", choices=["doc", "term"], default="doc")
+    b.add_argument("--salt-threshold", type=int, default=50_000)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True)
+    q.add_argument("--out", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--method", choices=["taat", "maxscore", "wand"], default="maxscore")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--rows", type=int, required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--chunk-rows", type=int, default=1000)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,13 +47,34 @@ def hash64_str(s: str, seed: int = 0) -> int:
     return hash64_bytes(s.encode("utf-8"), seed)
 
 
+import os as _os
+
+# polars spawns an all-core rayon pool per process; our hash calls run inside
+# 1-CPU Ray tasks, so a single thread is right (and avoids oversubscription)
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+try:
+    import polars as _pl
+except Exception:  # pragma: no cover
+    _pl = None
+
+
 def stable_hash64(strings, seed: int = 0) -> np.ndarray:
     """Vectorized stable 64-bit hash of a sequence of strings -> uint64 array.
 
-    Uses numpy over the concatenated utf-8 buffer: FNV-1a is inherently
-    sequential per string, so we implement a polynomial rolling hash evaluated
-    with per-chunk vectorization; for typical url/term lengths this is fast
-    enough and fully deterministic.
+    Fast path: polars' vectorized string hash (deterministic for a fixed
+    seed within an installation — sufficient for doc-id stability across
+    processes/partitionings, which is what the determinism tests require).
+    Fallback: the pure-numpy FNV-1a below (byte-column lockstep)."""
+    if _pl is not None:
+        if not isinstance(strings, (list, tuple)):
+            strings = list(strings)
+        h = _pl.Series(strings, dtype=_pl.Utf8).hash(seed=seed & 0xFFFFFFFFFFFFFFFF)
+        return h.to_numpy().astype(np.uint64)
+    return _stable_hash64_numpy(strings, seed)
+
+
+def _stable_hash64_numpy(strings, seed: int = 0) -> np.ndarray:
+    """Pure-numpy FNV-1a (matches hash64_str exactly); the portable fallback.
     """
     enc = [s.encode("utf-8") for s in strings]
     n = len(enc)

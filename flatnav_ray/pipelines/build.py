@@ -35,6 +35,9 @@ def prepare_batch(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] |
     """Stateless prep: extract text (M1), assign doc_id (M3: stable url hash —
     or the carried ext_doc_id on the adapter path), derive partition, drop the
     heavy html column immediately (SURVEY.md §7 'wide rows')."""
+    from ..stages.build import _clamp_worker_threads
+
+    _clamp_worker_threads()
     batch = extract_text_batch(batch)
     if "ext_doc_id" in batch.column_names:
         doc_id = batch.column("ext_doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -69,31 +72,64 @@ def build_index(
     index_dir: str,
     cfg: IndexConfig | None = None,
     resume: bool = True,
+    mode: str = "twophase",
 ) -> BuildResult:
-    """Build (or resume) the partitioned inverted index from a pages Dataset."""
+    """Build (or resume) the partitioned inverted index from a pages Dataset.
+
+    mode="twophase" (default): map-side partial segments pipelined with the
+    read, compact blobs shuffle, cheap per-partition merge (stages/twophase.py)
+    — the scale path. mode="onephase": raw pages shuffle then full build in
+    the reducer — simpler, kept for comparison/tests."""
     cfg = cfg or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
     fingerprint = cfg.fingerprint()
     done = completed_partitions(index_dir, fingerprint) if resume else set()
 
-    prepared = pages.map_batches(
-        prepare_batch,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_kwargs={"num_partitions": cfg.num_partitions, "langs": cfg.langs},
-    )
     # key-based repartition needs the hash shuffle strategy (no global sort);
     # the planner reads the context snapshot captured by the dataset, so set
-    # it there (scoped to this pipeline — other datasets are unaffected)
-    prepared.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
-    manifest_rows = prepared.repartition(
-        num_blocks=cfg.num_partitions, keys=["partition"], sort=False
-    ).map_batches(
-        build_partitions_block,
-        batch_format="pyarrow",
-        batch_size=None,  # one batch per hash-partitioned block
-        fn_kwargs={"index_dir": index_dir, "cfg": cfg, "resume": done},
-    )
+    # it there (scoped to this pipeline — other datasets are unaffected).
+    # Aggregator actors would otherwise RESERVE 0.5 CPU × num_partitions for
+    # the whole pipeline (half the cluster, mostly idle) — their combining
+    # work is light, so shrink the reservation and let map tasks have the cores
+    pages.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    pages.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    pages.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+
+    if mode == "twophase":
+        from ..stages.twophase import map_partial, merge_partials_block
+
+        partials = pages.map_batches(
+            map_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            # big enough that each partial row covers many docs per partition
+            # (tiny batches would fragment dictionaries and bloat the merge)
+            batch_size=4096,
+            fn_kwargs={"num_partitions": cfg.num_partitions, "langs": cfg.langs},
+        )
+        manifest_rows = partials.repartition(
+            num_blocks=cfg.num_partitions, keys=["partition"], sort=False
+        ).map_batches(
+            merge_partials_block,
+            batch_format="pyarrow",
+            batch_size=None,
+            fn_kwargs={"index_dir": index_dir, "cfg": cfg, "resume": done},
+        )
+    else:
+        prepared = pages.map_batches(
+            prepare_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"num_partitions": cfg.num_partitions, "langs": cfg.langs},
+        )
+        manifest_rows = prepared.repartition(
+            num_blocks=cfg.num_partitions, keys=["partition"], sort=False
+        ).map_batches(
+            build_partitions_block,
+            batch_format="pyarrow",
+            batch_size=None,  # one batch per hash-partitioned block
+            fn_kwargs={"index_dir": index_dir, "cfg": cfg, "resume": done},
+        )
     # tiny (num_partitions rows): safe to materialize; this drives execution
     mt = pa.concat_tables(manifest_rows.iter_batches(batch_format="pyarrow"))
     built = mt.filter(pa.compute.equal(mt.column("skipped_resume"), False)) if len(mt) else mt

@@ -98,6 +98,20 @@ def _atomic_write_parquet(table: pa.Table, path: str) -> int:
     return os.path.getsize(path)
 
 
+_threads_clamped = False
+
+
+def _clamp_worker_threads() -> None:
+    """Each Ray task gets 1 CPU; Arrow's default pool spawns one thread per
+    core, so 32 concurrent tasks × 32 arrow threads thrash the node. Clamp
+    once per worker process."""
+    global _threads_clamped
+    if not _threads_clamped:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _threads_clamped = True
+
+
 def build_partitions_block(
     block: pa.Table, index_dir: str, cfg: IndexConfig, resume: set[int] | None = None
 ) -> pa.Table:
@@ -108,6 +122,7 @@ def build_partitions_block(
     partitions; loop them."""
     if len(block) == 0:
         return MANIFEST_ROW_SCHEMA.empty_table()
+    _clamp_worker_threads()
     import pyarrow.compute as pc
 
     parts = pc.unique(block.column("partition")).to_pylist()

@@ -87,14 +87,42 @@ class _ShardState:
                  terms_filter: list[str] | None = None):
         self.block_size = block_size
         filters = [("term", "in", terms_filter)] if terms_filter is not None else None
-        self.table = pq.read_table(segment_path(index_dir, partition), filters=filters)
-        self.term_row = {t: i for i, t in enumerate(self.table.column("term").to_pylist())}
+        t = pq.read_table(segment_path(index_dir, partition), filters=filters).combine_chunks()
+        self.term_row = {term: i for i, term in enumerate(t.column("term").to_pylist())}
+        # decode the columnar layout into flat numpy views ONCE at load — the
+        # per-term hot path then does O(1) slicing, no Arrow scalar conversion
+        self._df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def _bin_views(col):
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ]
+            vals = arr.buffers()[2]
+            return offs, (np.frombuffer(vals, dtype=np.uint8) if vals is not None else np.empty(0, np.uint8))
+
+        self._doc_offs, self._doc_vals = _bin_views(t.column("doc_blob"))
+        self._tf_offs, self._tf_vals = _bin_views(t.column("tf_blob"))
+
+        def _list_views(col, dtype):
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            return (
+                np.asarray(arr.offsets),
+                np.asarray(arr.values).astype(dtype),
+            )
+
+        self._bl_off, self._bl_last = _list_views(t.column("block_last_doc"), np.int64)
+        _, self._bl_maxtf = _list_views(t.column("block_max_tf"), np.int64)
+        _, self._bl_mindl = _list_views(t.column("block_min_dl"), np.int64)
+        _, self._bl_doffs = _list_views(t.column("block_doc_offs"), np.int32)
+        _, self._bl_toffs = _list_views(t.column("block_tf_offs"), np.int32)
+
         dm = pq.read_table(docmap_path(index_dir, partition))
         self.docmap_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_lens = dm.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_urls = dm.column("url")
         # caches (query-independent once (scorer, stats) fixed)
-        self._contrib: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        self._contrib: dict[str, tuple[np.ndarray, np.ndarray, int] | None] = {}
         self._stats_key: tuple | None = None
         # reusable scratch (the VisitedSetPool analog, SURVEY.md T3)
         self._scores = np.zeros(self.docmap_ids.size, dtype=np.float64)
@@ -104,16 +132,16 @@ class _ShardState:
         i = self.term_row.get(term)
         if i is None:
             return None
-        t = self.table
+        s, e = self._bl_off[i], self._bl_off[i + 1]
         return {
-            "df": t.column("df")[i].as_py(),
-            "doc_blob": t.column("doc_blob")[i].as_py(),
-            "tf_blob": t.column("tf_blob")[i].as_py(),
-            "block_last_doc": np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
-            "block_max_tf": np.asarray(t.column("block_max_tf")[i].as_py(), dtype=np.int64),
-            "block_min_dl": np.asarray(t.column("block_min_dl")[i].as_py(), dtype=np.int64),
-            "block_doc_offs": np.asarray(t.column("block_doc_offs")[i].as_py(), dtype=np.int32),
-            "block_tf_offs": np.asarray(t.column("block_tf_offs")[i].as_py(), dtype=np.int32),
+            "df": int(self._df[i]),
+            "doc_blob": self._doc_vals[self._doc_offs[i]: self._doc_offs[i + 1]],
+            "tf_blob": self._tf_vals[self._tf_offs[i]: self._tf_offs[i + 1]],
+            "block_last_doc": self._bl_last[s:e],
+            "block_max_tf": self._bl_maxtf[s:e],
+            "block_min_dl": self._bl_mindl[s:e],
+            "block_doc_offs": self._bl_doffs[s:e],
+            "block_tf_offs": self._bl_toffs[s:e],
         }
 
     def term_contrib(self, term: str, plan: QueryPlan, scorer):
@@ -152,8 +180,10 @@ class _ShardState:
         batched serving. method="wand": block-max pruned evaluation that
         decodes only blocks that can affect the top-k (no cache) — the scale
         path for long posting lists / ad-hoc queries. All exact."""
-        out_qid, out_doc, out_url, out_score = [], [], [], []
-        out_scored, out_blocks = [], []
+        q_out: list[np.ndarray] = []
+        d_out: list[np.ndarray] = []
+        s_out: list[np.ndarray] = []
+        n_out: list[tuple[int, int, int]] = []  # (n_results, n_cand, n_blocks)
         scores = self._scores
         for qi in range(len(plan.query_ids)):
             qid = int(plan.query_ids[qi])
@@ -188,22 +218,38 @@ class _ShardState:
                             scores[pos] += qtf * contrib
                     docs, ssc = topk_select(scores[cand], self.docmap_ids[cand], plan.k)
                     n_cand = cand.size
-            for d, s in zip(docs, ssc):
-                p = np.searchsorted(self.docmap_ids, d)
-                out_qid.append(qid)
-                out_doc.append(int(d))
-                out_url.append(self.docmap_urls[p].as_py())
-                out_score.append(float(s))
-                out_scored.append(n_cand)
-                out_blocks.append(n_blocks)
+            if not isinstance(docs, np.ndarray) or docs.size == 0:
+                continue
+            q_out.append(np.full(docs.size, qid, dtype=np.int64))
+            d_out.append(docs)
+            s_out.append(ssc)
+            n_out.append((docs.size, n_cand, n_blocks))
+        if not d_out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "url": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                    "docs_scored": pa.array([], type=pa.int64()),
+                    "blocks_decoded": pa.array([], type=pa.int64()),
+                }
+            )
+        all_docs = np.concatenate(d_out)
+        url_pos = np.searchsorted(self.docmap_ids, all_docs)
+        sizes = np.array([x[0] for x in n_out], dtype=np.int64)
         return pa.table(
             {
-                "query_id": pa.array(out_qid, type=pa.int64()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "url": pa.array(out_url, type=pa.string()),
-                "score": pa.array(out_score, type=pa.float64()),
-                "docs_scored": pa.array(out_scored, type=pa.int64()),
-                "blocks_decoded": pa.array(out_blocks, type=pa.int64()),
+                "query_id": pa.array(np.concatenate(q_out), type=pa.int64()),
+                "doc_id": pa.array(all_docs, type=pa.int64()),
+                "url": self.docmap_urls.take(pa.array(url_pos)),
+                "score": pa.array(np.concatenate(s_out), type=pa.float64()),
+                "docs_scored": pa.array(
+                    np.repeat(np.array([x[1] for x in n_out], dtype=np.int64), sizes)
+                ),
+                "blocks_decoded": pa.array(
+                    np.repeat(np.array([x[2] for x in n_out], dtype=np.int64), sizes)
+                ),
             }
         )
 

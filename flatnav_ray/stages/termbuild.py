@@ -1,0 +1,450 @@
+"""Term-partitioned index build — the groupby(term)-shuffle layout
+(north_rule: "posting-list construction, merge, compression ... via
+groupby(term)-aggregate shuffles ... explicit salting of heavy-hitter terms
+... hierarchical segment-merge stage").
+
+This is the alternative to the default doc-partitioned layout
+(pipelines/build.py): posting lists are GLOBAL per term, built by shuffling
+the full (term, doc_id, tf, dl) stream:
+
+    prepared pages
+      -> repartition(hash(doc_id) % P)  [dedup ownership, docmap+manifest out]
+      -> explode postings (term, doc_id, tf, dl)
+      -> df pre-aggregation (term-only projection) -> heavy-hitter set
+      -> salt: heavy terms split into S = ceil(df/salt_threshold) buckets by
+         hash(doc_id) — a Zipf head term no longer lands on ONE reducer
+      -> groupby(term, salt).map_groups: sort by doc_id, delta+varint encode
+         -> SUB-LISTS
+      -> groupby(term).map_groups: hierarchical merge of sub-lists (decode,
+         k-way concat+sort, re-encode) -> final per-term rows
+      -> term-sorted Parquet segments
+
+Doc lengths are stored inline in the term layout (dl_blob) so scoring needs
+no docmap join at query time. The canonical postings of both layouts are
+identical (tests assert it) — the graft of the reference's 'same index, two
+orderings' reorder capability (Index.h:412-427).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import IndexConfig
+from ..functions.codec import decode_postings, encode_segment_table
+from ..functions.hashes import splitmix64
+from ..functions.tokenize import term_frequencies
+from ..state.manifest import PartitionManifest, write_manifest
+from ..state.stats import save_stats
+from .build import DOCMAP_SCHEMA, dedup_latest, docmap_path, _atomic_write_parquet
+
+TERM_SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int32()),
+        ("doc_blob", pa.binary()),
+        ("tf_blob", pa.binary()),
+        ("dl_blob", pa.binary()),
+        ("block_last_doc", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+        ("block_doc_offs", pa.list_(pa.int32())),
+        ("block_tf_offs", pa.list_(pa.int32())),
+    ]
+)
+
+POSTING_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+    ]
+)
+
+
+def _dedup_explode_block(block: pa.Table, index_dir: str, cfg: IndexConfig) -> pa.Table:
+    """Own one (or more) doc partitions: dedup, write docmap + manifest
+    (stats lineage), emit the flat postings stream."""
+    import pyarrow.compute as pc
+
+    if len(block) == 0:
+        return POSTING_SCHEMA.empty_table()
+    outs = []
+    for p in sorted(pc.unique(block.column("partition")).to_pylist()):
+        grp = block.filter(pc.equal(block.column("partition"), p))
+        deduped = dedup_latest(grp)
+        deduped = deduped.take(pc.sort_indices(deduped, sort_keys=[("doc_id", "ascending")]))
+        doc_ids = deduped.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        postings = term_frequencies(doc_ids, deduped.column("text"))
+        pos = np.searchsorted(doc_ids, postings.column("doc_id").to_numpy(zero_copy_only=False))
+        doc_lens = np.zeros(doc_ids.size, dtype=np.int64)
+        np.add.at(doc_lens, pos, postings.column("tf").to_numpy(zero_copy_only=False))
+        docmap = pa.table(
+            [
+                pa.array(doc_ids, type=pa.int64()),
+                deduped.column("url").cast(pa.string()),
+                pa.array(doc_lens, type=pa.int32()),
+                deduped.column("lang").cast(pa.string()),
+            ],
+            schema=DOCMAP_SCHEMA,
+        )
+        dm_p = docmap_path(index_dir, int(p))
+        nbytes = _atomic_write_parquet(docmap, dm_p)
+        write_manifest(
+            index_dir,
+            PartitionManifest(
+                partition=int(p),
+                n_docs=len(doc_ids),
+                sum_doc_len=int(doc_lens.sum()),
+                n_terms=0,
+                bytes=nbytes,
+                checksum="",
+                segment_path=dm_p,  # term layout: docmap doubles as the artifact
+                docmap_path=dm_p,
+                config_fingerprint=cfg.fingerprint(),
+                stage="docmap",
+            ),
+        )
+        outs.append(
+            pa.table(
+                [
+                    postings.column("term"),
+                    postings.column("doc_id").cast(pa.int64()),
+                    postings.column("tf").cast(pa.int32()),
+                    pa.array(doc_lens[pos], type=pa.int32()),
+                ],
+                schema=POSTING_SCHEMA,
+            )
+        )
+    return pa.concat_tables(outs)
+
+
+def _encode_sublist(group: pa.Table, block_size: int) -> pa.Table:
+    """Reducer for one (term, salt) group: sort by doc_id, encode one
+    sub-list row. Exclusive ownership — no locks (SURVEY.md §4)."""
+    import pyarrow.compute as pc
+
+    if len(group) == 0:
+        return _sublist_schema().empty_table()
+    outs = []
+    # a reducer may receive several groups merged into one block under hash
+    # partitioning of the groupby — handle each (term, salt) pair
+    keys = group.select(["term", "salt"])
+    grp_tbl = group.take(
+        pc.sort_indices(group, sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")])
+    )
+    terms = grp_tbl.column("term").to_numpy(zero_copy_only=False)
+    salts = grp_tbl.column("salt").to_numpy(zero_copy_only=False)
+    docs = grp_tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = grp_tbl.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = grp_tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+    new = np.concatenate(
+        ([True], (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))
+    )
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(terms))
+    out_term, out_salt, out_docs, out_tfs, out_dls = [], [], [], [], []
+    for s, e in zip(starts, ends):
+        out_term.append(terms[s])
+        out_salt.append(int(salts[s]))
+        out_docs.append(docs[s:e].astype(np.int64).tobytes())
+        out_tfs.append(tfs[s:e].astype(np.int32).tobytes())
+        out_dls.append(dls[s:e].astype(np.int32).tobytes())
+    return pa.table(
+        {
+            "term": pa.array(out_term, type=pa.string()),
+            "salt": pa.array(out_salt, type=pa.int32()),
+            "docs_raw": pa.array(out_docs, type=pa.binary()),
+            "tfs_raw": pa.array(out_tfs, type=pa.binary()),
+            "dls_raw": pa.array(out_dls, type=pa.binary()),
+        }
+    )
+
+
+def _sublist_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("salt", pa.int32()),
+            ("docs_raw", pa.binary()),
+            ("tfs_raw", pa.binary()),
+            ("dls_raw", pa.binary()),
+        ]
+    )
+
+
+def _merge_term(group: pa.Table, block_size: int) -> pa.Table:
+    """Hierarchical merge reducer: all sub-lists of one term (or several
+    terms under hash grouping) -> final encoded posting rows."""
+    import pyarrow.compute as pc
+
+    if len(group) == 0:
+        return TERM_SEGMENT_SCHEMA.empty_table()
+    grp = group.take(pc.sort_indices(group, sort_keys=[("term", "ascending"), ("salt", "ascending")]))
+    terms = grp.column("term").to_numpy(zero_copy_only=False)
+    new = np.concatenate(([True], terms[1:] != terms[:-1]))
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(terms))
+    rows = {name: [] for name in TERM_SEGMENT_SCHEMA.names}
+    for s, e in zip(starts, ends):
+        docs = np.concatenate(
+            [np.frombuffer(grp.column("docs_raw")[i].as_py(), dtype=np.int64) for i in range(s, e)]
+        )
+        tfs = np.concatenate(
+            [np.frombuffer(grp.column("tfs_raw")[i].as_py(), dtype=np.int32) for i in range(s, e)]
+        ).astype(np.int64)
+        dls = np.concatenate(
+            [np.frombuffer(grp.column("dls_raw")[i].as_py(), dtype=np.int32) for i in range(s, e)]
+        ).astype(np.int64)
+        order = np.argsort(docs, kind="mergesort")  # k-way merge of sorted runs
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        term_arr = np.full(docs.size, terms[s], dtype=object)
+        cols, tb, _ = encode_segment_table(term_arr, docs, tfs, dls, block_size=block_size)
+        # dl varint blob (term layout stores doc lengths inline)
+        from ..functions.codec import encode_varint
+
+        rows["term"].append(terms[s])
+        rows["df"].append(int(docs.size))
+        rows["doc_blob"].append(cols["doc_blob"][0].as_py())
+        rows["tf_blob"].append(cols["tf_blob"][0].as_py())
+        rows["dl_blob"].append(encode_varint(dls.astype(np.uint64)))
+        rows["block_last_doc"].append(cols["block_last_doc"][0].as_py())
+        rows["block_max_tf"].append(cols["block_max_tf"][0].as_py())
+        rows["block_min_dl"].append(cols["block_min_dl"][0].as_py())
+        rows["block_doc_offs"].append(cols["block_doc_offs"][0].as_py())
+        rows["block_tf_offs"].append(cols["block_tf_offs"][0].as_py())
+    return pa.table(
+        [
+            pa.array(rows["term"], type=pa.string()),
+            pa.array(rows["df"], type=pa.int32()),
+            pa.array(rows["doc_blob"], type=pa.binary()),
+            pa.array(rows["tf_blob"], type=pa.binary()),
+            pa.array(rows["dl_blob"], type=pa.binary()),
+            pa.array(rows["block_last_doc"], type=pa.list_(pa.int64())),
+            pa.array(rows["block_max_tf"], type=pa.list_(pa.int32())),
+            pa.array(rows["block_min_dl"], type=pa.list_(pa.int32())),
+            pa.array(rows["block_doc_offs"], type=pa.list_(pa.int32())),
+            pa.array(rows["block_tf_offs"], type=pa.list_(pa.int32())),
+        ],
+        schema=TERM_SEGMENT_SCHEMA,
+    )
+
+
+def build_term_index(
+    pages: ray.data.Dataset,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    salt_threshold: int = 50_000,
+) -> dict:
+    """Build the term-partitioned index. Returns the stats dict."""
+    from ..pipelines.build import prepare_batch
+    from ..state.manifest import manifest_dir, read_manifest
+
+    cfg = cfg or IndexConfig(layout="term")
+    os.makedirs(index_dir, exist_ok=True)
+
+    prepared = pages.map_batches(
+        prepare_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"num_partitions": cfg.num_partitions, "langs": cfg.langs},
+    )
+    prepared.context.shuffle_strategy = ray.data.context.ShuffleStrategy.HASH_SHUFFLE
+    prepared.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    prepared.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    postings = prepared.repartition(
+        num_blocks=cfg.num_partitions, keys=["partition"], sort=False
+    ).map_batches(
+        _dedup_explode_block,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"index_dir": index_dir, "cfg": cfg},
+    )
+
+    # heavy-hitter detection: project to the term column only (tiny vs the
+    # posting stream), pre-aggregated count per term
+    df_tbl = pa.concat_tables(
+        postings.select_columns(["term"])
+        .groupby("term", num_partitions=cfg.num_partitions)
+        .count()
+        .iter_batches(batch_format="pyarrow")
+    )
+    counts = dict(
+        zip(df_tbl.column("term").to_pylist(), df_tbl.column("count()").to_pylist())
+    )
+    heavy = {
+        t: int(np.ceil(c / salt_threshold)) for t, c in counts.items() if c > salt_threshold
+    }
+    import ray as _ray
+
+    heavy_ref = _ray.put(heavy)
+
+    def _salt(batch: pa.Table) -> pa.Table:
+        h = _ray.get(heavy_ref)
+        terms = batch.column("term").to_pylist()
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = splitmix64(docs)
+        salts = np.zeros(len(terms), dtype=np.int32)
+        for i, t in enumerate(terms):
+            s = h.get(t)
+            if s:
+                salts[i] = int(mixed[i] % np.uint64(s))
+        return batch.append_column("salt", pa.array(salts, type=pa.int32()))
+
+    salted = postings.map_batches(_salt, batch_format="pyarrow", zero_copy_batch=True)
+
+    # bound the hash-shuffle partition count (it caps the aggregator-actor
+    # pool; the default 200 would strand a small cluster waiting for actors)
+    shuffle_parts = cfg.num_partitions
+    sublists = salted.groupby(["term", "salt"], num_partitions=shuffle_parts).map_groups(
+        _encode_sublist, batch_format="pyarrow", fn_kwargs={"block_size": cfg.block_size}
+    )
+    final = sublists.groupby("term", num_partitions=shuffle_parts).map_groups(
+        _merge_term, batch_format="pyarrow", fn_kwargs={"block_size": cfg.block_size}
+    )
+    seg_dir = os.path.join(index_dir, "term_segments")
+    import shutil
+
+    if os.path.isdir(seg_dir):
+        shutil.rmtree(seg_dir)
+    final.sort("term").write_parquet(seg_dir)
+
+    # stats from docmap manifests (written by the dedup stage)
+    n_docs = sum_dl = 0
+    parts = []
+    mdir = manifest_dir(index_dir)
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("part-") and name.endswith(".json"):
+            m = read_manifest(index_dir, int(name[5:-5]))
+            if m and m.config_fingerprint == cfg.fingerprint():
+                n_docs += m.n_docs
+                sum_dl += m.sum_doc_len
+                parts.append(m.partition)
+    stats = {
+        "n_docs": n_docs,
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "num_partitions": cfg.num_partitions,
+        "partitions": parts,
+        "config_fingerprint": cfg.fingerprint(),
+        "block_size": cfg.block_size,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "scorer": cfg.scorer,
+        "analyzer": cfg.analyzer,
+        "layout": "term",
+        "n_heavy_terms": len(heavy),
+        "salt_threshold": salt_threshold,
+    }
+    save_stats(index_dir, stats)
+    return stats
+
+
+def canonical_term_postings(index_dir: str, block_size: int = 128) -> pa.Table:
+    """Decoded (term, doc_id, tf) from the term layout, sorted — comparable
+    with stages.introspect.canonical_postings of the doc layout."""
+    import pyarrow.parquet as pq
+
+    seg_dir = os.path.join(index_dir, "term_segments")
+    files = [os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir)) if f.endswith(".parquet")]
+    terms, docs, tfs = [], [], []
+    for f in files:
+        t = pq.read_table(f)
+        for i in range(len(t)):
+            d, tf = decode_postings(
+                t.column("doc_blob")[i].as_py(),
+                t.column("tf_blob")[i].as_py(),
+                np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
+                block_size=block_size,
+            )
+            terms.extend([t.column("term")[i].as_py()] * d.size)
+            docs.append(d)
+            tfs.append(tf)
+    out = pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(np.concatenate(docs) if docs else np.empty(0, np.int64), type=pa.int64()),
+            "tf": pa.array(np.concatenate(tfs) if tfs else np.empty(0, np.int64), type=pa.int64()),
+        }
+    )
+    import pyarrow.compute as pc
+
+    return out.take(pc.sort_indices(out, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]))
+
+
+class TermIndexSearcher:
+    """Query path for the term layout: filtered read of the query terms' rows
+    (term-sorted Parquet -> row-group pruning), global scoring, exact top-k.
+    Doc lengths come inline from dl_blob — no docmap join (J1 resolved at
+    result materialization only)."""
+
+    def __init__(self, index_dir: str):
+        from ..state.stats import load_stats
+
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        assert self.stats.get("layout") == "term"
+
+    def search(self, queries: pa.Table, k: int = 10, k1: float | None = None, b: float | None = None) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        from ..functions.bm25 import bm25_term_scores, topk_select
+        from ..functions.codec import decode_varint
+        from ..functions.tokenize import tokenize_py
+
+        n_docs = int(self.stats["n_docs"])
+        avgdl = float(self.stats["avgdl"])
+        k1 = k1 if k1 is not None else float(self.stats["k1"])
+        b = b if b is not None else float(self.stats["b"])
+        qids = queries.column("query_id").to_pylist()
+        texts = queries.column("text").to_pylist()
+        needed = sorted({t for x in texts for t in tokenize_py(x)})
+        seg = pads.dataset(os.path.join(self.index_dir, "term_segments"), format="parquet")
+        tbl = seg.to_table(filter=pads.field("term").isin(needed)) if needed else None
+        rows = {}
+        if tbl is not None:
+            for i, t in enumerate(tbl.column("term").to_pylist()):
+                d, tf = decode_postings(
+                    tbl.column("doc_blob")[i].as_py(),
+                    tbl.column("tf_blob")[i].as_py(),
+                    np.asarray(tbl.column("block_last_doc")[i].as_py(), dtype=np.int64),
+                    block_size=int(self.stats["block_size"]),
+                )
+                dl = decode_varint(tbl.column("dl_blob")[i].as_py()).astype(np.int64)
+                rows[t] = (d, tf, dl, int(tbl.column("df")[i].as_py()))
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, text in zip(qids, texts):
+            counts: dict[str, int] = {}
+            for tok in tokenize_py(text):
+                counts[tok] = counts.get(tok, 0) + 1
+            acc: dict[int, float] = {}
+            for term in sorted(counts):
+                hit = rows.get(term)
+                if hit is None:
+                    continue
+                d, tf, dl, df = hit
+                contrib = counts[term] * bm25_term_scores(tf, dl, df, n_docs, avgdl, k1, b)
+                for doc, s in zip(d.tolist(), contrib.tolist()):
+                    acc[doc] = acc.get(doc, 0.0) + s
+            if not acc:
+                continue
+            docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+            dd, ss = topk_select(scores, docs, k)
+            for r, (dcc, scc) in enumerate(zip(dd, ss)):
+                out_q.append(qid)
+                out_r.append(r)
+                out_d.append(int(dcc))
+                out_s.append(float(scc))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int32()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,344 @@
+"""Two-phase build: map-side partial segments -> per-partition merge.
+
+The scaling path for the doc-partitioned build (default in
+pipelines/build.py). The one-phase build does ALL heavy work (tokenize +
+encode) in reducers behind the shuffle barrier; here the map side does it
+pipelined with the Parquet read, and only compact partials cross the network:
+
+    read_parquet -> map_batches(extract + tokenize + per-partition PARTIAL
+                                 docmap/postings, packed numpy blobs)
+      [streams: every input block's partial enters the shuffle immediately;
+       shuffled bytes ≈ 4-8x smaller than raw text]
+    -> repartition(keys=[partition], hash shuffle)
+    -> merge task per partition: resolve url-recrawl winners across partials,
+       drop loser postings, global (term, doc_id) sort, encode, write.
+
+This is the Lucene flush-segment + merge design re-expressed on Ray Data —
+and the reference's two-phase `allocate_nodes + build_graph_links` bulk path
+(/root/reference/python-bindings/src/flatnav/bindings.cpp:308-324) is its
+closest ancestor in SURVEY.md §2.10.
+
+Dedup semantics (D4): doc_id = stable hash(url); the winner per doc_id is
+max (warc_ts, text_hash) — deterministic regardless of partial arrival order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import IndexConfig
+from ..functions.codec import encode_segment_table
+from ..functions.hashes import stable_hash64
+from ..functions.tokenize import term_frequencies
+from ..state.manifest import PartitionManifest, write_manifest
+from .build import (
+    DOCMAP_SCHEMA,
+    MANIFEST_ROW_SCHEMA,
+    SEGMENT_SCHEMA,
+    _atomic_write_parquet,
+    _clamp_worker_threads,
+    docmap_path,
+    segment_path,
+)
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        # partial docmap (parallel arrays packed as raw little-endian blobs)
+        ("dm_doc_ids", pa.binary()),   # int64
+        ("dm_doc_lens", pa.binary()),  # int32
+        ("dm_warc_ts", pa.binary()),   # int64 (us)
+        ("dm_text_hash", pa.binary()),  # int64
+        ("dm_urls", pa.list_(pa.string())),
+        ("dm_langs", pa.list_(pa.string())),
+        # partial postings: term dictionary + per-posting arrays
+        ("terms", pa.list_(pa.string())),
+        ("p_term_idx", pa.binary()),   # int32 index into terms
+        ("p_doc_ids", pa.binary()),    # int64
+        ("p_tfs", pa.binary()),        # int32
+    ]
+)
+
+
+def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | None) -> pa.Table:
+    """Map side: extract + dedup-within-batch + tokenize + pack one partial
+    row per partition present in the batch."""
+    from ..pipelines.build import prepare_batch
+
+    _clamp_worker_threads()
+    import pyarrow.compute as pc
+
+    prep = prepare_batch(batch, num_partitions, langs)
+    if len(prep) == 0:
+        return PARTIAL_SCHEMA.empty_table()
+    # within-batch dedup by doc_id, keep max (warc_ts, text_hash)
+    text_hash = (stable_hash64(prep.column("text").to_pylist()) & np.uint64(2**63 - 1)).astype(np.int64)
+    prep = prep.append_column("text_hash", pa.array(text_hash, type=pa.int64()))
+    order = pc.sort_indices(
+        prep,
+        sort_keys=[
+            ("doc_id", "ascending"),
+            ("warc_ts", "descending"),
+            ("text_hash", "descending"),
+        ],
+    )
+    srt = prep.take(order)
+    ids = srt.column("doc_id").to_numpy(zero_copy_only=False)
+    first = np.ones(ids.size, dtype=bool)
+    first[1:] = ids[1:] != ids[:-1]
+    srt = srt.filter(pa.array(first))
+
+    # tokenize the WHOLE batch once, then split postings/docmap by partition
+    # (per-partition tokenize calls would drown in per-call overhead)
+    import pyarrow.compute as pc2
+
+    doc_ids_all = srt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_sort = np.argsort(doc_ids_all, kind="stable")
+    srt = srt.take(pa.array(doc_sort))
+    doc_ids_all = doc_ids_all[doc_sort]
+    parts_all = srt.column("partition").to_numpy(zero_copy_only=False)
+    # NOTE: no term-string sort here — partial posting order is irrelevant
+    # (the merge lexsorts globally on integer codes); the only string op on
+    # the map side is one hash-based dictionary_encode
+    postings = term_frequencies(doc_ids_all, srt.column("text"))
+    p_terms_all = postings.column("term")
+    p_docs_all = postings.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    p_tfs_all = postings.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_all = np.searchsorted(doc_ids_all, p_docs_all)
+    doc_lens_all = np.zeros(doc_ids_all.size, dtype=np.int64)
+    np.add.at(doc_lens_all, pos_all, p_tfs_all)
+    p_parts = parts_all[pos_all]
+
+    warc_all = srt.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    th_all = srt.column("text_hash").to_numpy(zero_copy_only=False)
+    url_col = srt.column("url")
+    lang_col = srt.column("lang")
+    if isinstance(url_col, pa.ChunkedArray):
+        url_col = url_col.combine_chunks()
+    if isinstance(lang_col, pa.ChunkedArray):
+        lang_col = lang_col.combine_chunks()
+
+    # dictionary-encode terms ONCE per batch (postings are term-sorted, so the
+    # first-occurrence dictionary comes out sorted); per-partition dictionaries
+    # are pure integer ops + one arrow take — no Python string round-trips
+    enc = pc2.dictionary_encode(
+        p_terms_all.combine_chunks() if isinstance(p_terms_all, pa.ChunkedArray) else p_terms_all
+    )
+    batch_dict = enc.dictionary
+    batch_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # group postings and docmap rows by partition with ONE stable int argsort
+    # each, then slice contiguous ranges (no per-partition O(N) masking)
+    p_order = np.argsort(p_parts, kind="stable")
+    p_sorted = p_parts[p_order]
+    d_order = np.argsort(parts_all, kind="stable")
+    d_sorted = parts_all[d_order]
+    uniq_parts = np.unique(parts_all)
+    p_bounds = np.searchsorted(p_sorted, uniq_parts)
+    p_ends = np.append(p_bounds[1:], p_sorted.size)
+    d_bounds = np.searchsorted(d_sorted, uniq_parts)
+    d_ends = np.append(d_bounds[1:], d_sorted.size)
+
+    parts_list, dm_ids_b, dm_lens_b, dm_ts_b, dm_th_b = [], [], [], [], []
+    url_parts, lang_parts, dict_parts = [], [], []
+    ptix_b, pdoc_b, ptf_b = [], [], []
+    for pi, p in enumerate(uniq_parts):
+        dsel_np = d_order[d_bounds[pi]: d_ends[pi]]
+        psel = p_order[p_bounds[pi]: p_ends[pi]]
+        codes = batch_codes[psel]
+        used = np.unique(codes)
+        local_codes = np.searchsorted(used, codes).astype(np.int32)
+        parts_list.append(int(p))
+        dm_ids_b.append(doc_ids_all[dsel_np].tobytes())
+        dm_lens_b.append(doc_lens_all[dsel_np].astype(np.int32).tobytes())
+        dm_ts_b.append(warc_all[dsel_np].tobytes())
+        dm_th_b.append(th_all[dsel_np].tobytes())
+        dsel = pa.array(dsel_np)
+        url_parts.append(url_col.take(dsel))
+        lang_parts.append(lang_col.take(dsel))
+        dict_parts.append(batch_dict.take(pa.array(used)))
+        ptix_b.append(local_codes.tobytes())
+        pdoc_b.append(p_docs_all[psel].tobytes())
+        ptf_b.append(p_tfs_all[psel].astype(np.int32).tobytes())
+
+    def _list_of(parts: list[pa.Array]) -> pa.ListArray:
+        offs = np.zeros(len(parts) + 1, dtype=np.int32)
+        offs[1:] = np.cumsum([len(x) for x in parts])
+        return pa.ListArray.from_arrays(
+            pa.array(offs), pa.concat_arrays([x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in parts])
+        )
+
+    return pa.table(
+        [
+            pa.array(parts_list, type=pa.int32()),
+            pa.array(dm_ids_b, type=pa.binary()),
+            pa.array(dm_lens_b, type=pa.binary()),
+            pa.array(dm_ts_b, type=pa.binary()),
+            pa.array(dm_th_b, type=pa.binary()),
+            _list_of(url_parts),
+            _list_of(lang_parts),
+            _list_of(dict_parts),
+            pa.array(ptix_b, type=pa.binary()),
+            pa.array(pdoc_b, type=pa.binary()),
+            pa.array(ptf_b, type=pa.binary()),
+        ],
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def merge_partials_block(
+    block: pa.Table, index_dir: str, cfg: IndexConfig, resume: set[int] | None = None
+) -> pa.Table:
+    """Reduce side: all partials of one (or more) partitions -> final segment."""
+    _clamp_worker_threads()
+    import pyarrow.compute as pc
+
+    if len(block) == 0:
+        return MANIFEST_ROW_SCHEMA.empty_table()
+    outs = []
+    for p in sorted(pc.unique(block.column("partition")).to_pylist()):
+        grp = block.filter(pc.equal(block.column("partition"), p))
+        outs.append(_merge_one_partition(grp, int(p), index_dir, cfg, resume))
+    return pa.concat_tables(outs)
+
+
+def _merge_one_partition(
+    grp: pa.Table, partition: int, index_dir: str, cfg: IndexConfig, resume: set[int] | None
+) -> pa.Table:
+    if resume and partition in resume:
+        return pa.table([[partition], [0], [0], [0], [0], [True]], schema=MANIFEST_ROW_SCHEMA)
+    n_partials = len(grp)
+
+    # 1. resolve winners per doc_id across partials: max (warc_ts, text_hash)
+    dm_ids, dm_lens, dm_ts, dm_th, dm_part = [], [], [], [], []
+    urls_cols, langs_cols = [], []
+    for i in range(n_partials):
+        ids = np.frombuffer(grp.column("dm_doc_ids")[i].as_py(), dtype=np.int64)
+        dm_ids.append(ids)
+        dm_lens.append(np.frombuffer(grp.column("dm_doc_lens")[i].as_py(), dtype=np.int32))
+        dm_ts.append(np.frombuffer(grp.column("dm_warc_ts")[i].as_py(), dtype=np.int64))
+        dm_th.append(np.frombuffer(grp.column("dm_text_hash")[i].as_py(), dtype=np.int64))
+        dm_part.append(np.full(ids.size, i, dtype=np.int32))
+        urls_cols.append(grp.column("dm_urls")[i].values)
+        langs_cols.append(grp.column("dm_langs")[i].values)
+    all_ids = np.concatenate(dm_ids)
+    all_ts = np.concatenate(dm_ts)
+    all_th = np.concatenate(dm_th)
+    all_partial = np.concatenate(dm_part)
+    all_lens = np.concatenate(dm_lens)
+    # winner = lexicographic max of (warc_ts, text_hash) per doc_id
+    order = np.lexsort((-all_th, -all_ts, all_ids))
+    s_ids = all_ids[order]
+    first = np.ones(s_ids.size, dtype=bool)
+    first[1:] = s_ids[1:] != s_ids[:-1]
+    win_rows = order[first]                      # row index (into concatenated) per winner
+    win_sorted = np.sort(s_ids[first])
+    # winner partial per doc (aligned with win_ids sorted by doc_id)
+    win_by_doc_order = win_rows[np.argsort(s_ids[first], kind="stable")]
+    win_partial = all_partial[win_by_doc_order]
+    win_lens = all_lens[win_by_doc_order]
+
+    # 2. postings: keep only rows whose (doc_id, partial) is the winner.
+    # Term strings never enter the sort: each partial carries a SORTED local
+    # term dictionary; remap local int32 codes -> a global sorted vocabulary
+    # and lexsort on integers (object-string sorts are 10x+ slower).
+    # Arrow-native global vocabulary: concat partial dicts (StringArray),
+    # unique + sort + hash-join remap in C++ — no Python object arrays
+    terms_col = grp.column("terms")
+    terms_list = terms_col.combine_chunks() if isinstance(terms_col, pa.ChunkedArray) else terms_col
+    all_dicts = terms_list.flatten()
+    dict_offs = np.concatenate(
+        ([0], np.cumsum([len(terms_col[i]) for i in range(n_partials)]))
+    ).astype(np.int64)
+    if len(all_dicts):
+        u = pa.compute.unique(all_dicts)
+        global_vocab_arr = u.take(pa.compute.sort_indices(u))
+        dict_inv = pa.compute.index_in(all_dicts, value_set=global_vocab_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    else:
+        global_vocab_arr = pa.array([], type=pa.string())
+        dict_inv = np.empty(0, dtype=np.int64)
+    code_parts, doc_parts, tf_parts = [], [], []
+    for i in range(n_partials):
+        p_docs = np.frombuffer(grp.column("p_doc_ids")[i].as_py(), dtype=np.int64)
+        if p_docs.size == 0:
+            continue
+        p_tfs = np.frombuffer(grp.column("p_tfs")[i].as_py(), dtype=np.int32).astype(np.int64)
+        codes = np.frombuffer(grp.column("p_term_idx")[i].as_py(), dtype=np.int32)
+        remap = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.int32)
+        pos = np.searchsorted(win_sorted, p_docs)
+        keep = win_partial[pos] == i
+        if not keep.any():
+            continue
+        code_parts.append(remap[codes[keep]])
+        doc_parts.append(p_docs[keep])
+        tf_parts.append(p_tfs[keep])
+
+    hasher = hashlib.blake2b(digest_size=16)
+    if code_parts:
+        m_codes = np.concatenate(code_parts)
+        m_docs = np.concatenate(doc_parts)
+        m_tfs = np.concatenate(tf_parts)
+        pos = np.searchsorted(win_sorted, m_docs)
+        m_dls = win_lens[pos].astype(np.int64)
+        order = np.lexsort((m_docs, m_codes))
+        m_codes, m_docs, m_tfs, m_dls = (
+            m_codes[order], m_docs[order], m_tfs[order], m_dls[order]
+        )
+        cols, tb, _ = encode_segment_table(m_codes, m_docs, m_tfs, m_dls, block_size=cfg.block_size)
+        hasher.update(cols["doc_blob"].buffers()[2])
+        segment = pa.table(
+            [
+                global_vocab_arr.take(pa.array(m_codes[tb].astype(np.int64))),
+                cols["df"], cols["doc_blob"], cols["tf_blob"],
+                cols["block_last_doc"], cols["block_max_tf"], cols["block_min_dl"],
+                cols["block_doc_offs"], cols["block_tf_offs"],
+            ],
+            schema=SEGMENT_SCHEMA,
+        )
+        n_terms = len(tb)
+    else:
+        segment = SEGMENT_SCHEMA.empty_table()
+        n_terms = 0
+
+    # 3. final docmap (winners, sorted by doc_id)
+    all_urls = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in urls_cols])
+    all_langs = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in langs_cols])
+    take = pa.array(win_by_doc_order.astype(np.int64))
+    docmap = pa.table(
+        [
+            pa.array(win_sorted, type=pa.int64()),
+            all_urls.take(take),
+            pa.array(win_lens.astype(np.int32), type=pa.int32()),
+            all_langs.take(take),
+        ],
+        schema=DOCMAP_SCHEMA,
+    )
+    seg_p = segment_path(index_dir, partition)
+    dm_p = docmap_path(index_dir, partition)
+    nbytes = _atomic_write_parquet(segment, seg_p)
+    nbytes += _atomic_write_parquet(docmap, dm_p)
+    sum_dl = int(win_lens.sum())
+    write_manifest(
+        index_dir,
+        PartitionManifest(
+            partition=partition,
+            n_docs=int(win_sorted.size),
+            sum_doc_len=sum_dl,
+            n_terms=n_terms,
+            bytes=nbytes,
+            checksum=hasher.hexdigest(),
+            segment_path=seg_p,
+            docmap_path=dm_p,
+            config_fingerprint=cfg.fingerprint(),
+        ),
+    )
+    return pa.table(
+        [[partition], [int(win_sorted.size)], [sum_dl], [n_terms], [nbytes], [False]],
+        schema=MANIFEST_ROW_SCHEMA,
+    )

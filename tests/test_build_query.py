@@ -111,6 +111,17 @@ class TestDeterminism:
         c4, c8 = canonical_postings(ix4), canonical_postings(ix8)
         assert c4.equals(c8)
 
+    def test_twophase_equals_onephase(self, ray_session, small_corpus, tmp_path):
+        """Map-side-partial build (scale path) yields the identical index to
+        the one-shot reducer build."""
+        import ray.data
+
+        pages, _ = small_corpus
+        ix1, ix2 = str(tmp_path / "one"), str(tmp_path / "two")
+        build_index(ray.data.from_arrow(pages), ix1, IndexConfig(num_partitions=6), mode="onephase")
+        build_index(ray.data.from_arrow(pages), ix2, IndexConfig(num_partitions=6), mode="twophase")
+        assert canonical_postings(ix1).equals(canonical_postings(ix2))
+
     def test_serialization_round_trip(self, built_index):
         """Fresh searcher processes (new actor pool) over the same on-disk
         segments return identical results — segments ARE the serialized index."""

@@ -97,11 +97,29 @@ class TestBm25:
 
 
 class TestHashes:
-    def test_vectorized_matches_scalar(self):
+    def test_numpy_fallback_matches_scalar(self):
+        from flatnav_ray.functions.hashes import _stable_hash64_numpy
+
         strs = ["", "a", "hello world", "https://d0001.example.com/c0/p423", "ü"]
-        vec = stable_hash64(strs)
+        vec = _stable_hash64_numpy(strs)
         for s, h in zip(strs, vec):
             assert int(h) == hash64_str(s)
+
+    def test_stable_across_calls_and_processes(self):
+        strs = [f"https://x{i}.com/p" for i in range(100)]
+        a = stable_hash64(strs)
+        b = stable_hash64(list(strs))
+        assert (a == b).all()
+        import subprocess, sys, json
+
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import sys, json; sys.path.insert(0, '/root/repo');"
+             "from flatnav_ray.functions.hashes import stable_hash64;"
+             "print(json.dumps(stable_hash64(['abc','def']).tolist()))"],
+            capture_output=True, text=True,
+        )
+        assert json.loads(out.stdout) == stable_hash64(["abc", "def"]).tolist()
 
     def test_doc_ids_fit_int63_and_distinct(self):
         urls = [f"https://x.com/{i}" for i in range(5000)]

@@ -1,0 +1,58 @@
+"""Term-partitioned build: groupby(term) shuffle + heavy-hitter salting +
+hierarchical sub-list merge (north_rule checklist; SURVEY.md §4 skew table).
+
+The canonical postings of the term layout must equal the doc layout's —
+the two layouts are reorderings of the same index (graft of the reference's
+reorder capability, Index.h:412-427), and the term-index search must be
+rank-identical to the shard search."""
+
+import numpy as np
+import pytest
+
+from flatnav_ray.config import IndexConfig, QueryConfig
+from flatnav_ray.pipelines.build import build_index
+from flatnav_ray.pipelines.query import search_to_table
+from flatnav_ray.stages.introspect import canonical_postings
+from flatnav_ray.stages.termbuild import (
+    TermIndexSearcher,
+    build_term_index,
+    canonical_term_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def both_indexes(ray_session, small_corpus, tmp_path_factory):
+    import ray.data
+
+    pages, queries = small_corpus
+    base = tmp_path_factory.mktemp("term_ix")
+    doc_ix = str(base / "doc")
+    term_ix = str(base / "term")
+    build_index(ray.data.from_arrow(pages), doc_ix, IndexConfig(num_partitions=8))
+    # salt threshold low enough that Zipf-head terms actually get salted
+    stats = build_term_index(
+        ray.data.from_arrow(pages), term_ix,
+        IndexConfig(num_partitions=8, layout="term"), salt_threshold=100,
+    )
+    return doc_ix, term_ix, stats, pages, queries
+
+
+class TestTermLayout:
+    def test_salting_engaged(self, both_indexes):
+        _, _, stats, _, _ = both_indexes
+        assert stats["n_heavy_terms"] > 0  # Zipf head got salted
+
+    def test_canonical_postings_equal_doc_layout(self, both_indexes):
+        doc_ix, term_ix, *_ = both_indexes
+        a = canonical_postings(doc_ix)
+        b = canonical_term_postings(term_ix)
+        assert a.equals(b)
+
+    def test_term_search_rank_identical(self, both_indexes):
+        doc_ix, term_ix, _, _, queries = both_indexes
+        a = search_to_table(doc_ix, queries, QueryConfig(k=10))
+        b = TermIndexSearcher(term_ix).search(queries, k=10)
+        assert a.column("doc_id").to_pylist() == b.column("doc_id").to_pylist()
+        np.testing.assert_allclose(
+            a.column("score").to_numpy(), b.column("score").to_numpy(), rtol=0, atol=1e-9
+        )
