@@ -119,7 +119,10 @@ def fingerprint_docs(
             if th.size > off:
                 same_doc[:-off] = parents[off:] == parents[:-off]
             sh = np.where(same_doc, splitmix64(sh) ^ nxt, sh)
-        np.bitwise_xor.at(fp, parents, sh)
+        # final mix BEFORE the xor combine: without it, a single changed token
+        # contributes the same unmixed delta to `window` overlapping shingles
+        # and an even window cancels it out of the xor entirely
+        np.bitwise_xor.at(fp, parents, splitmix64(sh))
     fp &= np.uint64((1 << 63) - 1)
     return batch.append_column(out_col, pa.array(fp.astype(np.int64), type=pa.int64()))
 

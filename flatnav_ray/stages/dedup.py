@@ -115,7 +115,10 @@ def minhash_lsh_clusters(
             sig = minhash_signature(sh, num_perm)
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bucket = int(splitmix64(np.bitwise_xor.reduce(chunk) ^ np.uint64(b + 1))[()] & np.uint64(2**62))
+                bucket = int(
+                    splitmix64(np.bitwise_xor.reduce(chunk) ^ np.uint64(b + 1))[()]
+                    & np.uint64(2**62 - 1)
+                )
                 out_band.append(b)
                 out_bucket.append(bucket)
                 out_id.append(int(ids[i]))

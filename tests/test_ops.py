@@ -1,0 +1,207 @@
+"""Training-data operator tests: dedup family, similarity search, text
+analysis, multimodal plumbing (SURVEY.md §2 extensions)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_ds(ray_session):
+    """Small doc table with planted exact + near duplicates."""
+    import ray.data
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away into "
+        "the deep green forest where tall trees grow beside clear rivers"
+    )
+    near = base.replace("clear rivers", "muddy rivers")  # high jaccard overlap
+    texts = [base, base, near, "completely different text about databases and queries",
+             "another unrelated document mentioning spark and shuffles only"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    return ray.data.from_arrow(t), t
+
+
+class TestDedup:
+    def test_exact_text_dedup(self, doc_ds):
+        from flatnav_ray.stages.dedup import exact_text_dedup
+
+        ds, _ = doc_ds
+        kept = pa.concat_tables(exact_text_dedup(ds).iter_batches(batch_format="pyarrow"))
+        ids = sorted(kept.column("doc_id").to_pylist())
+        assert ids == [0, 2, 3, 4]  # doc 1 (exact dup of 0) collapsed to min id
+
+    def test_minhash_clusters_group_near_dups(self, doc_ds):
+        from flatnav_ray.stages.dedup import minhash_lsh_clusters
+
+        ds, _ = doc_ds
+        out = minhash_lsh_clusters(ds)
+        cl = dict(zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist()))
+        assert cl[0] == cl[1]  # exact dups always cluster
+        assert cl[0] == cl[2]  # near dup clusters with base
+        assert cl[3] != cl[0] and cl[4] != cl[0]
+
+    def test_simhash_clusters(self, doc_ds):
+        from flatnav_ray.stages.dedup import simhash_clusters
+
+        ds, _ = doc_ds
+        out = simhash_clusters(ds)
+        cl = dict(zip(out.column("doc_id").to_pylist(), out.column("cluster_id").to_pylist()))
+        assert cl[0] == cl[1]
+        assert cl[3] != cl[0]
+
+    def test_ngram_jaccard_pairs(self, doc_ds):
+        from flatnav_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds, t = doc_ds
+        out = ngram_jaccard_pairs(ds, threshold=0.5)
+        pairs = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        assert (0, 1) in pairs  # exact dup pair: jaccard 1.0
+        assert (0, 2) in pairs or (1, 2) in pairs  # near dup above 0.5
+        j = dict(zip(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()),
+                     out.column("jaccard").to_pylist()))
+        assert j[(0, 1)] == 1.0
+
+
+class TestKnn:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(0)
+        mat = rng.normal(size=(200, 16))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                "embedding": pa.array([r.tolist() for r in mat], type=pa.list_(pa.float32())),
+            }
+        )
+        return ray.data.from_arrow(t), mat
+
+    def test_brute_force_exact_vs_numpy(self, emb_ds):
+        from flatnav_ray.stages.knn import brute_force_knn
+
+        ds, mat = emb_ds
+        q = mat[:5]
+        out = brute_force_knn(ds, q, k=10)
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ n.T
+        for qi in range(5):
+            exp = np.lexsort((np.arange(200), -sims[qi]))[:10]
+            got = out.filter(pa.compute.equal(out.column("query_id"), qi)).column("vec_id").to_pylist()
+            assert got == exp.tolist()
+
+    def test_ivf_recall_reasonable(self, emb_ds):
+        from flatnav_ray.stages.knn import IvfIndex, brute_force_knn
+
+        ds, mat = emb_ds
+        q = mat[:10]
+        exact = brute_force_knn(ds, q, k=10)
+        ivf = IvfIndex.train(ds, n_centroids=8)
+        approx = ivf.search(ivf.assign(ds), q, k=10, nprobe=4)
+        # recall@10 over the 10 queries: nprobe=4 of 8 lists should find most
+        inter = 0
+        for qi in range(10):
+            e = set(exact.filter(pa.compute.equal(exact.column("query_id"), qi)).column("vec_id").to_pylist())
+            a = set(approx.filter(pa.compute.equal(approx.column("query_id"), qi)).column("vec_id").to_pylist())
+            inter += len(e & a) / 10
+        assert inter / 10 > 0.6
+        # and nprobe = all lists must be exact (recall 1.0)
+        full = ivf.search(ivf.assign(ds), q, k=10, nprobe=8)
+        for qi in range(10):
+            e = exact.filter(pa.compute.equal(exact.column("query_id"), qi)).column("vec_id").to_pylist()
+            f = full.filter(pa.compute.equal(full.column("query_id"), qi)).column("vec_id").to_pylist()
+            assert e == f
+
+
+class TestTextStats:
+    def test_quality_stats(self):
+        from flatnav_ray.functions.textstats import quality_stats
+
+        t = pa.table({"text": pa.array(["The quick Fox 42!", ""])})
+        q = quality_stats(t)
+        assert q.column("n_tokens").to_pylist() == [4, 0]
+        assert q.column("n_chars_calc").to_pylist() == [17, 0]
+        assert q.column("stopword_ratio")[0].as_py() == 0.25  # 'the'
+        assert q.column("digit_ratio")[0].as_py() == 2 / 17
+
+    def test_langid(self):
+        from flatnav_ray.functions.textstats import detect_lang
+
+        t = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "the cat was on the mat with a hat",
+                        "der hund und die katze sind im haus mit dem ball",
+                        "xyzzy qwerty plugh",
+                    ]
+                )
+            }
+        )
+        out = detect_lang(t)
+        assert out.column("lang_pred").to_pylist() == ["en", "de", "und"]
+
+    def test_fingerprint_sensitivity(self):
+        from flatnav_ray.functions.textstats import fingerprint_docs
+
+        t = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "one two three four five six seven eight",
+                        "one two three four five six seven eight",   # identical
+                        "one two three four five six seven nine",    # one token changed
+                    ]
+                )
+            }
+        )
+        fp = fingerprint_docs(t).column("fingerprint").to_pylist()
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[2]
+
+
+class TestMultimodal:
+    def test_feature_extractor_pipeline(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.multimodal import MediaFeatureExtractor, synth_media_table
+
+        t = synth_media_table(50)
+        ds = ray.data.from_arrow(t)
+        out = pa.concat_tables(
+            ds.map_batches(
+                MediaFeatureExtractor,
+                batch_format="pyarrow",
+                batch_size=16,              # wide binary payloads -> small batches
+                concurrency=2,
+                fn_constructor_kwargs={"decoder": "fake", "dim": 32},
+            ).iter_batches(batch_format="pyarrow")
+        )
+        assert len(out) == 50
+        v = out.column("embedding")[0].as_py()
+        assert len(v) == 32
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        # determinism: same payload -> same features
+        out2 = MediaFeatureExtractor(decoder="fake", dim=32)(t.slice(0, 5))
+        assert out.slice(0, 5).column("embedding").to_pylist() == out2.column("embedding").to_pylist()
+
+    def test_real_decoder_is_explicit_stub(self):
+        from flatnav_ray.stages.multimodal import MediaFeatureExtractor
+
+        with pytest.raises(NotImplementedError):
+            MediaFeatureExtractor(decoder="real")
+
+    def test_frame_sampler_layout(self):
+        from flatnav_ray.stages.multimodal import FrameSampler, synth_media_table
+
+        t = synth_media_table(10)
+        out = FrameSampler()(t)
+        assert out.column_names == ["media_id", "frame_idx", "frame_payload"]
+        assert len(out) >= 10  # at least one frame per media
