@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": d.embedding_dups,
         # the engine itself (flagship: build + BM25 top-k, rank-identical)
         "bm25_topk": d.bm25_topk,
+        "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
+        "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # rows-only (pytest holds oracle)
     }
 

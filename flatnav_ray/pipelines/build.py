@@ -96,14 +96,42 @@ def build_index(
     pages.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
 
     if mode == "twophase":
+        import shutil as _shutil
+        import ray as _ray
+
+        from ..stages.twophase import map_partial_spill, merge_spilled_partition
+
+        spill_dir = os.path.join(index_dir, "_partials")
+        _shutil.rmtree(spill_dir, ignore_errors=True)
+        mapped = pages.map_batches(
+            map_partial_spill,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            # big enough that each partial row covers many docs per partition
+            # (tiny batches would fragment dictionaries and bloat the merge)
+            batch_size=4096,
+            fn_kwargs={
+                "num_partitions": cfg.num_partitions,
+                "langs": cfg.langs,
+                "spill_dir": spill_dir,
+            },
+        )
+        mapped.count()  # drives the map phase; partials land on disk
+
+        merge_task = _ray.remote(num_cpus=1)(merge_spilled_partition)
+        futs = [
+            merge_task.remote(p, spill_dir, index_dir, cfg, done)
+            for p in range(cfg.num_partitions)
+        ]
+        mt = pa.concat_tables(_ray.get(futs))
+        _shutil.rmtree(spill_dir, ignore_errors=True)
+    elif mode == "exchange":
         from ..stages.twophase import map_partial, merge_partials_block
 
         partials = pages.map_batches(
             map_partial,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            # big enough that each partial row covers many docs per partition
-            # (tiny batches would fragment dictionaries and bloat the merge)
             batch_size=4096,
             fn_kwargs={"num_partitions": cfg.num_partitions, "langs": cfg.langs},
         )
@@ -113,6 +141,9 @@ def build_index(
             merge_partials_block,
             batch_format="pyarrow",
             batch_size=None,
+            # zero-copy matters for scheduling too: the batch copy would be
+            # charged to the executor's heap budget and throttle concurrency
+            zero_copy_batch=True,
             fn_kwargs={"index_dir": index_dir, "cfg": cfg, "resume": done},
         )
     else:
@@ -128,10 +159,12 @@ def build_index(
             build_partitions_block,
             batch_format="pyarrow",
             batch_size=None,  # one batch per hash-partitioned block
+            zero_copy_batch=True,
             fn_kwargs={"index_dir": index_dir, "cfg": cfg, "resume": done},
         )
-    # tiny (num_partitions rows): safe to materialize; this drives execution
-    mt = pa.concat_tables(manifest_rows.iter_batches(batch_format="pyarrow"))
+    if mode != "twophase":
+        # tiny (num_partitions rows): safe to materialize; drives execution
+        mt = pa.concat_tables(manifest_rows.iter_batches(batch_format="pyarrow"))
     built = mt.filter(pa.compute.equal(mt.column("skipped_resume"), False)) if len(mt) else mt
 
     # authoritative stats come from the on-disk manifests (includes resumed parts)

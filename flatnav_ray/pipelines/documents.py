@@ -241,6 +241,33 @@ def bm25_topk(sf_dir: str, k: int = 10, method: str = "maxscore") -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_wand(sf_dir: str, k: int = 10) -> pa.Table:
+    """Block-max pruned evaluation — must be rank-identical to bm25_topk
+    (same DuckDB oracle)."""
+    return bm25_topk(sf_dir, k=k, method="wand")
+
+
+def bm25_topk_termlayout(sf_dir: str, k: int = 10) -> pa.Table:
+    """Term-partitioned layout (groupby(term) + salting + hierarchical merge
+    build) — same oracle as bm25_topk: the two layouts are reorderings of the
+    same index."""
+    from ..stages.termbuild import TermIndexSearcher, build_term_index
+
+    cfg = IndexConfig(num_partitions=8, layout="term")
+    ix = _index_dir_for(sf_dir, cfg) + "-term"
+    import json
+
+    stats_file = os.path.join(ix, "stats.json")
+    if not os.path.exists(stats_file):
+        build_term_index(documents_as_pages(sf_dir), ix, cfg, salt_threshold=200)
+    searcher = TermIndexSearcher(ix)
+    doc_ix = build_documents_index(sf_dir)
+    queries = derived_queries(doc_ix)
+    out = searcher.search(queries, k=k)
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
     """Multi-term queries (WAND/MaxScore intersection path): pair consecutive
     top terms. Rows-only driver check; pytest holds the rank-identity oracle."""

@@ -262,6 +262,7 @@ def build_term_index(
         _dedup_explode_block,
         batch_format="pyarrow",
         batch_size=None,
+        zero_copy_batch=True,
         fn_kwargs={"index_dir": index_dir, "cfg": cfg},
     )
 

@@ -190,6 +190,52 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
     )
 
 
+def map_partial_spill(
+    batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | None, spill_dir: str
+) -> pa.Table:
+    """Map side of the disk-spill shuffle: compute the partial exactly like
+    map_partial, but WRITE each partition's partial row to
+    spill_dir/part=P/<uuid>.parquet (atomic tmp+rename) instead of returning
+    it. The 'shuffle' is then just partitioned files on (shared) storage —
+    the Spark-shuffle-file pattern, which also makes the map phase itself
+    resumable and keeps the object store out of the exchange entirely."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    part_tbl = map_partial(batch, num_partitions, langs)
+    out = []
+    for p in part_tbl.column("partition").to_pylist():
+        out.append(int(p))
+    for i, p in enumerate(out):
+        d = os.path.join(spill_dir, f"part={p:05d}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(part_tbl.slice(i, 1), tmp, compression="lz4")
+        os.replace(tmp, os.path.join(d, f"partial-{uuid.uuid4().hex}.parquet"))
+    return pa.table({"partition": pa.array(out, type=pa.int32())})
+
+
+def merge_spilled_partition(
+    partition: int, spill_dir: str, index_dir: str, cfg: IndexConfig,
+    resume: set[int] | None = None,
+) -> pa.Table:
+    """Reduce side of the disk-spill shuffle (run as a raw Ray task — the
+    streaming executor's heap accounting throttles reducer concurrency, raw
+    tasks run at full parallelism): read part=P partial files, merge."""
+    import pyarrow.parquet as pq
+
+    _clamp_worker_threads()
+    d = os.path.join(spill_dir, f"part={partition:05d}")
+    if not os.path.isdir(d):
+        return MANIFEST_ROW_SCHEMA.empty_table()
+    files = sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+    if not files:
+        return MANIFEST_ROW_SCHEMA.empty_table()
+    grp = pa.concat_tables([pq.read_table(f) for f in files])
+    return _merge_one_partition(grp, partition, index_dir, cfg, resume)
+
+
 def merge_partials_block(
     block: pa.Table, index_dir: str, cfg: IndexConfig, resume: set[int] | None = None
 ) -> pa.Table:
