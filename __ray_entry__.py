@@ -73,6 +73,22 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_filter({toks}, x -> list_contains({_LANG_PROFILES_SQL[lang]}, x))) AS s_{lang}"
         for lang in sorted(_LANG_PROFILES_SQL)
     )
+    bm25_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "scored AS (SELECT qt.query_id, tf.doc_id, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
     return {
         "doc_token_stats": (
             f"SELECT doc_id, len({toks}) AS n_tokens FROM documents ORDER BY doc_id"
@@ -132,20 +148,7 @@ def oracle_sql() -> dict[str, str]:
             "ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY 1, 2"
         ),
-        "bm25_topk": (
-            f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
-            f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
-            "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
-            f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
-            "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
-            "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
-            "scored AS (SELECT qt.query_id, tf.doc_id, "
-            "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
-            "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
-            "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
-            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
-            "ranked AS (SELECT query_id, doc_id, row_number() OVER "
-            "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
-            "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
-        ),
+        "bm25_topk": bm25_sql,
+        "bm25_topk_wand": bm25_sql,
+        "bm25_topk_termlayout": bm25_sql,
     }
