@@ -181,17 +181,39 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
     }
 
 
+def _record(result: dict) -> None:
+    """Metrics sink (SURVEY.md S9 — the graft of run-benchmark.py:329-343's
+    metrics.json append): accumulate every bench run under BENCH/."""
+    os.makedirs("BENCH", exist_ok=True)
+    path = os.path.join("BENCH", "metrics.json")
+    hist = []
+    if os.path.exists(path):
+        with open(path) as f:
+            hist = json.load(f)
+    hist.append(result)
+    with open(path, "w") as f:
+        json.dump(hist, f, indent=1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     pages_n = int(os.environ.get("GRAFT_BENCH_PAGES", "24000"))
     if "--scaling" in sys.argv:
         # large enough that parallel work dominates the fixed floor at the
-        # 4N level (Amdahl) — generation is one-time, cached under /tmp
+        # 4N level (Amdahl) — generation is one-time, cached under /tmp.
+        # NOTE: must run with the machine otherwise idle; concurrent load
+        # invalidates the comparison.
         scaling_n = int(os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
-        print(json.dumps(run_scaling(sf_dir, scaling_n)))
+        result = run_scaling(sf_dir, scaling_n)
     else:
-        print(json.dumps(run_bench(sf_dir, num_cpus, pages_n)))
+        result = run_bench(sf_dir, num_cpus, pages_n)
+    if "--json-only" not in sys.argv:
+        try:
+            _record(result)
+        except OSError:
+            pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,14 @@ class IndexConfig:
     extractor: str = EXTRACTOR_VERSION
     langs: tuple[str, ...] | None = None  # optional lang filter at build
     layout: str = "doc"  # "doc" (shard-per-doc-partition) or "term"
+    # docid assignment (SURVEY.md O4 — the graft of flatnav's reorder():
+    # gorder/rcm cache-locality orderings, Reordering.h:27-200):
+    #   "hash"      — stable hash(url): parallelism- and partition-count-
+    #                 independent ids (determinism tests rely on this)
+    #   "dense_url" — per-partition url-sorted dense ids interleaved by
+    #                 partition (id % P == partition): posting deltas become
+    #                 small constants -> much better varint compression
+    docid_strategy: str = "hash"
 
     def fingerprint(self) -> str:
         """Stable hash of everything that affects index bytes — manifest rows

@@ -16,6 +16,7 @@ merge exists as the alternative "term" layout in stages/termbuild.py.
 
 from __future__ import annotations
 
+import hashlib
 import os
 from dataclasses import dataclass
 
@@ -53,6 +54,27 @@ def prepare_batch(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] |
         batch = batch.filter(pc.is_in(batch.column("lang"), value_set=pa.array(langs)))
     keep = ["url", "warc_ts", "text", "lang", "doc_id", "partition"]
     return batch.select(keep)
+
+
+def _pick_spill_dir(index_dir: str) -> str:
+    """Shuffle-spill location for the two-phase build. Priority:
+    $FLATNAV_SPILL_ROOT > /dev/shm (tmpfs: no disk writeback competing with
+    the merge's reads + segment writes) > index_dir/_partials. On a real
+    multi-node cluster this is the per-node NVMe scratch; partials there are
+    node-local exactly like Spark shuffle files."""
+    root = os.environ.get("FLATNAV_SPILL_ROOT")
+    if not root and os.path.isdir("/dev/shm"):
+        try:
+            import shutil as _sh
+
+            if _sh.disk_usage("/dev/shm").free > 16 * 1024**3:
+                root = "/dev/shm/flatnav_spill"
+        except OSError:
+            root = None
+    if root:
+        key = hashlib.blake2b(os.path.abspath(index_dir).encode(), digest_size=6).hexdigest()
+        return os.path.join(root, key)
+    return os.path.join(index_dir, "_partials")
 
 
 @dataclass
@@ -97,12 +119,17 @@ def build_index(
 
     if mode == "twophase":
         import shutil as _shutil
+        import sys as _sys
+        import time as _time
+
         import ray as _ray
 
         from ..stages.twophase import map_partial_spill, merge_spilled_partition
 
-        spill_dir = os.path.join(index_dir, "_partials")
+        _timing = os.environ.get("FLATNAV_BUILD_TIMING")
+        spill_dir = _pick_spill_dir(index_dir)
         _shutil.rmtree(spill_dir, ignore_errors=True)
+        _t0 = _time.perf_counter()
         mapped = pages.map_batches(
             map_partial_spill,
             batch_format="pyarrow",
@@ -117,6 +144,7 @@ def build_index(
             },
         )
         mapped.count()  # drives the map phase; partials land on disk
+        _t1 = _time.perf_counter()
 
         merge_task = _ray.remote(num_cpus=1)(merge_spilled_partition)
         futs = [
@@ -125,6 +153,11 @@ def build_index(
         ]
         mt = pa.concat_tables(_ray.get(futs))
         _shutil.rmtree(spill_dir, ignore_errors=True)
+        if _timing:
+            print(
+                f"[build timing] map={_t1 - _t0:.1f}s merge={_time.perf_counter() - _t1:.1f}s",
+                file=_sys.stderr,
+            )
     elif mode == "exchange":
         from ..stages.twophase import map_partial, merge_partials_block
 

@@ -288,6 +288,31 @@ def _merge_one_partition(
     win_partial = all_partial[win_by_doc_order]
     win_lens = all_lens[win_by_doc_order]
 
+    # O4 docid reorder (flatnav reorder() graft): remap winners to dense
+    # url-sorted ids interleaved by partition — id % P == partition still
+    # holds, and per-partition posting deltas become the constant P
+    remap_ids: np.ndarray | None = None
+    if cfg.docid_strategy == "dense_url":
+        urls_concat = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in urls_cols]
+        )
+        win_urls_tmp = urls_concat.take(pa.array(win_by_doc_order.astype(np.int64)))
+        url_order = pa.compute.sort_indices(win_urls_tmp).to_numpy(zero_copy_only=False)
+        rank_of = np.empty(url_order.size, dtype=np.int64)
+        rank_of[url_order] = np.arange(url_order.size)
+        new_ids = rank_of * np.int64(cfg.num_partitions) + np.int64(partition)
+        remap_ids = new_ids  # aligned with win_sorted order
+        # re-sort the winner-aligned arrays by NEW id so docmap stays id-sorted
+        new_order = np.argsort(new_ids)
+        win_by_doc_order = win_by_doc_order[new_order]
+        win_partial_lookup = win_partial  # still aligned with OLD win_sorted
+        win_lens_lookup = win_lens
+        win_lens = win_lens[new_order]
+        win_new_sorted = new_ids[new_order]
+    else:
+        win_partial_lookup = win_partial
+        win_lens_lookup = win_lens
+
     # 2. postings: keep only rows whose (doc_id, partial) is the winner.
     # Term strings never enter the sort: each partial carries a SORTED local
     # term dictionary; remap local int32 codes -> a global sorted vocabulary
@@ -318,7 +343,7 @@ def _merge_one_partition(
         codes = np.frombuffer(grp.column("p_term_idx")[i].as_py(), dtype=np.int32)
         remap = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.int32)
         pos = np.searchsorted(win_sorted, p_docs)
-        keep = win_partial[pos] == i
+        keep = win_partial_lookup[pos] == i
         if not keep.any():
             continue
         code_parts.append(remap[codes[keep]])
@@ -331,7 +356,9 @@ def _merge_one_partition(
         m_docs = np.concatenate(doc_parts)
         m_tfs = np.concatenate(tf_parts)
         pos = np.searchsorted(win_sorted, m_docs)
-        m_dls = win_lens[pos].astype(np.int64)
+        m_dls = win_lens_lookup[pos].astype(np.int64)
+        if remap_ids is not None:
+            m_docs = remap_ids[pos]
         order = np.lexsort((m_docs, m_codes))
         m_codes, m_docs, m_tfs, m_dls = (
             m_codes[order], m_docs[order], m_tfs[order], m_dls[order]
@@ -358,7 +385,7 @@ def _merge_one_partition(
     take = pa.array(win_by_doc_order.astype(np.int64))
     docmap = pa.table(
         [
-            pa.array(win_sorted, type=pa.int64()),
+            pa.array(win_new_sorted if remap_ids is not None else win_sorted, type=pa.int64()),
             all_urls.take(take),
             pa.array(win_lens.astype(np.int32), type=pa.int32()),
             all_langs.take(take),
