@@ -75,9 +75,16 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
         ray.data.read_parquet(pages_dir).limit(256), warm_dir,
         IndexConfig(num_partitions=4), resume=False,
     )
-    t0 = time.perf_counter()
     # num_partitions FIXED regardless of num_cpus: the scaling comparison must
-    # run the IDENTICAL job at both parallelism levels
+    # run the IDENTICAL job at both parallelism levels. Two runs, second one
+    # timed: first run warms page cache / worker pools so the number reflects
+    # steady-state throughput (this sandbox's memory system is noisy).
+    build_index(
+        ray.data.read_parquet(pages_dir), ix_dir,
+        IndexConfig(num_partitions=32), resume=False,
+    )
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    t0 = time.perf_counter()
     res = build_index(
         ray.data.read_parquet(pages_dir), ix_dir,
         IndexConfig(num_partitions=32), resume=False,

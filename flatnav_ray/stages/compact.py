@@ -1,0 +1,195 @@
+"""Index merge / compaction — the graft of the reference's external-graph
+import + two-phase bulk-load surface (SURVEY.md S8 / §2.10:
+`allocate_nodes().build_graph_links()` bindings.cpp:308-324, and
+`buildGraphLinks` Index.h:187-238 which bulk-loads a pre-built index).
+
+`merge_indexes([src_a, src_b, ...], out_dir)` combines several doc-partitioned
+indexes (built with the SAME num_partitions / analyzer / block_size) into one:
+per partition a raw Ray task decodes every source's posting lists + docmap,
+resolves doc collisions (first source in the list wins — deterministic), and
+re-encodes. This is the hierarchical-compaction primitive a long-running
+ingest needs (daily segment sets -> one serving index)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import IndexConfig
+from ..functions.codec import decode_postings, encode_segment_table
+from ..state.manifest import PartitionManifest, write_manifest
+from ..state.stats import load_stats, save_stats
+from .build import (
+    DOCMAP_SCHEMA,
+    SEGMENT_SCHEMA,
+    _atomic_write_parquet,
+    _clamp_worker_threads,
+    docmap_path,
+    segment_path,
+)
+
+
+def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConfig) -> dict:
+    _clamp_worker_threads()
+    dm_parts = []
+    seg_rows = []  # (src_idx, term, doc_ids, tfs)
+    for si, src in enumerate(src_dirs):
+        dmp = docmap_path(src, partition)
+        if not os.path.exists(dmp):
+            continue
+        dm = pq.read_table(dmp)
+        dm_parts.append((si, dm))
+        seg = pq.read_table(segment_path(src, partition))
+        for i in range(len(seg)):
+            d, tf = decode_postings(
+                seg.column("doc_blob")[i].as_py(),
+                seg.column("tf_blob")[i].as_py(),
+                np.asarray(seg.column("block_last_doc")[i].as_py(), dtype=np.int64),
+                block_size=cfg.block_size,
+            )
+            seg_rows.append((si, seg.column("term")[i].as_py(), d, tf))
+    if not dm_parts:
+        return {"partition": partition, "n_docs": 0, "sum_doc_len": 0, "n_terms": 0, "bytes": 0}
+
+    # winners: first source wins on doc_id collision
+    all_ids = np.concatenate([t.column("doc_id").to_numpy(zero_copy_only=False) for _, t in dm_parts])
+    all_src = np.concatenate([np.full(len(t), si, dtype=np.int32) for si, t in dm_parts])
+    all_len = np.concatenate(
+        [t.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64) for _, t in dm_parts]
+    )
+    order = np.lexsort((all_src, all_ids))
+    s_ids = all_ids[order]
+    first = np.ones(s_ids.size, dtype=bool)
+    first[1:] = s_ids[1:] != s_ids[:-1]
+    win_rows = order[first]
+    win_ids = all_ids[win_rows]
+    win_src = all_src[win_rows]
+    win_len = all_len[win_rows]
+
+    terms_parts, docs_parts, tfs_parts = [], [], []
+    for si, term, d, tf in seg_rows:
+        pos = np.searchsorted(win_ids, d)
+        keep = win_src[pos] == si
+        if keep.any():
+            terms_parts.append(np.full(int(keep.sum()), term, dtype=object))
+            docs_parts.append(d[keep])
+            tfs_parts.append(tf[keep])
+    hasher = hashlib.blake2b(digest_size=16)
+    if terms_parts:
+        m_terms = np.concatenate(terms_parts)
+        m_docs = np.concatenate(docs_parts)
+        m_tfs = np.concatenate(tfs_parts)
+        pos = np.searchsorted(win_ids, m_docs)
+        m_dls = win_len[pos]
+        srt = np.lexsort((m_docs, m_terms))
+        m_terms, m_docs, m_tfs, m_dls = m_terms[srt], m_docs[srt], m_tfs[srt], m_dls[srt]
+        cols, tb, _ = encode_segment_table(m_terms, m_docs, m_tfs, m_dls, block_size=cfg.block_size)
+        hasher.update(cols["doc_blob"].buffers()[2])
+        segment = pa.table(
+            [
+                pa.array(m_terms[tb], type=pa.string()),
+                cols["df"], cols["doc_blob"], cols["tf_blob"],
+                cols["block_last_doc"], cols["block_max_tf"], cols["block_min_dl"],
+                cols["block_doc_offs"], cols["block_tf_offs"],
+            ],
+            schema=SEGMENT_SCHEMA,
+        )
+        n_terms = len(tb)
+    else:
+        segment = SEGMENT_SCHEMA.empty_table()
+        n_terms = 0
+
+    # docmap: winners sorted by doc_id, urls/langs gathered from their source
+    url_parts, lang_parts = [], []
+    for si, t in dm_parts:
+        url_parts.append(t.column("url"))
+        lang_parts.append(t.column("lang"))
+    urls = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in url_parts]
+    )
+    langs = pa.concat_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in lang_parts]
+    )
+    take = pa.array(win_rows.astype(np.int64))
+    docmap = pa.table(
+        [
+            pa.array(win_ids, type=pa.int64()),
+            urls.take(take),
+            pa.array(win_len.astype(np.int32), type=pa.int32()),
+            langs.take(take),
+        ],
+        schema=DOCMAP_SCHEMA,
+    )
+    seg_p = segment_path(out_dir, partition)
+    dm_p = docmap_path(out_dir, partition)
+    nbytes = _atomic_write_parquet(segment, seg_p)
+    nbytes += _atomic_write_parquet(docmap, dm_p)
+    write_manifest(
+        out_dir,
+        PartitionManifest(
+            partition=partition,
+            n_docs=int(win_ids.size),
+            sum_doc_len=int(win_len.sum()),
+            n_terms=n_terms,
+            bytes=nbytes,
+            checksum=hasher.hexdigest(),
+            segment_path=seg_p,
+            docmap_path=dm_p,
+            config_fingerprint=cfg.fingerprint(),
+            stage="compacted",
+            input_files=src_dirs,
+        ),
+    )
+    return {
+        "partition": partition,
+        "n_docs": int(win_ids.size),
+        "sum_doc_len": int(win_len.sum()),
+        "n_terms": n_terms,
+        "bytes": nbytes,
+    }
+
+
+def merge_indexes(src_dirs: list[str], out_dir: str, cfg: IndexConfig | None = None) -> dict:
+    """Compact several same-config indexes into one (raw Ray tasks, one per
+    partition). Returns the merged stats dict (also written to out_dir)."""
+    import ray
+
+    from ..pipelines.build import _build_term_stats
+
+    stats0 = load_stats(src_dirs[0])
+    cfg = cfg or IndexConfig(
+        num_partitions=int(stats0["num_partitions"]),
+        block_size=int(stats0["block_size"]),
+    )
+    for s in src_dirs[1:]:
+        st = load_stats(s)
+        assert int(st["num_partitions"]) == cfg.num_partitions, "partition counts must match"
+        assert st["analyzer"] == stats0["analyzer"], "analyzer mismatch"
+    os.makedirs(out_dir, exist_ok=True)
+    task = ray.remote(num_cpus=1)(_merge_one)
+    parts = sorted({int(p) for s in src_dirs for p in load_stats(s)["partitions"]})
+    out = ray.get([task.remote(p, src_dirs, out_dir, cfg) for p in parts])
+    n_docs = sum(o["n_docs"] for o in out)
+    sum_dl = sum(o["sum_doc_len"] for o in out)
+    _build_term_stats(out_dir)
+    stats = {
+        "n_docs": n_docs,
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "num_partitions": cfg.num_partitions,
+        "partitions": [o["partition"] for o in out if o["n_docs"]],
+        "config_fingerprint": cfg.fingerprint(),
+        "block_size": cfg.block_size,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "scorer": cfg.scorer,
+        "analyzer": cfg.analyzer,
+        "layout": "doc",
+        "compacted_from": src_dirs,
+    }
+    save_stats(out_dir, stats)
+    return stats

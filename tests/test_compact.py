@@ -1,0 +1,35 @@
+"""Index merge/compaction (S8 graft): merging two disjoint-corpus indexes
+must equal one index built over the union corpus."""
+
+import pytest
+
+from flatnav_ray.config import IndexConfig, QueryConfig
+from flatnav_ray.pipelines.build import build_index
+from flatnav_ray.pipelines.query import search_to_table
+from flatnav_ray.stages.compact import merge_indexes
+from flatnav_ray.stages.introspect import canonical_postings
+
+
+def test_merge_two_indexes_equals_union_build(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from flatnav_ray.sources.synth import PagesGenerator, queries_table
+
+    gen = PagesGenerator(seed=7, vocab_size=2000, mean_len=50, dup_rate=0.0)
+    a = gen.chunk(0, 400)
+    b = gen.chunk(1, 400)
+    cfg = IndexConfig(num_partitions=6)
+    ix_a, ix_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ix_m, ix_u = str(tmp_path / "m"), str(tmp_path / "u")
+    build_index(ray.data.from_arrow(a), ix_a, cfg)
+    build_index(ray.data.from_arrow(b), ix_b, cfg)
+    stats = merge_indexes([ix_a, ix_b], ix_m)
+    build_index(ray.data.from_arrow(pa.concat_tables([a, b])), ix_u, cfg)
+    assert canonical_postings(ix_m).equals(canonical_postings(ix_u))
+    # merged index serves identical results
+    q = queries_table(15, seed=3, vocab_size=2000)
+    ra = search_to_table(ix_m, q, QueryConfig(k=10))
+    rb = search_to_table(ix_u, q, QueryConfig(k=10))
+    assert ra.equals(rb)
+    assert stats["n_docs"] == 800
