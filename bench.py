@@ -172,7 +172,7 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
     build_eff = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / factor
     query_eff = (hi["query_qps"] / lo["query_qps"]) / factor
     return {
-        "metric": "scaling efficiency N->4N (cpus 8 vs 32, fresh sessions)",
+        "metric": f"scaling efficiency N->4N (cpus {cpus_lo} vs {cpus_hi}, fresh sessions)",
         "value": round(min(build_eff, query_eff), 3),
         "unit": "efficiency",
         "queries": {
@@ -210,9 +210,16 @@ def main() -> None:
         # large enough that parallel work dominates the fixed floor at the
         # 4N level (Amdahl) — generation is one-time, cached under /tmp.
         # NOTE: must run with the machine otherwise idle; concurrent load
-        # invalidates the comparison.
+        # invalidates the comparison. GRAFT_SCALING_CPUS picks the N,4N pair:
+        # "2,8" stays below the single-box DRAM-bandwidth ceiling (the regime
+        # a real N- vs 4N-node cluster provides, one memory bus per node);
+        # "8,32" additionally exposes the shared-bus saturation (documented
+        # in BASELINE.md).
         scaling_n = int(os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
-        result = run_scaling(sf_dir, scaling_n)
+        lo, hi = (
+            int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        )
+        result = run_scaling(sf_dir, scaling_n, cpus_lo=lo, cpus_hi=hi)
     else:
         result = run_bench(sf_dir, num_cpus, pages_n)
     if "--json-only" not in sys.argv:

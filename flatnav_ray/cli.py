@@ -74,6 +74,19 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge several same-config indexes into one (S8 graft — the
+    segment-merge compaction stage)."""
+    from .stages.compact import merge_indexes
+
+    _ray_init()
+    t0 = time.perf_counter()
+    stats = merge_indexes(args.src, args.out)
+    print(json.dumps({"stage": "compact", "n_docs": stats["n_docs"],
+                      "sec": round(time.perf_counter() - t0, 2), "out": args.out}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources.synth import pages_dataset
 
@@ -103,6 +116,11 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--method", choices=["taat", "maxscore", "wand"], default="maxscore")
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--src", nargs="+", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("synth")
     s.add_argument("--rows", type=int, required=True)

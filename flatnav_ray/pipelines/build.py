@@ -265,15 +265,25 @@ def _build_term_stats(index_dir: str) -> None:
     import shutil
 
     seg_dir = os.path.join(index_dir, "segments")
-    files = [
-        os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir)) if f.endswith(".parquet")
-    ]
+    files = (
+        [os.path.join(seg_dir, f) for f in sorted(os.listdir(seg_dir)) if f.endswith(".parquet")]
+        if os.path.isdir(seg_dir)
+        else []
+    )
     out_dir = term_stats_dir(index_dir)
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
 
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
+
+    if not files:  # empty index (e.g. empty input): typed empty term_stats
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}),
+            os.path.join(out_dir, "term_stats.parquet"),
+        )
+        return
 
     total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     if total_rows <= DRIVER_SIDE_TERMSTATS_ROWS:
