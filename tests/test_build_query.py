@@ -143,6 +143,31 @@ class TestResume:
         assert r2.n_partitions_built == 0 and r2.n_partitions_skipped == 6
         assert r2.n_docs == r1.n_docs  # stats survive the resume
 
+    def test_partial_failure_recovery(self, ray_session, small_corpus, tmp_path):
+        """Simulated mid-build crash: wipe two partitions' artifacts; the
+        resumed build rebuilds ONLY those and the index is byte-identical."""
+        import os
+
+        import ray.data
+
+        from flatnav_ray.state.manifest import manifest_path
+        from flatnav_ray.stages.build import docmap_path, segment_path
+
+        pages, queries = small_corpus
+        ix = str(tmp_path / "pfr")
+        build_index(ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=6))
+        before = canonical_postings(ix)
+        # crash aftermath: two partitions lost
+        for p in (1, 4):
+            os.remove(segment_path(ix, p))
+            os.remove(manifest_path(ix, p))
+        r = build_index(ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=6))
+        assert r.n_partitions_skipped == 4
+        assert r.n_partitions_built == 2
+        assert canonical_postings(ix).equals(before)
+        out = search_to_table(ix, queries, QueryConfig(k=10))
+        assert len(out) > 0
+
     def test_config_change_invalidates_manifests(self, ray_session, small_corpus, tmp_path):
         import ray.data
 
