@@ -252,6 +252,18 @@ def merge_partials_block(
     return pa.concat_tables(outs)
 
 
+def _bin_row_views(col) -> list[np.ndarray]:
+    """Zero-copy per-row uint8 views of a Binary column (no .as_py copies —
+    the merge touches GBs; copies here showed up as kernel page-fault storms)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    vals = arr.buffers()[2]
+    buf = np.frombuffer(vals, dtype=np.uint8) if vals is not None else np.empty(0, np.uint8)
+    return [buf[offs[i]: offs[i + 1]] for i in range(len(arr))]
+
+
 def _merge_one_partition(
     grp: pa.Table, partition: int, index_dir: str, cfg: IndexConfig, resume: set[int] | None
 ) -> pa.Table:
@@ -259,15 +271,23 @@ def _merge_one_partition(
         return pa.table([[partition], [0], [0], [0], [0], [True]], schema=MANIFEST_ROW_SCHEMA)
     n_partials = len(grp)
 
+    v_dm_ids = _bin_row_views(grp.column("dm_doc_ids"))
+    v_dm_lens = _bin_row_views(grp.column("dm_doc_lens"))
+    v_dm_ts = _bin_row_views(grp.column("dm_warc_ts"))
+    v_dm_th = _bin_row_views(grp.column("dm_text_hash"))
+    v_p_docs = _bin_row_views(grp.column("p_doc_ids"))
+    v_p_tfs = _bin_row_views(grp.column("p_tfs"))
+    v_p_codes = _bin_row_views(grp.column("p_term_idx"))
+
     # 1. resolve winners per doc_id across partials: max (warc_ts, text_hash)
     dm_ids, dm_lens, dm_ts, dm_th, dm_part = [], [], [], [], []
     urls_cols, langs_cols = [], []
     for i in range(n_partials):
-        ids = np.frombuffer(grp.column("dm_doc_ids")[i].as_py(), dtype=np.int64)
+        ids = v_dm_ids[i].view(np.int64)
         dm_ids.append(ids)
-        dm_lens.append(np.frombuffer(grp.column("dm_doc_lens")[i].as_py(), dtype=np.int32))
-        dm_ts.append(np.frombuffer(grp.column("dm_warc_ts")[i].as_py(), dtype=np.int64))
-        dm_th.append(np.frombuffer(grp.column("dm_text_hash")[i].as_py(), dtype=np.int64))
+        dm_lens.append(v_dm_lens[i].view(np.int32))
+        dm_ts.append(v_dm_ts[i].view(np.int64))
+        dm_th.append(v_dm_th[i].view(np.int64))
         dm_part.append(np.full(ids.size, i, dtype=np.int32))
         urls_cols.append(grp.column("dm_urls")[i].values)
         langs_cols.append(grp.column("dm_langs")[i].values)
@@ -336,11 +356,11 @@ def _merge_one_partition(
         dict_inv = np.empty(0, dtype=np.int64)
     code_parts, doc_parts, tf_parts = [], [], []
     for i in range(n_partials):
-        p_docs = np.frombuffer(grp.column("p_doc_ids")[i].as_py(), dtype=np.int64)
+        p_docs = v_p_docs[i].view(np.int64)
         if p_docs.size == 0:
             continue
-        p_tfs = np.frombuffer(grp.column("p_tfs")[i].as_py(), dtype=np.int32).astype(np.int64)
-        codes = np.frombuffer(grp.column("p_term_idx")[i].as_py(), dtype=np.int32)
+        p_tfs = v_p_tfs[i].view(np.int32).astype(np.int64)
+        codes = v_p_codes[i].view(np.int32)
         remap = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.int32)
         pos = np.searchsorted(win_sorted, p_docs)
         keep = win_partial_lookup[pos] == i
