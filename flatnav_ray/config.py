@@ -50,6 +50,12 @@ class IndexConfig:
 @dataclass(frozen=True)
 class QueryConfig:
     k: int = 10
-    method: str = "maxscore"  # "taat" (exact baseline) or "maxscore" (block-max pruned, also exact)
+    # "taat"/"maxscore": cached exact; "wand": block-max pruned exact
+    method: str = "maxscore"
     concurrency: int = 8
     scorer: str = "bm25"
+    # quality/speed knob — the ef_search graft (reference: bindings.cpp:432-473,
+    # Index.h:387-409 `max(ef_search, K)` beam width). 1.0 = exact top-k.
+    # >1.0 inflates the wand pruning threshold: more blocks skipped, recall
+    # may drop below 1 (measure with pipelines.oracle.recall_at_k).
+    approx_factor: float = 1.0

@@ -170,7 +170,8 @@ class _ShardState:
         self._contrib[term] = out
         return out
 
-    def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore") -> pa.Table:
+    def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore",
+                     approx_factor: float = 1.0) -> pa.Table:
         """Score every query in the plan against this shard; return partial
         top-k rows. Accumulation order per query: lexicographic terms (pinned
         float order).
@@ -188,7 +189,9 @@ class _ShardState:
         for qi in range(len(plan.query_ids)):
             qid = int(plan.query_ids[qi])
             if method == "wand":
-                docs, ssc, n_cand, n_blocks = self.search_one_pruned(plan, qi, scorer)
+                docs, ssc, n_cand, n_blocks = self.search_one_pruned(
+                    plan, qi, scorer, approx_factor
+                )
             else:
                 entries = []
                 n_blocks = 0
@@ -256,7 +259,7 @@ class _ShardState:
 
     # ---- block-max pruned path (method="wand") ----
 
-    def search_one_pruned(self, plan: QueryPlan, qi: int, scorer):
+    def search_one_pruned(self, plan: QueryPlan, qi: int, scorer, approx_factor: float = 1.0):
         """Exact top-k with MaxScore term partitioning + block-max skipping
         (the grafted form of flatnav's candidate pruning, Index.h:714-763,
         via the codec's independently-decodable blocks).
@@ -297,7 +300,7 @@ class _ShardState:
         threshold = -np.inf
         essential_end = len(tps)
         for i, (term, qtf, p, _ub) in enumerate(tps):
-            if i > 0 and threshold > -np.inf and suffix[i] <= threshold:
+            if i > 0 and threshold > -np.inf and suffix[i] <= threshold * approx_factor:
                 essential_end = i
                 break
             doc_ids, tfs = decode_postings(
@@ -411,7 +414,12 @@ class ShardSearcher:
             part = int(part)
             if not os.path.exists(segment_path(self.index_dir, part)):
                 continue
-            outs.append(self._state(part).search_batch(self.plan, self.scorer, self.cfg.method))
+            outs.append(
+                self._state(part).search_batch(
+                    self.plan, self.scorer, self.cfg.method,
+                    getattr(self.cfg, "approx_factor", 1.0),
+                )
+            )
         if not outs:
             return pa.table(
                 {
@@ -499,10 +507,12 @@ def _shard_actor_cls():
                 if os.path.exists(segment_path(index_dir, p))
             }
 
-        def search(self, plan: QueryPlan, scorer_name: str, method: str) -> pa.Table:
+        def search(self, plan: QueryPlan, scorer_name: str, method: str,
+                   approx_factor: float = 1.0) -> pa.Table:
             scorer = SCORERS[scorer_name]
             outs = [
-                st.search_batch(plan, scorer, method) for st in self.states.values()
+                st.search_batch(plan, scorer, method, approx_factor)
+                for st in self.states.values()
             ]
             return pa.concat_tables(outs) if outs else None
 
@@ -550,7 +560,13 @@ class SearchSession:
             query_cfg.k,
         )
         plan_ref = ray.put(plan)
-        futs = [a.search.remote(plan_ref, query_cfg.scorer, query_cfg.method) for a in self.actors]
+        futs = [
+            a.search.remote(
+                plan_ref, query_cfg.scorer, query_cfg.method,
+                getattr(query_cfg, "approx_factor", 1.0),
+            )
+            for a in self.actors
+        ]
         parts = [t for t in ray.get(futs) if t is not None and len(t)]
         if not parts:
             return merge_topk_table(
