@@ -52,6 +52,32 @@ def exact_text_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str
     return kept.map_batches(_rename, batch_format="pyarrow")
 
 
+def semi_join_keep(
+    ds: ray.data.Dataset, keep_ids, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Filter a corpus to a kept-id set via broadcast semi-join: the (small)
+    id set ships once via ray.put; each batch filters with a vectorized
+    membership test — no shuffle of the corpus (SURVEY.md §4
+    broadcast-small-side). Composes exact/near-dup results back onto the
+    corpus: `semi_join_keep(pages, exact_text_dedup(pages))`."""
+    import ray as _ray
+
+    if isinstance(keep_ids, ray.data.Dataset):
+        keep_ids = pa.concat_tables(keep_ids.iter_batches(batch_format="pyarrow")).column(id_col)
+    arr = np.sort(np.asarray(keep_ids, dtype=np.int64))
+    ref = _ray.put(arr)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keep = _ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keep, ids)
+        ok = pos < keep.size
+        ok[ok] = keep[pos[ok]] == ids[ok]
+        return batch.filter(pa.array(ok))
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
     parent: dict[int, int] = {}
 

@@ -266,16 +266,21 @@ def build_term_index(
         fn_kwargs={"index_dir": index_dir, "cfg": cfg},
     )
 
-    # heavy-hitter detection: project to the term column only (tiny vs the
-    # posting stream), pre-aggregated count per term
+    # heavy-hitter detection with a map-side combiner (SURVEY.md §4): each
+    # batch pre-aggregates (term, partial_count) so only vocabulary-sized
+    # partials shuffle — never the raw posting stream
+    def _partial_counts(b: pa.Table) -> pa.Table:
+        agg = b.select(["term"]).group_by("term").aggregate([([], "count_all")])
+        return agg.rename_columns(["term", "n"])
+
     df_tbl = pa.concat_tables(
-        postings.select_columns(["term"])
+        postings.map_batches(_partial_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("term", num_partitions=cfg.num_partitions)
-        .count()
+        .sum("n")
         .iter_batches(batch_format="pyarrow")
     )
     counts = dict(
-        zip(df_tbl.column("term").to_pylist(), df_tbl.column("count()").to_pylist())
+        zip(df_tbl.column("term").to_pylist(), df_tbl.column("sum(n)").to_pylist())
     )
     heavy = {
         t: int(np.ceil(c / salt_threshold)) for t, c in counts.items() if c > salt_threshold

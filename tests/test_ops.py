@@ -36,6 +36,17 @@ class TestDedup:
         ids = sorted(kept.column("doc_id").to_pylist())
         assert ids == [0, 2, 3, 4]  # doc 1 (exact dup of 0) collapsed to min id
 
+    def test_semi_join_keep_filters_corpus(self, doc_ds):
+        from flatnav_ray.stages.dedup import exact_text_dedup, semi_join_keep
+
+        ds, t = doc_ds
+        kept = exact_text_dedup(ds)
+        filtered = pa.concat_tables(
+            semi_join_keep(ds, kept).iter_batches(batch_format="pyarrow")
+        )
+        assert sorted(filtered.column("doc_id").to_pylist()) == [0, 2, 3, 4]
+        assert filtered.column_names == t.column_names  # full rows survive
+
     def test_minhash_clusters_group_near_dups(self, doc_ds):
         from flatnav_ray.stages.dedup import minhash_lsh_clusters
 
