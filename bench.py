@@ -262,7 +262,7 @@ def main() -> None:
         # in BASELINE.md).
         scaling_n = int(os.environ.get("GRAFT_SCALING_PAGES", "1000000"))
         lo, hi = (
-            int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+            int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
         )
         result = run_scaling(sf_dir, scaling_n, cpus_lo=lo, cpus_hi=hi)
     else:
