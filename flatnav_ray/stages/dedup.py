@@ -156,21 +156,52 @@ def minhash_lsh_clusters(
             }
         )
 
-    bucket_tbl = pa.concat_tables(
-        ds.map_batches(_bands, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    bands_ds = ds.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _combine_key(batch: pa.Table) -> pa.Table:
+        # combine band into the bucket key so bands don't collide
+        b = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bucket": pa.array(bk * 131 + b, type=pa.int64()), id_col: batch.column(id_col)}
+        )
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        # star pattern: each member pairs with the bucket minimum — linear,
+        # sufficient for union-find connectivity; hot buckets capped
+        members = np.sort(
+            group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )[:64]
+        if members.size < 2:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.full(members.size - 1, members[0]), type=pa.int64()),
+                "b": pa.array(members[1:], type=pa.int64()),
+            }
+        )
+
+    # distributed candidate-pair extraction; the pair list (<< corpus) and the
+    # union-find run driver-side — the documented scale path is an iterative
+    # distributed connected-components over the same pair stream
+    pair_tbl_batches = list(
+        bands_ds.map_batches(_combine_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
     )
-    # combine band into the bucket key so bands don't collide
-    b = bucket_tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-    bk = bucket_tbl.column("bucket").to_numpy(zero_copy_only=False)
-    key = (bk * 131) + b
-    bucket_tbl = pa.table(
-        {"bucket": pa.array(key, type=pa.int64()), id_col: bucket_tbl.column(id_col)}
-    )
-    pairs = _pairs_from_buckets(bucket_tbl, id_col)
+    pairs = []
+    for bt in pair_tbl_batches:
+        pairs.extend(zip(bt.column("a").to_pylist(), bt.column("b").to_pylist()))
     comp = _union_find(pairs)
-    all_ids = sorted(
-        set(bucket_tbl.column(id_col).to_pylist())
+    ids_tbl = pa.concat_tables(
+        ds.map_batches(
+            lambda b: b.select([id_col]), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
     )
+    all_ids = sorted(set(ids_tbl.column(id_col).to_pylist()))
     cluster = [comp.get(i, i) for i in all_ids]
     return pa.table(
         {
@@ -243,59 +274,103 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> pa.Table:
     """Exact word-n-gram Jaccard similarity for all doc pairs sharing >=1
-    shingle, thresholded. Implemented as: explode distinct shingles ->
-    self-join via groupby(shingle) -> pair co-occurrence counts ->
-    |A∩B| / (|A|+|B|-|A∩B|). DuckDB-checkable (oracle_sql)."""
+    shingle, thresholded. Fully distributed (DuckDB-checkable, oracle_sql):
+
+        map_batches: distinct (doc_id, shingle) per doc + doc shingle-set size
+        -> groupby(shingle).map_groups: emit co-occurring pairs
+        -> groupby(doc_a, doc_b).count: intersection sizes
+        -> map_batches: jaccard = inter / (|A|+|B|-inter), threshold filter
+           (doc sizes broadcast via ray.put — at larger scale this becomes a
+           hash join on doc_a/doc_b)
+
+    `max_shingle_df` drops shingles appearing in more than that many docs
+    before pairing (hot boilerplate shingles generate quadratic pairs); the
+    SQL oracle applies the identical HAVING filter."""
 
     def _shingles(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         parents, sh = token_shingles(texts, n=n)
-        return pa.table(
+        t = pa.table(
             {
                 id_col: pa.array(ids[parents], type=pa.int64()),
                 "shingle": pa.array(sh.astype(np.int64), type=pa.int64()),
             }
         )
+        # each doc is whole within a batch, so per-batch distinct == global
+        return t.group_by([id_col, "shingle"]).aggregate([])
 
-    tbl = pa.concat_tables(
-        ds.map_batches(_shingles, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    shingles = ds.map_batches(_shingles, batch_format="pyarrow", zero_copy_batch=True)
+
+    # doc shingle-set sizes (small side: one row per doc) — broadcast
+    sizes_tbl = pa.concat_tables(
+        shingles.groupby(id_col).count().iter_batches(batch_format="pyarrow")
     )
-    # distinct (doc, shingle)
-    tbl = tbl.group_by([id_col, "shingle"]).aggregate([])
-    sizes = tbl.group_by(id_col).aggregate([("shingle", "count")])
     size_of = dict(
-        zip(sizes.column(id_col).to_pylist(), sizes.column("shingle_count").to_pylist())
+        zip(
+            sizes_tbl.column(id_col).to_pylist(),
+            sizes_tbl.column("count()").to_pylist(),
+        )
     )
-    srt = tbl.sort_by([("shingle", "ascending"), (id_col, "ascending")])
-    sh = srt.column("shingle").to_numpy(zero_copy_only=False)
-    ids = srt.column(id_col).to_numpy(zero_copy_only=False)
-    from collections import Counter
+    sizes_ref = ray.put(size_of)
 
-    co: Counter = Counter()
-    start = 0
-    for i in range(1, len(sh) + 1):
-        if i == len(sh) or sh[i] != sh[start]:
-            members = ids[start:i]
-            for a in range(len(members)):
-                for b in range(a + 1, len(members)):
-                    co[(int(members[a]), int(members[b]))] += 1
-            start = i
-    rows = []
-    for (a, b), inter in co.items():
-        union = size_of[a] + size_of[b] - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            rows.append((a, b, j))
-    rows.sort()
-    return pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows], type=pa.float64()),
-        }
+    def _pairs(group: pa.Table) -> pa.Table:
+        members = np.sort(group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
+        m = members.size
+        if m < 2 or (max_shingle_df is not None and m > max_shingle_df):
+            return pa.table(
+                {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64())}
+            )
+        ai, bi = np.triu_indices(m, 1)
+        return pa.table(
+            {
+                "doc_a": pa.array(members[ai], type=pa.int64()),
+                "doc_b": pa.array(members[bi], type=pa.int64()),
+            }
+        )
+
+    inter = (
+        shingles.groupby("shingle")
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .count()
+    )
+
+    def _jaccard(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sz = _ray.get(sizes_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        it = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = np.array([sz[x] for x in a], dtype=np.float64)
+        sb = np.array([sz[x] for x in b], dtype=np.float64)
+        j = it / (sa + sb - it)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "jaccard": pa.array(j[keep], type=pa.float64()),
+            }
+        )
+
+    batches = list(
+        inter.map_batches(_jaccard, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    if not batches:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 
 
