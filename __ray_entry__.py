@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": d.knn_cosine,
         "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
         "embedding_dups": d.embedding_dups,
+        "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
         # the engine itself (flagship: build + BM25 top-k, rank-identical)
         "bm25_topk": d.bm25_topk,
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle

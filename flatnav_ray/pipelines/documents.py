@@ -200,6 +200,16 @@ def embedding_dups(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     return embedding_near_dups(emb, threshold=threshold).select(["doc_a", "doc_b"])
 
 
+def embedding_dups_lsh(sf_dir: str, threshold: float = 0.3) -> pa.Table:
+    """LSH-bucketed near-dup (scale path; approximate -> rows-only check)."""
+    from ..stages.dedup import embedding_near_dups_lsh
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups_lsh(emb, threshold=threshold, n_planes=6, n_tables=8).select(
+        ["doc_a", "doc_b"]
+    )
+
+
 # ---------- the flagship: real index build + BM25 top-k ----------
 
 def _index_dir_for(sf_dir: str, cfg: IndexConfig) -> str:

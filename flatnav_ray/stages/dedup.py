@@ -235,31 +235,60 @@ def simhash_clusters(
             }
         )
 
-    sig_tbl = pa.concat_tables(
-        ds.map_batches(_sig, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    sigs_ds = ds.map_batches(_sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        ids_ = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sg = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        rows_b, rows_id, rows_sig = [], [], []
+        for band in range(4):
+            chunk = ((sg >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows_b.append(chunk * 4 + band)
+            rows_id.append(ids_)
+            rows_sig.append(sg.astype(np.int64))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(rows_b), type=pa.int64()),
+                id_col: pa.array(np.concatenate(rows_id), type=pa.int64()),
+                "simhash": pa.array(np.concatenate(rows_sig), type=pa.int64()),
+            }
+        )
+
+    def _bucket_verified_pairs(group: pa.Table) -> pa.Table:
+        # verify the Hamming distance inside the reducer: only true near-dup
+        # pairs leave the group (distributed verification, star-capped)
+        order = np.argsort(group.column(id_col).to_numpy(zero_copy_only=False))[:256]
+        ids_ = group.column(id_col).to_numpy(zero_copy_only=False)[order]
+        sg = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        if ids_.size < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        x = sg[0] ^ sg[1:]
+        ham = np.zeros(x.size, dtype=np.int64)
+        for k in range(64):
+            ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+        keep = ham <= hamming_threshold
+        return pa.table(
+            {
+                "a": pa.array(np.full(int(keep.sum()), ids_[0]), type=pa.int64()),
+                "b": pa.array(ids_[1:][keep], type=pa.int64()),
+            }
+        )
+
+    pair_batches = list(
+        sigs_ds.map_batches(_band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_verified_pairs, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
     )
-    ids = sig_tbl.column(id_col).to_numpy(zero_copy_only=False)
-    sigs = sig_tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-    sig_of = dict(zip(ids.tolist(), sigs.tolist()))
-    rows_b, rows_id = [], []
-    for band in range(4):
-        chunk = ((sigs >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-        rows_b.append(chunk * 4 + band)
-        rows_id.append(ids)
-    bucket_tbl = pa.table(
-        {
-            "bucket": pa.array(np.concatenate(rows_b), type=pa.int64()),
-            id_col: pa.array(np.concatenate(rows_id), type=pa.int64()),
-        }
-    )
-    cand = _pairs_from_buckets(bucket_tbl, id_col, cap=256)
-    verified = [
-        (a, b)
-        for a, b in cand
-        if bin(sig_of[a] ^ sig_of[b]).count("1") <= hamming_threshold
-    ]
+    verified = []
+    for bt in pair_batches:
+        verified.extend(zip(bt.column("a").to_pylist(), bt.column("b").to_pylist()))
     comp = _union_find(verified)
-    out_ids = sorted(sig_of)
+    ids_tbl = pa.concat_tables(
+        sigs_ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    out_ids = sorted(set(ids_tbl.column(id_col).to_pylist()))
     return pa.table(
         {
             id_col: pa.array(out_ids, type=pa.int64()),
@@ -372,6 +401,96 @@ def ngram_jaccard_pairs(
     return pa.concat_tables(batches).sort_by(
         [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
+
+
+def embedding_near_dups_lsh(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 0,
+) -> pa.Table:
+    """Scale-path embedding near-dup: random-hyperplane LSH bucketing
+    (sign-pattern key, `n_tables` independent plane sets — a pair is a
+    candidate if it collides in ANY table) then exact cosine verification
+    within buckets — no all-pairs matmul against a broadcast matrix.
+    Candidate recall for a pair at angle θ: 1 - (1 - (1-θ/π)^n_planes)^n_tables
+    — tune for the HIGH-threshold near-dup regime (e.g. ≥0.9 cosine)."""
+    import ray as _ray
+
+    first = pa.concat_tables(ds.limit(1).iter_batches(batch_format="pyarrow"))
+    dim = len(first.column(vec_col)[0].as_py())
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    planes_ref = _ray.put(planes)
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        pl = _ray.get(planes_ref)
+        m = _normalize_rows(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+        outs = []
+        for t in range(pl.shape[0]):
+            bits = (m @ pl[t].T) > 0
+            key = bits.dot(1 << np.arange(pl.shape[1], dtype=np.int64))
+            outs.append(
+                batch.append_column(
+                    "bucket",
+                    pa.array(
+                        key.astype(np.int64) * np.int64(pl.shape[0]) + t, type=pa.int64()
+                    ),
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def _verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size < 2:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        m = _normalize_rows(np.stack(group.column(vec_col).to_pylist()).astype(np.float64))
+        sims = m @ m.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, 1))
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pa.table(
+            {
+                "doc_a": pa.array(a, type=pa.int64()),
+                "doc_b": pa.array(b, type=pa.int64()),
+                "cosine": pa.array(sims[ai, bi], type=pa.float64()),
+            }
+        )
+
+    batches = list(
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_verify, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not batches:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = pa.concat_tables(batches)
+    # distinct (a pair can reappear if a bucket key repeats across groups)
+    out = out.group_by(["doc_a", "doc_b"]).aggregate([("cosine", "max")]).rename_columns(
+        ["doc_a", "doc_b", "cosine"]
+    )
+    return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
 def embedding_near_dups(

@@ -131,6 +131,31 @@ class TestKnn:
             assert e == f
 
 
+class TestEmbeddingNearDup:
+    def test_lsh_matches_exact_on_planted_dups(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.dedup import embedding_near_dups, embedding_near_dups_lsh
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=(300, 32))
+        near = base[:50] + rng.normal(scale=0.12, size=(50, 32))
+        mat = np.vstack([base, near])
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(350, dtype=np.int64)),
+                "embedding": pa.array([r.tolist() for r in mat], type=pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        exact = embedding_near_dups(ds, threshold=0.9)
+        lsh = embedding_near_dups_lsh(ds, threshold=0.9)
+        e = set(zip(exact.column("doc_a").to_pylist(), exact.column("doc_b").to_pylist()))
+        l = set(zip(lsh.column("doc_a").to_pylist(), lsh.column("doc_b").to_pylist()))
+        assert l <= e  # verified pairs are always true positives
+        assert len(l & e) / len(e) > 0.9  # high recall in the near-dup regime
+
+
 class TestTextStats:
     def test_quality_stats(self):
         from flatnav_ray.functions.textstats import quality_stats
