@@ -545,12 +545,22 @@ class SearchSession:
             cls.remote(index_dir, a, int(self.stats["block_size"])) for a in assign
         ]
 
+    # queries per broadcast plan: bounds the ray.put object and per-actor
+    # accumulation for very large batches; chunks stream through the pool
+    MAX_PLAN_QUERIES = 16_384
+
     def search(self, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
         import ray
 
         from ..state.stats import lookup_term_df
 
         query_cfg = query_cfg or QueryConfig()
+        if len(queries) > self.MAX_PLAN_QUERIES:
+            parts = [
+                self.search(queries.slice(i, self.MAX_PLAN_QUERIES), query_cfg)
+                for i in range(0, len(queries), self.MAX_PLAN_QUERIES)
+            ]
+            return pa.concat_tables(parts)
         distinct: set[str] = set()
         for t in queries.column("text").to_pylist():
             distinct.update(tokenize_py(t))
