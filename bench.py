@@ -250,7 +250,7 @@ def _record(result: dict) -> None:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    pages_n = int(os.environ.get("GRAFT_BENCH_PAGES", "24000"))
+    pages_n = int(os.environ.get("GRAFT_BENCH_PAGES", "96000"))
     if "--scaling" in sys.argv:
         # large enough that parallel work dominates the fixed floor at the
         # 4N level (Amdahl) — generation is one-time, cached under /tmp.
