@@ -126,12 +126,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),
         "jaccard_pairs": (
+            # hot-shingle cap mirrored from stages/dedup.py ngram_jaccard_pairs
+            # (max_shingle_df=128): capped shingles are excluded from pair
+            # generation AND intersection counts; doc sizes stay exact.
             f"WITH toksl AS (SELECT doc_id, {toks} AS t FROM documents), "
             "sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
             "FOR i IN generate_series(1, len(t)-2)]) AS s FROM toksl WHERE len(t) >= 3), "
             "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+            "shok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 128), "
             "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "FROM sh a JOIN shok ON shok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
             "SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard "
             "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2 ORDER BY doc_a, doc_b"

@@ -25,7 +25,15 @@ B_DEFAULT = 0.75
 
 def idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
     """Lucene/BM25+ idf: ln(1 + (N - df + 0.5) / (df + 0.5)) — always > 0,
-    which block-max pruning relies on (score upper bounds stay monotone)."""
+    which block-max pruning relies on (score upper bounds stay monotone).
+
+    Scalar inputs go through libm's log1p, NOT numpy's SIMD kernel: the two
+    differ in the last ULP for ~20% of inputs, and the rank-identity contract
+    needs the engine and the brute-force oracle to compute the identical
+    float (the engine only ever evaluates idf per distinct query term, so the
+    scalar path is the hot one anyway)."""
+    if np.ndim(df) == 0:
+        return math.log1p((n_docs - float(df) + 0.5) / (float(df) + 0.5))
     return np.log1p((n_docs - np.asarray(df, dtype=np.float64) + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5))
 
 
@@ -98,7 +106,7 @@ SCORERS = {"bm25": Bm25Scorer(), "tfidf": TfIdfScorer()}
 def bm25_score_py(tf: int, dl: int, df: int, n_docs: int, avgdl: float,
                   k1: float = K1_DEFAULT, b: float = B_DEFAULT) -> float:
     """Scalar closed-form reference used by kernel tests (tests/test_bm25.py)."""
-    w = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    w = math.log1p((n_docs - df + 0.5) / (df + 0.5))
     return w * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 

@@ -1,15 +1,26 @@
 """Stable 64-bit hashing + MinHash / SimHash signature kernels.
 
-All hashes here are deterministic across processes and sessions (no PYTHONHASHSEED
-dependence) — the analog of the reference's deterministic node-id assignment
+All hashes here are deterministic across processes, sessions AND library
+versions (no PYTHONHASHSEED dependence, no third-party hash implementation) —
+the analog of the reference's deterministic node-id assignment
 (/root/reference/include/flatnav/index/Index.h:262-272 assigns dense ids in
 insertion order; we assign by stable content hash so ids are independent of
 parallelism and partition count, which the determinism tests require).
+
+The string hash is a word-wise FNV-1a variant: fold 8-byte little-endian
+words (zero-padded tail) with h = (h ^ word) * FNV_PRIME, then finish with a
+splitmix64 mix of the length (disambiguates trailing NULs) — one definition,
+implemented twice: a scalar spec (`hash64_bytes`) and a vectorized numpy
+kernel (`stable_hash64`) asserted equal in tests. Every worker of a job
+computes the same hash by construction; there is no optional fast path that
+could diverge across the cluster (doc_ids, dedup keys and shuffle partitions
+all derive from this).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 # splitmix64 constants — public-domain PRNG finalizer, used as a cheap strong
 # 64-bit mixer for integer inputs.
@@ -34,10 +45,13 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash64_bytes(data: bytes, seed: int = 0) -> int:
-    """FNV-1a 64-bit over bytes, then splitmix64-mixed with the seed."""
+    """Scalar spec of the string hash: word-wise FNV-1a + splitmix64(length)
+    finisher. `stable_hash64` must match this exactly (tested)."""
     h = int(_FNV_OFFSET)
-    for b in data:
-        h = ((h ^ b) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    for j in range(0, len(data), 8):
+        w = int.from_bytes(data[j : j + 8], "little")  # implicit zero pad
+        h = ((h ^ w) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    h = int(splitmix64(np.array([h ^ len(data)], dtype=np.uint64))[0])
     if seed:
         h = int(splitmix64(np.array([h ^ seed], dtype=np.uint64))[0])
     return h
@@ -47,56 +61,71 @@ def hash64_str(s: str, seed: int = 0) -> int:
     return hash64_bytes(s.encode("utf-8"), seed)
 
 
-import os as _os
-
-# polars spawns an all-core rayon pool per process; our hash calls run inside
-# 1-CPU Ray tasks, so a single thread is right (and avoids oversubscription)
-_os.environ.setdefault("POLARS_MAX_THREADS", "1")
-try:
-    import polars as _pl
-except Exception:  # pragma: no cover
-    _pl = None
+# max padded-matrix words per chunk (~16 MB) — bounds the temporary the
+# vectorized kernel allocates regardless of how long the longest string is
+_CHUNK_WORDS = 1 << 21
 
 
 def stable_hash64(strings, seed: int = 0) -> np.ndarray:
-    """Vectorized stable 64-bit hash of a sequence of strings -> uint64 array.
+    """Vectorized stable 64-bit hash of strings -> uint64 array.
 
-    Fast path: polars' vectorized string hash (deterministic for a fixed
-    seed within an installation — sufficient for doc-id stability across
-    processes/partitionings, which is what the determinism tests require).
-    Fallback: the pure-numpy FNV-1a below (byte-column lockstep)."""
-    if _pl is not None:
-        if not isinstance(strings, (list, tuple)):
-            strings = list(strings)
-        h = _pl.Series(strings, dtype=_pl.Utf8).hash(seed=seed & 0xFFFFFFFFFFFFFFFF)
-        return h.to_numpy().astype(np.uint64)
-    return _stable_hash64_numpy(strings, seed)
-
-
-def _stable_hash64_numpy(strings, seed: int = 0) -> np.ndarray:
-    """Pure-numpy FNV-1a (matches hash64_str exactly); the portable fallback.
+    Accepts a pyarrow String/LargeString (Chunked)Array (zero-copy over its
+    offsets/data buffers — preferred in batch kernels) or any sequence of str.
+    Rows are processed in length-sorted chunks so the padded word matrix stays
+    ~16 MB whatever the length skew; each chunk folds 8-byte words in lockstep
+    (vectorized across rows). Matches `hash64_bytes` bit-for-bit.
     """
-    enc = [s.encode("utf-8") for s in strings]
-    n = len(enc)
-    out = np.full(n, int(_FNV_OFFSET), dtype=np.uint64)
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(list(strings), type=pa.string())
+    n = len(strings)
+    out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
-    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
-    if maxlen:
-        # Build a padded (n, maxlen) byte matrix once; columns are hashed in
-        # lockstep (vectorized across the n strings).
-        buf = np.zeros((n, maxlen), dtype=np.uint8)
-        for i, e in enumerate(enc):
-            buf[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
-        with np.errstate(over="ignore"):
-            for j in range(maxlen):
-                active = lens > j
-                col = buf[:, j].astype(np.uint64)
-                nxt = (out ^ col) * _FNV_PRIME
-                out = np.where(active, nxt, out)
-    if seed:
-        out = splitmix64(out ^ np.uint64(seed))
+    if pa.types.is_large_string(strings.type) or pa.types.is_large_binary(strings.type):
+        offs = np.frombuffer(strings.buffers()[1], dtype=np.int64)[
+            strings.offset : strings.offset + n + 1
+        ]
+    else:
+        offs = np.frombuffer(strings.buffers()[1], dtype=np.int32)[
+            strings.offset : strings.offset + n + 1
+        ].astype(np.int64)
+    valbuf = strings.buffers()[2]
+    vals = np.frombuffer(valbuf, dtype=np.uint8) if valbuf is not None else np.empty(0, np.uint8)
+    starts = offs[:-1]
+    lens = offs[1:] - starts
+    order = np.argsort(lens, kind="stable")
+
+    i = 0
+    with np.errstate(over="ignore"):
+        while i < n:
+            j = min(n, i + 4096)
+            maxw = max(1, int(lens[order[j - 1]] + 7) // 8)
+            j = min(j, i + max(1, _CHUNK_WORDS // maxw))
+            sel = order[i:j]
+            sl = lens[sel]
+            maxw = max(1, int(sl[-1] + 7) // 8)
+            rows = sel.size
+            # padded byte matrix -> little-endian uint64 word matrix
+            idx = starts[sel, None] + np.arange(maxw * 8, dtype=np.int64)[None, :]
+            mask = np.arange(maxw * 8, dtype=np.int64)[None, :] < sl[:, None]
+            if vals.size:
+                bmat = vals[np.minimum(idx, vals.size - 1)]
+                bmat &= mask.astype(np.uint8) * np.uint8(0xFF)
+            else:
+                bmat = np.zeros((rows, maxw * 8), dtype=np.uint8)
+            words = np.ascontiguousarray(bmat).view("<u8")
+            wn = (sl + 7) // 8
+            h = np.full(rows, _FNV_OFFSET, dtype=np.uint64)
+            for wj in range(maxw):
+                nxt = (h ^ words[:, wj]) * _FNV_PRIME
+                h = np.where(wn > wj, nxt, h)
+            h = splitmix64(h ^ sl.astype(np.uint64))
+            if seed:
+                h = splitmix64(h ^ np.uint64(seed))
+            out[sel] = h
+            i = j
     return out
 
 

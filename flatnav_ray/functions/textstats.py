@@ -107,7 +107,7 @@ def fingerprint_docs(
         texts = texts.combine_chunks()
     n = len(texts)
     parents, toks = explode_tokens(texts)
-    th = stable_hash64(toks.to_pylist())
+    th = stable_hash64(toks)
     fp = np.zeros(n, dtype=np.uint64)
     if th.size:
         # rolling combine: shingle hash = mix of w consecutive token hashes
@@ -131,7 +131,7 @@ def token_shingles(texts: pa.Array | pa.ChunkedArray, n: int = 3) -> tuple[np.nd
     """(row_index, shingle_hash) for word n-grams of each text — feeds
     MinHash/LSH and n-gram-Jaccard dedup. Vectorized over the token stream."""
     parents, toks = explode_tokens(texts)
-    th = stable_hash64(toks.to_pylist())
+    th = stable_hash64(toks)
     if th.size < n:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     sh = th[: th.size - n + 1].copy()

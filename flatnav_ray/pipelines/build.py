@@ -56,13 +56,37 @@ def prepare_batch(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] |
     return batch.select(keep)
 
 
+def _is_multi_node() -> bool:
+    """True when the connected Ray cluster has more than one alive node."""
+    try:
+        import ray as _ray
+
+        if not _ray.is_initialized():
+            return False
+        return sum(1 for n in _ray.nodes() if n.get("Alive")) > 1
+    except Exception:  # pragma: no cover - defensive (no cluster info)
+        return False
+
+
 def _pick_spill_dir(index_dir: str) -> str:
-    """Shuffle-spill location for the two-phase build. Priority:
-    $FLATNAV_SPILL_ROOT > /dev/shm (tmpfs: no disk writeback competing with
-    the merge's reads + segment writes) > index_dir/_partials. On a real
-    multi-node cluster this is the per-node NVMe scratch; partials there are
-    node-local exactly like Spark shuffle files."""
+    """Shuffle-spill location for the two-phase build.
+
+    SINGLE NODE: $FLATNAV_SPILL_ROOT > /dev/shm (tmpfs: no disk writeback
+    competing with the merge's reads + segment writes) > index_dir/_partials.
+
+    MULTI NODE: node-local tmpfs is NOT a shuffle — map tasks would write
+    partials to each node's own /dev/shm and a merge task scheduled on one
+    node would silently read only that node's files (Spark-style shuffle
+    files work only because reducers FETCH from every mapper; nothing here
+    fetches). So with >1 alive node the spill defaults to
+    index_dir/_partials: the index dir must be on shared storage for a
+    multi-node build to be readable at all, and spilling beside it keeps
+    every partial visible to every merge task. $FLATNAV_SPILL_ROOT still
+    overrides — it must then point at shared storage (NFS/FSx/object mount).
+    """
     root = os.environ.get("FLATNAV_SPILL_ROOT")
+    if not root and _is_multi_node():
+        return os.path.join(index_dir, "_partials")
     if not root and os.path.isdir("/dev/shm"):
         try:
             import shutil as _sh

@@ -129,10 +129,17 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": out.column("doc_id")}).sort_by("doc_id")
 
 
-def jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2) -> pa.Table:
+def jaccard_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.2, max_shingle_df: int = 128
+) -> pa.Table:
+    """Word-3-gram Jaccard pairs with the default hot-shingle cap ACTIVE
+    (boilerplate shingles never generate quadratic pairs); the oracle SQL
+    applies the identical shingle-df filter."""
     from ..stages.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(sf_dir), n=n, threshold=threshold)
+    return ngram_jaccard_pairs(
+        _docs(sf_dir), n=n, threshold=threshold, max_shingle_df=max_shingle_df
+    )
 
 
 def minhash_clusters(sf_dir: str) -> pa.Table:

@@ -50,7 +50,7 @@ def brute_force_topk(
             dft = df.get(term, 0)
             if dft == 0:
                 continue
-            w = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+            w = math.log1p((n - dft + 0.5) / (dft + 0.5))  # same libm call as the engine's idf
             qtf = qc[term]
             for d in doc_ids:
                 tf = tfs[d].get(term, 0)

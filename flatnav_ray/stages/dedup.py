@@ -34,8 +34,7 @@ def exact_text_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str
     text. Shuffles only (text_hash, doc_id) — the text itself never moves."""
 
     def _sig(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        h = stable_hash64(texts).astype(np.int64) & np.int64(2**63 - 1)
+        h = stable_hash64(batch.column(text_col)).astype(np.int64) & np.int64(2**63 - 1)
         return pa.table(
             {
                 "text_hash": pa.array(h, type=pa.int64()),
@@ -76,6 +75,16 @@ def semi_join_keep(
         return batch.filter(pa.array(ok))
 
     return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (np.bitwise_count on numpy>=2)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for k in range(64):
+        ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+    return ham
 
 
 def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -159,12 +168,11 @@ def minhash_lsh_clusters(
     bands_ds = ds.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def _combine_key(batch: pa.Table) -> pa.Table:
-        # combine band into the bucket key so bands don't collide
-        b = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"bucket": pa.array(bk * 131 + b, type=pa.int64()), id_col: batch.column(id_col)}
-        )
+        # the band index is already mixed into the bucket hash at signature
+        # time (xor with b+1 before splitmix64), so the bucket IS the key —
+        # no further arithmetic (an int64 multiply-add here would wrap and
+        # alias distinct (bucket, band) pairs)
+        return batch.select(["bucket", id_col])
 
     def _bucket_pairs(group: pa.Table) -> pa.Table:
         # star pattern: each member pairs with the bucket minimum — linear,
@@ -224,7 +232,7 @@ def simhash_clusters(
         texts = batch.column(text_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         parents, toks = explode_tokens(texts)
-        th = stable_hash64(toks.to_pylist())
+        th = stable_hash64(toks)
         sigs = []
         for i in range(len(ids)):
             sigs.append(simhash64(th[parents == i]))
@@ -256,21 +264,23 @@ def simhash_clusters(
 
     def _bucket_verified_pairs(group: pa.Table) -> pa.Table:
         # verify the Hamming distance inside the reducer: only true near-dup
-        # pairs leave the group (distributed verification, star-capped)
+        # pairs leave the group (distributed verification). ALL pairs within
+        # the (capped) bucket are checked — the 4-band pigeonhole guarantee
+        # only says a near-dup PAIR shares a band, so a star pattern anchored
+        # at the bucket minimum would miss pairs that are both far from the
+        # anchor. O(cap^2) XOR+popcount, vectorized.
         order = np.argsort(group.column(id_col).to_numpy(zero_copy_only=False))[:256]
         ids_ = group.column(id_col).to_numpy(zero_copy_only=False)[order]
         sg = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)[order]
         if ids_.size < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        x = sg[0] ^ sg[1:]
-        ham = np.zeros(x.size, dtype=np.int64)
-        for k in range(64):
-            ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
-        keep = ham <= hamming_threshold
+        x = sg[:, None] ^ sg[None, :]
+        ham = _popcount64(x)
+        ai, bi = np.nonzero(np.triu(ham <= hamming_threshold, 1))
         return pa.table(
             {
-                "a": pa.array(np.full(int(keep.sum()), ids_[0]), type=pa.int64()),
-                "b": pa.array(ids_[1:][keep], type=pa.int64()),
+                "a": pa.array(ids_[ai], type=pa.int64()),
+                "b": pa.array(ids_[bi], type=pa.int64()),
             }
         )
 
@@ -303,7 +313,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 128,
 ) -> pa.Table:
     """Exact word-n-gram Jaccard similarity for all doc pairs sharing >=1
     shingle, thresholded. Fully distributed (DuckDB-checkable, oracle_sql):
@@ -315,9 +325,12 @@ def ngram_jaccard_pairs(
            (doc sizes broadcast via ray.put — at larger scale this becomes a
            hash join on doc_a/doc_b)
 
-    `max_shingle_df` drops shingles appearing in more than that many docs
-    before pairing (hot boilerplate shingles generate quadratic pairs); the
-    SQL oracle applies the identical HAVING filter."""
+    `max_shingle_df` (DEFAULT 128 — a hot boilerplate shingle shared by m
+    docs would otherwise emit m*(m-1)/2 pairs: quadratic blow-up) drops
+    shingles appearing in more than that many docs from PAIR GENERATION and
+    intersection counting; doc shingle-set sizes stay exact. The SQL oracle
+    applies the identical df filter. Pass None to disable (exact all-pairs
+    semantics, small corpora only)."""
 
     def _shingles(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
@@ -334,17 +347,18 @@ def ngram_jaccard_pairs(
 
     shingles = ds.map_batches(_shingles, batch_format="pyarrow", zero_copy_batch=True)
 
-    # doc shingle-set sizes (small side: one row per doc) — broadcast
+    # doc shingle-set sizes (small side: one row per doc) — broadcast as a
+    # sorted (ids, sizes) array pair: compact, zero-copy-shared via the object
+    # store, vectorized searchsorted lookup (at corpus scales where even one
+    # int64 per doc is too much driver memory, this becomes a hash join of
+    # the pair stream against the sizes dataset on doc_a/doc_b)
     sizes_tbl = pa.concat_tables(
         shingles.groupby(id_col).count().iter_batches(batch_format="pyarrow")
     )
-    size_of = dict(
-        zip(
-            sizes_tbl.column(id_col).to_pylist(),
-            sizes_tbl.column("count()").to_pylist(),
-        )
-    )
-    sizes_ref = ray.put(size_of)
+    _sz_ids = sizes_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    _sz_vals = sizes_tbl.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+    _o = np.argsort(_sz_ids)
+    sizes_ref = ray.put((_sz_ids[_o], _sz_vals[_o]))
 
     def _pairs(group: pa.Table) -> pa.Table:
         members = np.sort(group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
@@ -371,12 +385,12 @@ def ngram_jaccard_pairs(
     def _jaccard(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        sz = _ray.get(sizes_ref)
+        sz_ids, sz_vals = _ray.get(sizes_ref)
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         it = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = np.array([sz[x] for x in a], dtype=np.float64)
-        sb = np.array([sz[x] for x in b], dtype=np.float64)
+        sa = sz_vals[np.searchsorted(sz_ids, a)]
+        sb = sz_vals[np.searchsorted(sz_ids, b)]
         j = it / (sa + sb - it)
         keep = j >= threshold
         return pa.table(

@@ -220,6 +220,7 @@ class _ShardState:
                         else:
                             scores[pos] += qtf * contrib
                     docs, ssc = topk_select(scores[cand], self.docmap_ids[cand], plan.k)
+                    scores[cand] = 0.0  # keep the shared scratch all-zeros
                     n_cand = cand.size
             if not isinstance(docs, np.ndarray) or docs.size == 0:
                 continue
@@ -295,12 +296,19 @@ class _ShardState:
 
         k = plan.k
         n_blocks = 0
-        scores = np.zeros(self.docmap_ids.size, dtype=np.float64)
-        touched = np.zeros(self.docmap_ids.size, dtype=bool)
+        # actor-held scratch (VisitedSetPool analog) — zeroed on the touched
+        # set at the end, never reallocated per query
+        scores = self._scores
         threshold = -np.inf
         essential_end = len(tps)
+        pos_parts: list[np.ndarray] = []
+        cand: np.ndarray = np.empty(0, dtype=np.int64)
         for i, (term, qtf, p, _ub) in enumerate(tps):
-            if i > 0 and threshold > -np.inf and suffix[i] <= threshold * approx_factor:
+            # STRICT <: a doc reachable only through the remaining terms whose
+            # total score exactly EQUALS the threshold can still enter the
+            # top-k on the (score desc, doc_id asc) tie-break, so it must not
+            # be pruned at approx_factor=1.0 (rank-identity contract)
+            if i > 0 and threshold > -np.inf and suffix[i] < threshold * approx_factor:
                 essential_end = i
                 break
             doc_ids, tfs = decode_postings(
@@ -312,12 +320,16 @@ class _ShardState:
             scores[pos] += qtf * scorer.term_scores(
                 tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl
             )
-            touched[pos] = True
-            part = scores[touched]
-            if part.size >= k:
+            pos_parts.append(pos)
+            # candidate set tracked incrementally (O(postings-so-far), not an
+            # O(n_docs) boolean rescan per term)
+            cand = pos_parts[0] if len(pos_parts) == 1 else np.unique(
+                np.concatenate(pos_parts)
+            )
+            if cand.size >= k:
+                part = scores[cand]
                 threshold = np.partition(part, part.size - k)[part.size - k]
 
-        cand = np.flatnonzero(touched)
         cand_ids = self.docmap_ids[cand]
         for term, qtf, p, _ub in tps[essential_end:]:
             last = p["block_last_doc"]
@@ -344,6 +356,7 @@ class _ShardState:
             )
 
         docs, ssc = topk_select(scores[cand], cand_ids, k)
+        scores[cand] = 0.0  # restore the shared scratch for the next query
         if docs.size:
             ssc = self._rescore_exact(plan, qi, docs, scorer)
             docs, ssc = topk_select(ssc, docs, k)

@@ -76,7 +76,7 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
     if len(prep) == 0:
         return PARTIAL_SCHEMA.empty_table()
     # within-batch dedup by doc_id, keep max (warc_ts, text_hash)
-    text_hash = (stable_hash64(prep.column("text").to_pylist()) & np.uint64(2**63 - 1)).astype(np.int64)
+    text_hash = (stable_hash64(prep.column("text")) & np.uint64(2**63 - 1)).astype(np.int64)
     prep = prep.append_column("text_hash", pa.array(text_hash, type=pa.int64()))
     order = pc.sort_indices(
         prep,

@@ -212,3 +212,53 @@ class TestDedup:
         kept = dd.to_pandas().set_index("url")["warc_ts"]
         for url, grp in t.groupby("url"):
             assert kept[url] == grp["warc_ts"].max()
+
+
+class TestSpillRouting:
+    """Multi-node safety of the two-phase build's shuffle spill (node-local
+    tmpfs is only a valid spill when there is exactly one node — nothing
+    fetches partials across nodes, unlike a Spark shuffle service)."""
+
+    def test_single_node_prefers_tmpfs_or_local(self, tmp_path, monkeypatch):
+        from flatnav_ray.pipelines import build as bmod
+
+        monkeypatch.delenv("FLATNAV_SPILL_ROOT", raising=False)
+        monkeypatch.setattr(bmod, "_is_multi_node", lambda: False)
+        d = bmod._pick_spill_dir(str(tmp_path / "ix"))
+        assert d.startswith("/dev/shm") or d.endswith("_partials")
+
+    def test_multi_node_routes_to_shared_index_dir(self, tmp_path, monkeypatch):
+        from flatnav_ray.pipelines import build as bmod
+
+        monkeypatch.delenv("FLATNAV_SPILL_ROOT", raising=False)
+        monkeypatch.setattr(bmod, "_is_multi_node", lambda: True)
+        ix = str(tmp_path / "ix")
+        assert bmod._pick_spill_dir(ix) == f"{ix}/_partials"
+
+    def test_explicit_spill_root_always_wins(self, tmp_path, monkeypatch):
+        from flatnav_ray.pipelines import build as bmod
+
+        monkeypatch.setenv("FLATNAV_SPILL_ROOT", str(tmp_path / "shared"))
+        for multi in (False, True):
+            monkeypatch.setattr(bmod, "_is_multi_node", lambda m=multi: m)
+            assert bmod._pick_spill_dir(str(tmp_path / "ix")).startswith(
+                str(tmp_path / "shared")
+            )
+
+    def test_build_identical_across_spill_locations(
+        self, ray_session, small_corpus, tmp_path, monkeypatch
+    ):
+        """Same corpus through the tmpfs spill and the shared-dir spill (the
+        multi-node route) -> byte-identical canonical postings."""
+        import ray.data
+
+        pages, _ = small_corpus
+        monkeypatch.delenv("FLATNAV_SPILL_ROOT", raising=False)
+        ix1 = str(tmp_path / "ix_default")
+        build_index(ray.data.from_arrow(pages), ix1, IndexConfig(num_partitions=6))
+        from flatnav_ray.pipelines import build as bmod
+
+        monkeypatch.setattr(bmod, "_is_multi_node", lambda: True)
+        ix2 = str(tmp_path / "ix_shared")
+        build_index(ray.data.from_arrow(pages), ix2, IndexConfig(num_partitions=6))
+        assert canonical_postings(ix1).equals(canonical_postings(ix2))

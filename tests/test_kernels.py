@@ -97,13 +97,21 @@ class TestBm25:
 
 
 class TestHashes:
-    def test_numpy_fallback_matches_scalar(self):
-        from flatnav_ray.functions.hashes import _stable_hash64_numpy
-
-        strs = ["", "a", "hello world", "https://d0001.example.com/c0/p423", "ü"]
-        vec = _stable_hash64_numpy(strs)
+    def test_vectorized_matches_scalar(self):
+        strs = ["", "a", "hello world", "https://d0001.example.com/c0/p423", "ü",
+                "x" * 7, "x" * 8, "x" * 9, "y" * 1000, "word " * 4000]
+        vec = stable_hash64(strs)
         for s, h in zip(strs, vec):
             assert int(h) == hash64_str(s)
+        # arrow-array input path (zero-copy) must match the list path
+        import pyarrow as pa
+
+        assert stable_hash64(pa.array(strs)).tolist() == vec.tolist()
+        assert (
+            stable_hash64(pa.array(strs, type=pa.large_string())).tolist() == vec.tolist()
+        )
+        # sliced array (non-zero offset) uses the right buffer window
+        assert stable_hash64(pa.array(strs)[3:]).tolist() == vec[3:].tolist()
 
     def test_stable_across_calls_and_processes(self):
         strs = [f"https://x{i}.com/p" for i in range(100)]

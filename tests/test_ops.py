@@ -241,3 +241,89 @@ class TestMultimodal:
         out = FrameSampler()(t)
         assert out.column_names == ["media_id", "frame_idx", "frame_payload"]
         assert len(out) >= 10  # at least one frame per media
+
+
+class TestJaccardShingleCap:
+    def test_boilerplate_shingle_capped(self, ray_session):
+        """A shingle shared by every doc (boilerplate) must not generate
+        quadratic pairs when its df exceeds max_shingle_df; genuinely similar
+        pairs still surface through their other shingles."""
+        import ray.data
+
+        from flatnav_ray.stages.dedup import ngram_jaccard_pairs
+
+        boiler = "subscribe to our newsletter today"
+        uniq = [
+            f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}" for i in range(12)
+        ]
+        texts = [f"{u} {boiler}" for u in uniq]
+        # one genuine near-dup pair sharing non-boilerplate shingles
+        texts.append(texts[0].replace("zeta0", "omega0"))
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        out = ngram_jaccard_pairs(ds, threshold=0.05, max_shingle_df=6)
+        pairs = set(zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()))
+        # the planted near-dup pair survives (shares uncapped doc-specific shingles)
+        assert (0, 12) in pairs
+        # boilerplate-only pairs are suppressed: docs 1..11 share ONLY the
+        # capped boilerplate shingles with each other
+        assert not any(a != 0 and b != 12 for a, b in pairs)
+
+    def test_cap_matches_bruteforce_semantics(self, ray_session):
+        """Cap semantics: pair generation + intersection ignore capped
+        shingles; sizes stay exact. Verified against a per-doc python oracle."""
+        import ray.data
+
+        from flatnav_ray.functions.textstats import token_shingles
+        from flatnav_ray.stages.dedup import ngram_jaccard_pairs
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(15)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(15, dtype=np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        cap = 4
+        parents, sh = token_shingles(t.column("text"), n=3)
+        doc_sets = [set(sh[parents == i].tolist()) for i in range(15)]
+        from collections import Counter
+
+        df = Counter(s for ds_ in doc_sets for s in ds_)
+        expected = {}
+        for a in range(15):
+            for b in range(a + 1, 15):
+                inter = {s for s in doc_sets[a] & doc_sets[b] if df[s] <= cap}
+                if not inter:
+                    continue
+                j = len(inter) / (len(doc_sets[a]) + len(doc_sets[b]) - len(inter))
+                if j >= 0.01:
+                    expected[(a, b)] = j
+        out = ngram_jaccard_pairs(
+            ray.data.from_arrow(t), threshold=0.01, max_shingle_df=cap
+        )
+        got = dict(
+            zip(
+                zip(out.column("doc_a").to_pylist(), out.column("doc_b").to_pylist()),
+                out.column("jaccard").to_pylist(),
+            )
+        )
+        assert got == pytest.approx(expected)
+
+
+class TestPopcount:
+    def test_matches_python_bincount(self):
+        from flatnav_ray.stages.dedup import _popcount64
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 2**63, size=100, dtype=np.int64).astype(np.uint64)
+        got = _popcount64(x)
+        exp = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        assert (got == exp).all()
