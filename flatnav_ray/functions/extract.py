@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 
 EXTRACTOR_VERSION = "v1"
@@ -67,17 +68,35 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 
     Rows whose `html` is null keep their existing `text` (the already-extracted
     adapter path, FIXTURES.md §4). Drops the heavy `html` column immediately
-    after extraction (SURVEY.md §7 'wide rows')."""
+    after extraction (SURVEY.md §7 'wide rows').
+
+    The per-document work is `extract_text_bytes` (the byte-identity spec);
+    the batch path feeds it zero-copy memoryview slices of the Arrow binary
+    buffer — no `.to_pylist()` round-trip, so the only bytes materialized per
+    document are the matched content spans (this is the heaviest per-byte
+    stage of the build; tests assert the two paths are byte-identical)."""
     html = batch.column("html")
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
     has_text = "text" in batch.column_names
-    texts: list[str | None] = []
-    html_py = html.to_pylist()
-    old_text = batch.column("text").to_pylist() if has_text else [None] * len(html_py)
-    for h, t in zip(html_py, old_text):
-        if h is None:
-            texts.append(t)
-        else:
-            texts.append(extract_text_bytes(h))
+    n = len(html)
     cols = {name: batch.column(name) for name in batch.column_names if name not in ("html", "text")}
+    if html.null_count == n:  # pure adapter path: text already extracted
+        cols["text"] = batch.column("text") if has_text else pa.nulls(n, pa.string())
+        return pa.table(cols)
+    if pa.types.is_large_binary(html.type):
+        offs = np.frombuffer(html.buffers()[1], dtype=np.int64)[html.offset : html.offset + n + 1]
+    else:
+        offs = np.frombuffer(html.buffers()[1], dtype=np.int32)[html.offset : html.offset + n + 1]
+    valbuf = html.buffers()[2]
+    mv = memoryview(valbuf) if valbuf is not None else memoryview(b"")
+    valid = np.asarray(html.is_valid()) if html.null_count else None
+    old_text = batch.column("text").to_pylist() if has_text else [None] * n
+    texts: list[str | None] = [
+        extract_text_bytes(mv[offs[i] : offs[i + 1]])
+        if (valid is None or valid[i])
+        else old_text[i]
+        for i in range(n)
+    ]
     cols["text"] = pa.array(texts, type=pa.string())
     return pa.table(cols)

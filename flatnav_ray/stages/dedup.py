@@ -107,6 +107,121 @@ def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def distributed_components(
+    pairs, num_partitions: int = 8, max_rounds: int = 50
+) -> pa.Table:
+    """Distributed connected components over an (a, b) edge list: iterative
+    min-label propagation on Ray Data — per round, one hash join (edge.v ->
+    labels.node), one groupby-min, one join back, one change count. The
+    driver holds ONLY convergence counters; labels live as a Dataset. Final
+    label = min doc_id of the component (identical contract to _union_find;
+    tests assert equality). Rounds needed = component diameter — near-dup
+    clusters are dense, so this converges in a handful of rounds.
+
+    This is the 100-TB path for minhash/simhash clustering; below
+    _CC_DISTRIBUTED_THRESHOLD pairs the driver union-find is cheaper (the
+    pair stream, not the corpus, is what must fit driver-side there)."""
+    import ray.data as rd
+
+    if isinstance(pairs, pa.Table):
+        if len(pairs) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        pairs = rd.from_arrow(pairs)
+
+    def _sym(b: pa.Table) -> pa.Table:
+        # symmetric edges PLUS self-loops: the per-node neighbor-min then
+        # includes the node's own label, so one join+groupby IS a full
+        # propagation step (no second compare/update join needed)
+        av = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([av, bv, av, bv]), type=pa.int64()),
+                "v": pa.array(np.concatenate([bv, av, av, bv]), type=pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _init(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("u"), "label": b.column("min(v)")})
+
+    def _relab(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("u"), "label": b.column("min(label)")})
+
+    # round 0 for free: label(u) = min(u, neighbors) via the self-loops
+    labels = edges.groupby("u").min("v").map_batches(_init, batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        labels = (
+            edges.join(labels, join_type="inner", num_partitions=num_partitions,
+                       on=("v",), right_on=("node",))
+            .groupby("u")
+            .min("label")
+            .map_batches(_relab, batch_format="pyarrow")
+            .materialize()
+        )
+        # labels only ever decrease (min-propagation), so the global sum is a
+        # strictly-decreasing convergence witness — the ONLY driver-side state
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = pa.concat_tables(labels.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {"node": out.column("node"), "cluster_id": out.column("label")}
+    ).sort_by("node")
+
+
+# pair streams above this size go through distributed_components instead of
+# the driver union-find (pairs<<docs usually, but a 100-TB corpus's pair
+# stream can itself outgrow one machine)
+_CC_DISTRIBUTED_THRESHOLD = 200_000
+
+
+def _cluster_assignments(
+    pair_ds, corpus_ids: np.ndarray, threshold: int | None = None
+) -> np.ndarray:
+    """Resolve a candidate-pair Dataset into per-doc cluster ids (min-id
+    representative; singletons = own id). Driver union-find below `threshold`
+    pairs (default _CC_DISTRIBUTED_THRESHOLD, read at call time), distributed
+    label propagation above it. Vectorized assembly."""
+    if threshold is None:
+        threshold = _CC_DISTRIBUTED_THRESHOLD
+    m = pair_ds.materialize()
+    n_pairs = m.count()
+    uniq = np.unique(corpus_ids)
+    labels = uniq.copy()
+    if n_pairs == 0:
+        pass
+    elif n_pairs <= threshold:
+        pairs = []
+        for bt in m.iter_batches(batch_format="pyarrow"):
+            pairs.extend(zip(bt.column("a").to_pylist(), bt.column("b").to_pylist()))
+        comp = _union_find(pairs)
+        if comp:
+            keys = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+            vals = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+            o = np.argsort(keys)
+            keys, vals = keys[o], vals[o]
+            pos = np.searchsorted(keys, uniq)
+            hit = pos < keys.size
+            hit[hit] = keys[pos[hit]] == uniq[hit]
+            labels[hit] = vals[pos[hit]]
+    else:
+        comp_tbl = distributed_components(m)
+        keys = comp_tbl.column("node").to_numpy(zero_copy_only=False)
+        vals = comp_tbl.column("cluster_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, uniq)
+        hit = pos < keys.size
+        hit[hit] = keys[pos[hit]] == uniq[hit]
+        labels[hit] = vals[pos[hit]]
+    return labels
+
+
 def _pairs_from_buckets(bucket_tbl: pa.Table, id_col: str, cap: int = 64) -> list[tuple[int, int]]:
     """Candidate pairs per bucket: each member pairs with the bucket's minimum
     doc_id (star pattern — linear, not quadratic; hot buckets capped)."""
@@ -191,30 +306,27 @@ def minhash_lsh_clusters(
             }
         )
 
-    # distributed candidate-pair extraction; the pair list (<< corpus) and the
-    # union-find run driver-side — the documented scale path is an iterative
-    # distributed connected-components over the same pair stream
-    pair_tbl_batches = list(
+    # distributed candidate-pair extraction; cluster resolution switches
+    # between driver union-find (small pair streams) and distributed
+    # label-propagation connected components (_cluster_assignments)
+    pair_ds = (
         bands_ds.map_batches(_combine_key, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_bucket_pairs, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
     )
-    pairs = []
-    for bt in pair_tbl_batches:
-        pairs.extend(zip(bt.column("a").to_pylist(), bt.column("b").to_pylist()))
-    comp = _union_find(pairs)
     ids_tbl = pa.concat_tables(
         ds.map_batches(
             lambda b: b.select([id_col]), batch_format="pyarrow"
         ).iter_batches(batch_format="pyarrow")
     )
-    all_ids = sorted(set(ids_tbl.column(id_col).to_pylist()))
-    cluster = [comp.get(i, i) for i in all_ids]
+    corpus_ids = np.unique(
+        ids_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    labels = _cluster_assignments(pair_ds, corpus_ids)
     return pa.table(
         {
-            id_col: pa.array(all_ids, type=pa.int64()),
-            "cluster_id": pa.array(cluster, type=pa.int64()),
+            id_col: pa.array(corpus_ids, type=pa.int64()),
+            "cluster_id": pa.array(labels, type=pa.int64()),
         }
     )
 
@@ -284,25 +396,23 @@ def simhash_clusters(
             }
         )
 
-    pair_batches = list(
+    pair_ds = (
         sigs_ds.map_batches(_band_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_bucket_verified_pairs, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
     )
-    verified = []
-    for bt in pair_batches:
-        verified.extend(zip(bt.column("a").to_pylist(), bt.column("b").to_pylist()))
-    comp = _union_find(verified)
     ids_tbl = pa.concat_tables(
         sigs_ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     )
-    out_ids = sorted(set(ids_tbl.column(id_col).to_pylist()))
+    corpus_ids = np.unique(
+        ids_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    labels = _cluster_assignments(pair_ds, corpus_ids)
     return pa.table(
         {
-            id_col: pa.array(out_ids, type=pa.int64()),
-            "cluster_id": pa.array([comp.get(i, i) for i in out_ids], type=pa.int64()),
+            id_col: pa.array(corpus_ids, type=pa.int64()),
+            "cluster_id": pa.array(labels, type=pa.int64()),
         }
     )
 

@@ -24,6 +24,84 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _batch_topk_partial(
+    sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int, id_col: str
+) -> pa.Table:
+    """Per-batch partial top-k over a (Q, B) similarity matrix; -inf entries
+    (masked out, e.g. unprobed IVF lists) never emit. Ties (cosine desc,
+    vec_id asc)."""
+    out_q, out_id, out_s = [], [], []
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        live = np.isfinite(row)
+        cand = np.flatnonzero(live)
+        if cand.size == 0:
+            continue
+        kk = min(k, cand.size)
+        if cand.size > kk:
+            kth = np.partition(-row[cand], kk - 1)[kk - 1]
+            cand = cand[-row[cand] <= kth]
+        order = np.lexsort((ids[cand], -row[cand]))[:kk]
+        sel = cand[order]
+        out_q.append(np.full(sel.size, qids[qi], dtype=np.int64))
+        out_id.append(ids[sel])
+        out_s.append(row[sel])
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+        }
+    )
+
+
+def _merge_query_topk(group: pa.Table, k: int, id_col: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        group, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+    )
+    top = group.take(order[:k])
+    return pa.table(
+        {
+            "query_id": top.column("query_id"),
+            "rank": pa.array(np.arange(len(top), dtype=np.int32)),
+            id_col: top.column(id_col),
+            "cosine": top.column("cosine"),
+        }
+    )
+
+
+def _merge_partials(partials: ray.data.Dataset, k: int, id_col: str) -> pa.Table:
+    merged = partials.groupby("query_id").map_groups(
+        _merge_query_topk, batch_format="pyarrow", fn_kwargs={"k": k, "id_col": id_col}
+    )
+    batches = list(merged.iter_batches(batch_format="pyarrow"))
+    t = (
+        pa.concat_tables(batches)
+        if batches
+        else pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                id_col: pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+    import pyarrow.compute as pc
+
+    return t.take(pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]))
+
+
 def brute_force_knn(
     ds: ray.data.Dataset,
     query_vectors: np.ndarray,
@@ -47,53 +125,10 @@ def brute_force_knn(
         qids_, q_ = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         m = _normalize(_to_matrix(batch.column(vec_col)))
-        sims = q_ @ m.T  # (Q, B)
-        kk = min(k, sims.shape[1])
-        out_q, out_id, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            row = sims[qi]
-            if row.size > kk:
-                kth = np.partition(-row, kk - 1)[kk - 1]
-                cand = np.flatnonzero(-row <= kth)
-            else:
-                cand = np.arange(row.size)
-            order = np.lexsort((ids[cand], -row[cand]))[:kk]
-            sel = cand[order]
-            out_q.extend([int(qids_[qi])] * sel.size)
-            out_id.extend(ids[sel].tolist())
-            out_s.extend(row[sel].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                id_col: pa.array(out_id, type=pa.int64()),
-                "cosine": pa.array(out_s, type=pa.float64()),
-            }
-        )
-
-    def _merge(group: pa.Table, k: int) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
-        )
-        top = group.take(order[:k])
-        return pa.table(
-            {
-                "query_id": top.column("query_id"),
-                "rank": pa.array(np.arange(len(top), dtype=np.int32)),
-                id_col: top.column(id_col),
-                "cosine": top.column("cosine"),
-            }
-        )
+        return _batch_topk_partial(q_ @ m.T, ids, qids_, k, id_col)
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-    merged = partials.groupby("query_id").map_groups(
-        _merge, batch_format="pyarrow", fn_kwargs={"k": k}
-    )
-    t = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
-    import pyarrow.compute as pc
-
-    return t.take(pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]))
+    return _merge_partials(partials, k, id_col)
 
 
 class IvfIndex:
@@ -108,11 +143,32 @@ class IvfIndex:
 
     @staticmethod
     def train(ds: ray.data.Dataset, n_centroids: int, vec_col: str = "embedding",
-              iters: int = 10, sample: int = 2048, seed: int = 0) -> "IvfIndex":
-        sample_t = pa.concat_tables(
-            ds.limit(sample).iter_batches(batch_format="pyarrow")
+              iters: int = 10, sample: int = 2048, seed: int = 0,
+              id_col: str = "vec_id") -> "IvfIndex":
+        """k-means on a deterministic UNBIASED sample: the `sample` rows with
+        the smallest splitmix64(vec_id ^ seed) rank — a seeded random
+        permutation rank computed distributed; each batch pre-prunes to its
+        own smallest `sample` (partial top-k), so the driver sees at most
+        sample × num_batches rows, never first-N / storage-order bias."""
+        from ..functions.hashes import splitmix64
+
+        def _ranked(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            r = splitmix64(ids ^ np.uint64(seed)).astype(np.int64) & np.int64(2**62 - 1)
+            if r.size > sample:
+                keep = np.argpartition(r, sample - 1)[:sample]
+                batch = batch.take(pa.array(np.sort(keep)))
+                r = r[np.sort(keep)]
+            return pa.table(
+                {"rank_": pa.array(r, type=pa.int64()), vec_col: batch.column(vec_col)}
+            )
+
+        parts = pa.concat_tables(
+            ds.map_batches(_ranked, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")
         )
-        m = _normalize(_to_matrix(sample_t.column(vec_col)))
+        order = np.argsort(parts.column("rank_").to_numpy(zero_copy_only=False))[:sample]
+        m = _normalize(_to_matrix(parts.column(vec_col).take(pa.array(order))))
         rng = np.random.Generator(np.random.PCG64(seed))
         cent = m[rng.choice(m.shape[0], size=min(n_centroids, m.shape[0]), replace=False)]
         for _ in range(iters):
@@ -146,39 +202,34 @@ class IvfIndex:
     ) -> pa.Table:
         """Probe the nprobe nearest centroid lists per query; exact rerank
         within probed lists (recall < 1 like the reference's ANN search;
-        nprobe is the ef_search-style knob)."""
+        nprobe is the ef_search-style knob).
+
+        Fully distributed — the same partial-top-k/merge shape as
+        brute_force_knn: the corpus (pre-filtered to the union of probed
+        lists, so only nprobe/ncentroids of it is read) streams through
+        map_batches; each batch computes the (Q, B) similarity matrix once
+        and masks entries whose centroid the query did not probe; partials
+        merge per query. Nothing corpus-sized ever reaches the driver."""
         q = _normalize(np.asarray(query_vectors, dtype=np.float64))
         probes = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
         wanted = sorted({int(c) for row in probes for c in row})
         sub = assigned.filter(
             expr=f"centroid in {wanted}" if len(wanted) > 1 else f"centroid == {wanted[0]}"
         )
-        probe_ref = ray.put(probes)
+        qids = np.arange(q.shape[0], dtype=np.int64)
+        # (Q, n_centroids) probe-membership matrix, broadcast once
+        probed = np.zeros((q.shape[0], self.centroids.shape[0]), dtype=bool)
+        probed[np.repeat(qids, probes.shape[1]), probes.ravel()] = True
+        bref = ray.put((qids, q, probed))
 
-        # reuse brute-force machinery per query over probed subset, masking
-        # out queries that did not probe a batch's centroid
-        full = pa.concat_tables(sub.iter_batches(batch_format="pyarrow"))
-        ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = full.column("centroid").to_numpy(zero_copy_only=False)
-        m = _normalize(_to_matrix(full.column(vec_col)))
-        out_q, out_r, out_id, out_s = [], [], [], []
-        for qi in range(q.shape[0]):
-            mask = np.isin(cents, probes[qi])
-            if not mask.any():
-                continue
-            row = q[qi] @ m[mask].T
-            sel_ids = ids[mask]
-            kk = min(k, row.size)
-            order = np.lexsort((sel_ids, -row))[:kk]
-            out_q.extend([qi] * kk)
-            out_r.extend(range(kk))
-            out_id.extend(sel_ids[order].tolist())
-            out_s.extend(row[order].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "rank": pa.array(out_r, type=pa.int32()),
-                id_col: pa.array(out_id, type=pa.int64()),
-                "cosine": pa.array(out_s, type=pa.float64()),
-            }
-        )
+        def _partial(batch: pa.Table) -> pa.Table:
+            qids_, q_, probed_ = ray.get(bref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = batch.column("centroid").to_numpy(zero_copy_only=False)
+            m = _normalize(_to_matrix(batch.column(vec_col)))
+            sims = q_ @ m.T
+            sims[~probed_[:, cents]] = -np.inf  # unprobed lists never rank
+            return _batch_topk_partial(sims, ids, qids_, k, id_col)
+
+        partials = sub.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        return _merge_partials(partials, k, id_col)

@@ -184,22 +184,23 @@ def _merge_term(group: pa.Table, block_size: int) -> pa.Table:
 
     if len(group) == 0:
         return TERM_SEGMENT_SCHEMA.empty_table()
+    from .twophase import _bin_row_views
+
     grp = group.take(pc.sort_indices(group, sort_keys=[("term", "ascending"), ("salt", "ascending")]))
     terms = grp.column("term").to_numpy(zero_copy_only=False)
     new = np.concatenate(([True], terms[1:] != terms[:-1]))
     starts = np.flatnonzero(new)
     ends = np.append(starts[1:], len(terms))
+    # zero-copy per-row views of the packed sub-list blobs (per-row .as_py()
+    # would copy every blob: the reducer touches the whole posting stream)
+    v_docs = _bin_row_views(grp.column("docs_raw"))
+    v_tfs = _bin_row_views(grp.column("tfs_raw"))
+    v_dls = _bin_row_views(grp.column("dls_raw"))
     rows = {name: [] for name in TERM_SEGMENT_SCHEMA.names}
     for s, e in zip(starts, ends):
-        docs = np.concatenate(
-            [np.frombuffer(grp.column("docs_raw")[i].as_py(), dtype=np.int64) for i in range(s, e)]
-        )
-        tfs = np.concatenate(
-            [np.frombuffer(grp.column("tfs_raw")[i].as_py(), dtype=np.int32) for i in range(s, e)]
-        ).astype(np.int64)
-        dls = np.concatenate(
-            [np.frombuffer(grp.column("dls_raw")[i].as_py(), dtype=np.int32) for i in range(s, e)]
-        ).astype(np.int64)
+        docs = np.concatenate([v_docs[i].view(np.int64) for i in range(s, e)])
+        tfs = np.concatenate([v_tfs[i].view(np.int32) for i in range(s, e)]).astype(np.int64)
+        dls = np.concatenate([v_dls[i].view(np.int32) for i in range(s, e)]).astype(np.int64)
         order = np.argsort(docs, kind="mergesort")  # k-way merge of sorted runs
         docs, tfs, dls = docs[order], tfs[order], dls[order]
         term_arr = np.full(docs.size, terms[s], dtype=object)
@@ -382,11 +383,157 @@ def canonical_term_postings(index_dir: str, block_size: int = 128) -> pa.Table:
     return out.take(pc.sort_indices(out, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]))
 
 
+class _TermShardState:
+    """Decoded, scored posting state over a set of term-segment rows — the
+    term-layout analog of search._ShardState: each term's postings are decoded
+    and BM25-scored ONCE (cached, query-independent), and per-query
+    accumulation is fully vectorized (np.add.at over a unique-doc index) with
+    the pinned lexicographic term fold the rank-identity contract requires —
+    no per-posting Python anywhere."""
+
+    def __init__(self, tbl: pa.Table, block_size: int, n_docs: int, avgdl: float,
+                 k1: float, b: float):
+        from .twophase import _bin_row_views
+
+        self.block_size = block_size
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.k1 = k1
+        self.b = b
+        tbl = tbl.combine_chunks()
+        if len(tbl) == 0:
+            self.term_row = {}
+            self._df = np.empty(0, dtype=np.int64)
+            self._v_doc = self._v_tf = self._v_dl = []
+            self._bl_off = np.zeros(1, dtype=np.int64)
+            self._bl_vals = np.empty(0, dtype=np.int64)
+        else:
+            self.term_row = {t: i for i, t in enumerate(tbl.column("term").to_pylist())}
+            self._df = tbl.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+            self._v_doc = _bin_row_views(tbl.column("doc_blob"))
+            self._v_tf = _bin_row_views(tbl.column("tf_blob"))
+            self._v_dl = _bin_row_views(tbl.column("dl_blob"))
+            bl = tbl.column("block_last_doc")
+            bl = bl.chunk(0) if isinstance(bl, pa.ChunkedArray) else bl
+            self._bl_off = np.asarray(bl.offsets)
+            self._bl_vals = np.asarray(bl.values).astype(np.int64)
+        # (docs, contrib) per term — decoded+scored once, reused per batch
+        self._contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def term_contrib(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        hit = self._contrib.get(term)
+        if hit is not None:
+            return hit
+        i = self.term_row.get(term)
+        if i is None:
+            return None
+        from ..functions.bm25 import bm25_term_scores
+        from ..functions.codec import decode_varint
+
+        last = self._bl_vals[self._bl_off[i] : self._bl_off[i + 1]]
+        d, tf = decode_postings(
+            self._v_doc[i], self._v_tf[i], last, block_size=self.block_size
+        )
+        dl = decode_varint(self._v_dl[i]).astype(np.int64)
+        contrib = bm25_term_scores(
+            tf, dl, int(self._df[i]), self.n_docs, self.avgdl, self.k1, self.b
+        )
+        out = (d, contrib)
+        if len(self._contrib) > 100_000:  # bounded actor memory
+            self._contrib.clear()
+        self._contrib[term] = out
+        return out
+
+    def fetch(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Posting-fetch RPC surface for TermSearchSession actors: the decoded
+        (doc_ids, per-posting contribution) arrays of each OWNED term."""
+        out = {}
+        for t in terms:
+            hit = self.term_contrib(t)
+            if hit is not None:
+                out[t] = hit
+        return out
+
+    def score_query(
+        self, qterms: list[tuple[str, int]], k: int,
+        rows: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact top-k for one query. `qterms` must be lexicographically
+        sorted — contributions concatenate in that order and np.add.at applies
+        them sequentially, so each doc's float sum folds exactly like the
+        scalar oracle's per-term loop."""
+        lookup = rows if rows is not None else None
+        entries = []
+        for term, qtf in qterms:
+            hit = lookup.get(term) if lookup is not None else self.term_contrib(term)
+            if hit is None:
+                continue
+            d, contrib = hit
+            entries.append((d, contrib if qtf == 1 else qtf * contrib))
+        if not entries:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64)
+        from ..functions.bm25 import topk_select
+
+        if len(entries) == 1:
+            return topk_select(entries[0][1], entries[0][0], k)
+        all_docs = np.concatenate([e[0] for e in entries])
+        all_sc = np.concatenate([e[1] for e in entries])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        acc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(acc, inv, all_sc)
+        return topk_select(acc, uniq, k)
+
+
+def _score_queries_table(
+    state_or_rows, queries: pa.Table, k: int, n_docs_nonzero: bool = True
+) -> pa.Table:
+    """Shared driver loop: tokenize each query (analyzer parity, SURVEY.md M5),
+    score via vectorized accumulation, emit (query_id, rank, doc_id, score)."""
+    from ..functions.tokenize import tokenize_py
+
+    qids = queries.column("query_id").to_pylist()
+    texts = queries.column("text").to_pylist()
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, text in zip(qids, texts):
+        counts: dict[str, int] = {}
+        for tok in tokenize_py(text):
+            counts[tok] = counts.get(tok, 0) + 1
+        if isinstance(state_or_rows, _TermShardState):
+            dd, ss = state_or_rows.score_query(sorted(counts.items()), k)
+        else:
+            state, rows = state_or_rows
+            dd, ss = state.score_query(sorted(counts.items()), k, rows=rows)
+        if dd.size == 0:
+            continue
+        out_q.append(np.full(dd.size, qid, dtype=np.int64))
+        out_r.append(np.arange(dd.size, dtype=np.int32))
+        out_d.append(dd)
+        out_s.append(ss)
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "rank": pa.array(np.concatenate(out_r), type=pa.int32()),
+            "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        }
+    )
+
+
 class TermIndexSearcher:
     """Query path for the term layout: filtered read of the query terms' rows
-    (term-sorted Parquet -> row-group pruning), global scoring, exact top-k.
-    Doc lengths come inline from dl_blob — no docmap join (J1 resolved at
-    result materialization only)."""
+    (term-sorted Parquet -> row-group pruning) into a _TermShardState, exact
+    top-k via the vectorized accumulation core. Doc lengths come inline from
+    dl_blob — no docmap join (J1 resolved at result materialization only)."""
 
     def __init__(self, index_dir: str):
         from ..state.stats import load_stats
@@ -398,59 +545,112 @@ class TermIndexSearcher:
     def search(self, queries: pa.Table, k: int = 10, k1: float | None = None, b: float | None = None) -> pa.Table:
         import pyarrow.dataset as pads
 
-        from ..functions.bm25 import bm25_term_scores, topk_select
-        from ..functions.codec import decode_varint
         from ..functions.tokenize import tokenize_py
 
-        n_docs = int(self.stats["n_docs"])
-        avgdl = float(self.stats["avgdl"])
         k1 = k1 if k1 is not None else float(self.stats["k1"])
         b = b if b is not None else float(self.stats["b"])
-        qids = queries.column("query_id").to_pylist()
-        texts = queries.column("text").to_pylist()
-        needed = sorted({t for x in texts for t in tokenize_py(x)})
+        needed = sorted({t for x in queries.column("text").to_pylist() for t in tokenize_py(x)})
         seg = pads.dataset(os.path.join(self.index_dir, "term_segments"), format="parquet")
-        tbl = seg.to_table(filter=pads.field("term").isin(needed)) if needed else None
-        rows = {}
-        if tbl is not None:
-            for i, t in enumerate(tbl.column("term").to_pylist()):
-                d, tf = decode_postings(
-                    tbl.column("doc_blob")[i].as_py(),
-                    tbl.column("tf_blob")[i].as_py(),
-                    np.asarray(tbl.column("block_last_doc")[i].as_py(), dtype=np.int64),
-                    block_size=int(self.stats["block_size"]),
-                )
-                dl = decode_varint(tbl.column("dl_blob")[i].as_py()).astype(np.int64)
-                rows[t] = (d, tf, dl, int(tbl.column("df")[i].as_py()))
-        out_q, out_r, out_d, out_s = [], [], [], []
-        for qid, text in zip(qids, texts):
-            counts: dict[str, int] = {}
-            for tok in tokenize_py(text):
-                counts[tok] = counts.get(tok, 0) + 1
-            acc: dict[int, float] = {}
-            for term in sorted(counts):
-                hit = rows.get(term)
-                if hit is None:
-                    continue
-                d, tf, dl, df = hit
-                contrib = counts[term] * bm25_term_scores(tf, dl, df, n_docs, avgdl, k1, b)
-                for doc, s in zip(d.tolist(), contrib.tolist()):
-                    acc[doc] = acc.get(doc, 0.0) + s
-            if not acc:
-                continue
-            docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-            scores = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
-            dd, ss = topk_select(scores, docs, k)
-            for r, (dcc, scc) in enumerate(zip(dd, ss)):
-                out_q.append(qid)
-                out_r.append(r)
-                out_d.append(int(dcc))
-                out_s.append(float(scc))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "rank": pa.array(out_r, type=pa.int32()),
-                "doc_id": pa.array(out_d, type=pa.int64()),
-                "score": pa.array(out_s, type=pa.float64()),
-            }
+        tbl = (
+            seg.to_table(filter=pads.field("term").isin(needed))
+            if needed
+            else TERM_SEGMENT_SCHEMA.empty_table()
         )
+        state = _TermShardState(
+            tbl, int(self.stats["block_size"]), int(self.stats["n_docs"]),
+            float(self.stats["avgdl"]), k1, b,
+        )
+        return _score_queries_table(state, queries, k)
+
+
+def _term_shard_actor_cls():
+    import ray
+
+    @ray.remote
+    class TermShardActor:
+        """Server-mode term shard: owns a contiguous range of the term-sorted
+        segment files (loaded once), serves posting-fetch RPCs — the
+        term-partitioned analog of search.SearchSession's doc shards. Serving
+        ships each requested term's decoded (doc_ids, contribution) arrays to
+        the coordinator, which keeps the float fold order identical to the
+        single-process searcher (bit-exact rank identity)."""
+
+        def __init__(self, files: list[str], block_size: int, n_docs: int,
+                     avgdl: float, k1: float, b: float):
+            import pyarrow.parquet as pq
+
+            tbl = (
+                pa.concat_tables([pq.read_table(f) for f in files])
+                if files
+                else TERM_SEGMENT_SCHEMA.empty_table()
+            )
+            self.state = _TermShardState(tbl, block_size, n_docs, avgdl, k1, b)
+
+        def fetch(self, terms: list[str]):
+            return self.state.fetch(terms)
+
+    return TermShardActor
+
+
+class TermSearchSession:
+    """Persistent actor pool over a term-layout index: each actor owns a
+    contiguous term range (the term-sorted parquet files, split round-robin
+    by file), the coordinator broadcasts the distinct query terms and
+    accumulates fetched postings in lexicographic term order — bit-identical
+    scores to TermIndexSearcher.
+
+    Scale note: term-partitioned SERVING ships Σ df(query terms) postings per
+    distinct cold term to the coordinator (they are cached per actor across
+    batches, and fetched terms are cached coordinator-side per session); the
+    doc layout (search.SearchSession) keeps scoring shard-local and is the
+    default serving path — this session exists so the term layout is a
+    first-class, pool-served index too (the reference serves both orderings
+    through one search path, Index.h:412-427)."""
+
+    def __init__(self, index_dir: str, num_actors: int | None = None):
+        import ray
+
+        from ..state.stats import load_stats
+
+        self.index_dir = index_dir
+        self.stats = load_stats(index_dir)
+        assert self.stats.get("layout") == "term"
+        seg_dir = os.path.join(index_dir, "term_segments")
+        files = sorted(
+            os.path.join(seg_dir, f) for f in os.listdir(seg_dir) if f.endswith(".parquet")
+        )
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n = max(1, min(num_actors or ncpu, max(1, len(files))))
+        cls = _term_shard_actor_cls()
+        assign: list[list[str]] = [[] for _ in range(n)]
+        for i, f in enumerate(files):
+            assign[i % n].append(f)
+        args = (
+            int(self.stats["block_size"]), int(self.stats["n_docs"]),
+            float(self.stats["avgdl"]), float(self.stats["k1"]), float(self.stats["b"]),
+        )
+        self.actors = [cls.remote(a, *args) for a in assign]
+        self._rows: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._merge_state = _TermShardState(TERM_SEGMENT_SCHEMA.empty_table(), *args)
+
+    def search(self, queries: pa.Table, k: int = 10) -> pa.Table:
+        import ray
+
+        from ..functions.tokenize import tokenize_py
+
+        needed = sorted(
+            {t for x in queries.column("text").to_pylist() for t in tokenize_py(x)}
+            - set(self._rows)
+        )
+        if needed:
+            futs = [a.fetch.remote(needed) for a in self.actors]
+            for part in ray.get(futs):
+                self._rows.update(part)
+        return _score_queries_table((self._merge_state, self._rows), queries, k)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -173,3 +173,40 @@ class TestExtractor:
             b"<footer>skip</footer></body></html>"
         )
         assert extract_text_bytes(html) == 'a & b <c>\nhead'
+
+
+class TestExtractBatchPath:
+    def test_memoryview_path_byte_identical_to_scalar(self):
+        """The zero-copy batch extractor must equal per-row extract_text_bytes
+        on materialized bytes (the spec), including null-html adapter rows."""
+        import pyarrow as pa
+
+        from flatnav_ray.functions.extract import extract_text_batch, extract_text_bytes
+        from flatnav_ray.sources.synth import pages_table
+
+        pages = pages_table(200, seed=11, vocab_size=500, mean_len=40)
+        out = extract_text_batch(pages)
+        exp = [extract_text_bytes(h) for h in pages.column("html").to_pylist()]
+        assert out.column("text").to_pylist() == exp
+        # mixed null/non-null html: nulls keep the carried text
+        mixed = pa.table(
+            {
+                "url": pa.array(["a", "b"]),
+                "html": pa.array([pages.column("html")[0].as_py(), None], type=pa.binary()),
+                "text": pa.array([None, "carried text"], type=pa.string()),
+            }
+        )
+        got = extract_text_batch(mixed)
+        assert got.column("text").to_pylist() == [exp[0], "carried text"]
+        # all-null html (pure adapter path)
+        alln = pa.table(
+            {
+                "url": pa.array(["x"]),
+                "html": pa.array([None], type=pa.binary()),
+                "text": pa.array(["t"], type=pa.string()),
+            }
+        )
+        assert extract_text_batch(alln).column("text").to_pylist() == ["t"]
+        # sliced batch (non-zero arrow offset)
+        sl = extract_text_batch(pages.slice(50, 20))
+        assert sl.column("text").to_pylist() == exp[50:70]

@@ -327,3 +327,40 @@ class TestPopcount:
         got = _popcount64(x)
         exp = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
         assert (got == exp).all()
+
+
+class TestDistributedComponents:
+    def test_equals_union_find_on_random_graph(self, ray_session):
+        from flatnav_ray.stages.dedup import _union_find, distributed_components
+
+        rng = np.random.default_rng(5)
+        # several components incl. a long chain (exercises multi-round
+        # propagation) and singleton-free random clusters
+        chain = [(i, i + 1) for i in range(100, 120)]
+        rand = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 60, size=(80, 2))
+            if a != b
+        ]
+        pairs = chain + rand
+        t = pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+            }
+        )
+        comp = _union_find(pairs)
+        out = distributed_components(t)
+        got = dict(zip(out.column("node").to_pylist(), out.column("cluster_id").to_pylist()))
+        assert got == {k: v for k, v in comp.items()}
+
+    def test_minhash_identical_via_distributed_path(self, doc_ds, monkeypatch):
+        """Force the distributed-CC route (threshold=0) — cluster output must
+        match the union-find route exactly."""
+        from flatnav_ray.stages import dedup as dmod
+
+        ds, _ = doc_ds
+        base = dmod.minhash_lsh_clusters(ds)
+        monkeypatch.setattr(dmod, "_CC_DISTRIBUTED_THRESHOLD", 0)
+        forced = dmod.minhash_lsh_clusters(ds)
+        assert base.equals(forced)

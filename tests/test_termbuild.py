@@ -56,3 +56,19 @@ class TestTermLayout:
         np.testing.assert_allclose(
             a.column("score").to_numpy(), b.column("score").to_numpy(), rtol=0, atol=1e-9
         )
+
+    def test_term_session_bit_identical_to_searcher(self, both_indexes):
+        """Actor-pool term serving (posting-fetch) must return byte-identical
+        results to the single-process term searcher — same float fold order."""
+        from flatnav_ray.stages.termbuild import TermSearchSession
+
+        _, term_ix, _, _, queries = both_indexes
+        sess = TermSearchSession(term_ix, num_actors=3)
+        try:
+            a = sess.search(queries, k=10)
+            b = TermIndexSearcher(term_ix).search(queries, k=10)
+            assert a.equals(b)
+            # warm path (coordinator + actor caches) stays identical
+            assert sess.search(queries, k=10).equals(b)
+        finally:
+            sess.shutdown()
