@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # rows-only (pytest holds oracle)
+        "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
+        "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
+        "bm25_topk_dense": d.bm25_topk_dense,     # dense_url docid reorder (O4)
     }
 
 
@@ -90,6 +93,30 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
         "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
     )
+    # alternate scorer (M7): tf-idf = idf * tf / doc_len; same query derivation
+    tfidf_sql = bm25_sql.replace(
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score",
+        # ratio first (parenthesized): equal rational tf/dl pairs tie exactly
+        # on both engines regardless of the idf ULP (see TfIdfScorer)
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf / dl.dl) AS score",
+    )
+    assert tfidf_sql != bm25_sql
+    # dense_url docid strategy (O4): scores unchanged, but exact-score ties
+    # break by the DENSE id = rank-of-url-within-partition * P + partition
+    # (P = 8, partition = doc_id % 8, url = source || '/' || doc_id) — the
+    # SQL reconstructs that order; output stays the ORIGINAL doc_id.
+    dense_sql = bm25_sql.replace(
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) ",
+        "dense AS (SELECT doc_id, (row_number() OVER (PARTITION BY doc_id % 8 "
+        "ORDER BY source || '/' || CAST(doc_id AS VARCHAR) ASC) - 1) * 8 + doc_id % 8 AS did "
+        "FROM documents), "
+        "ranked AS (SELECT s.query_id, s.doc_id, row_number() OVER "
+        "(PARTITION BY s.query_id ORDER BY s.score DESC, d.did ASC) - 1 AS rank "
+        "FROM scored s JOIN dense d ON d.doc_id = s.doc_id) ",
+    )
+    assert dense_sql != bm25_sql
     return {
         "doc_token_stats": (
             f"SELECT doc_id, len({toks}) AS n_tokens FROM documents ORDER BY doc_id"
@@ -157,4 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_sql,
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
+        "bm25_topk_tfidf": tfidf_sql,
+        "bm25_topk_compacted": bm25_sql,
+        "bm25_topk_dense": dense_sql,
     }

@@ -87,17 +87,20 @@ class Bm25Scorer:
 class TfIdfScorer:
     """Alternate pluggable scorer (SURVEY.md M7 — the 'second metric').
 
-    score = idf * tf / doc_len (length-normalized tf-idf)."""
+    score = idf * (tf / doc_len) — the ratio is computed FIRST so docs with
+    equal rational tf/dl (3/27 == 4/36) round to the identical double and tie
+    exactly, independent of idf's last-ULP value; (idf*tf)/dl would let the
+    idf ULP decide near-ties differently than the SQL oracle."""
 
     name: str = "tfidf"
 
     def term_scores(self, tfs, doc_lens, df, n_docs, avgdl):
         w = float(idf(float(df), n_docs))
-        return w * tfs.astype(np.float64) / np.maximum(doc_lens.astype(np.float64), 1.0)
+        return w * (tfs.astype(np.float64) / np.maximum(doc_lens.astype(np.float64), 1.0))
 
     def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl):
         w = float(idf(float(df), n_docs))
-        return w * block_max_tf.astype(np.float64) / np.maximum(block_min_dl.astype(np.float64), 1.0)
+        return w * (block_max_tf.astype(np.float64) / np.maximum(block_min_dl.astype(np.float64), 1.0))
 
 
 SCORERS = {"bm25": Bm25Scorer(), "tfidf": TfIdfScorer()}

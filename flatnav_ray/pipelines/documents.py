@@ -285,6 +285,72 @@ def bm25_topk_termlayout(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_tfidf(sf_dir: str, k: int = 10) -> pa.Table:
+    """Alternate pluggable scorer (SURVEY.md M7 — the reference's second
+    distance metric, InnerProductDistance.h:39-43): same index, same queries,
+    TF-IDF scoring at query time; oracle SQL mirrors the formula."""
+    ix = build_documents_index(sf_dir)
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k, scorer="tfidf"))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def bm25_topk_compacted(sf_dir: str, k: int = 10) -> pa.Table:
+    """External import / merge surface (SURVEY.md S8 — the reference's
+    allocate_nodes + build_graph_links bulk path, bindings.cpp:308-324):
+    build two half-indexes (even / odd doc ids), merge_indexes, query the
+    compacted result — must be rank-identical to the single-build bm25_topk,
+    so it shares that oracle."""
+    from ..stages.compact import merge_indexes
+
+    cfg = IndexConfig(num_partitions=8)
+    base = _index_dir_for(sf_dir, cfg)
+    ixa, ixb, ixm = base + "-halfA", base + "-halfB", base + "-compacted"
+    if not os.path.exists(os.path.join(ixm, "stats.json")):
+        def _even(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b.column("ext_doc_id"), 1), 0))
+
+        def _odd(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b.column("ext_doc_id"), 1), 1))
+
+        build_index(documents_as_pages(sf_dir).map_batches(_even, batch_format="pyarrow"),
+                    ixa, cfg, resume=True)
+        build_index(documents_as_pages(sf_dir).map_batches(_odd, batch_format="pyarrow"),
+                    ixb, cfg, resume=True)
+        merge_indexes([ixa, ixb], ixm, cfg)
+    queries = derived_queries(ixm)
+    out = search_to_table(ixm, queries, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def bm25_topk_dense(sf_dir: str, k: int = 10) -> pa.Table:
+    """dense_url docid strategy (SURVEY.md O4 — the reference's reorder()
+    cache-locality graft, Index.h:412-427): per-partition url-sorted dense ids
+    interleaved by partition. Scores are id-independent, but exact-score TIES
+    break by the dense id — the oracle SQL reconstructs the same dense-id
+    order (partition = doc_id % 8; rank-by-url within partition). Original
+    doc ids are recovered from the url for comparison."""
+    cfg = IndexConfig(num_partitions=8, docid_strategy="dense_url")
+    ix = _index_dir_for(sf_dir, cfg)
+    if not os.path.exists(os.path.join(ix, "stats.json")):
+        build_index(documents_as_pages(sf_dir), ix, cfg, resume=True)
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k))
+    orig = pc.cast(
+        pc.struct_field(pc.extract_regex(out.column("url"), r"/(?P<id>[0-9]+)$"), "id"),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "query_id": out.column("query_id"),
+            "rank": out.column("rank").cast(pa.int64()),
+            "doc_id": orig,
+        }
+    )
+
+
 def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
     """Multi-term queries (WAND/MaxScore intersection path): pair consecutive
     top terms. Rows-only driver check; pytest holds the rank-identity oracle."""
