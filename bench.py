@@ -32,6 +32,10 @@ def _sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def _round_extras(extras: dict) -> dict:
+    return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()}
+
+
 def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     # Honest parallelism accounting: ray.init(num_cpus=N) only bounds task
     # scheduling — Arrow/BLAS pools would still use every physical core, which
@@ -110,7 +114,7 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": _sf(sf_dir), "num_cpus": num_cpus,
-            **{k: round(v, 3) for k, v in extras.items()},
+            **_round_extras(extras),
         }
 
     queries = queries_table(4000, seed=43)
@@ -134,6 +138,38 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
         sess.search(qb, qcfg)
         lats.append((time.perf_counter() - t0) / 50 * 1000)
     extras["query_p50_ms"] = float(np.percentile(lats, 50))
+    # tail latency over single-query round trips — the reference reports
+    # p50/p95/p99/p999 per query (run-benchmark.py:472-481); 1000 samples
+    # gives the p999 one real data point
+    lat_q = queries_table(1000, seed=77)
+    lat_ms = []
+    for i in range(len(lat_q)):
+        qb = lat_q.slice(i, 1)
+        t0 = time.perf_counter()
+        sess.search(qb, qcfg)
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+    for p, name in ((50, "p50"), (95, "p95"), (99, "p99"), (99.9, "p999")):
+        extras[f"query_lat_{name}_ms"] = float(np.percentile(lat_ms, p))
+    # recall-vs-throughput sweep over approx_factor (the ef_search-graft knob;
+    # reference sweeps ef_search and emits recall/QPS curves)
+    if phase == "all":
+        exact_ref = out
+        from flatnav_ray.pipelines.oracle import recall_at_k
+
+        sweep = []
+        for f in (1.0, 1.25, 1.5, 2.0):
+            cfgf = QueryConfig(k=10, method="wand", approx_factor=f, concurrency=num_cpus)
+            t0 = time.perf_counter()
+            approx = sess.search(queries, cfgf)
+            dt = time.perf_counter() - t0
+            sweep.append(
+                {
+                    "approx_factor": f,
+                    "recall_at_10": round(recall_at_k(approx, exact_ref, 10), 4),
+                    "qps": round(len(queries) / dt, 1),
+                }
+            )
+        extras["recall_qps_sweep"] = sweep
     sess.shutdown()
 
     if phase == "query":
@@ -145,8 +181,27 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
             "unit": "sec",
             "queries": {k: round(v, 3) for k, v in timings.items()},
             "sf": _sf(sf_dir), "num_cpus": num_cpus,
-            **{k: round(v, 3) for k, v in extras.items()},
+            **_round_extras(extras),
         }
+
+    # ---- term-layout serving vs doc-layout (same corpus, same queries) ----
+    from flatnav_ray.stages.termbuild import TermSearchSession, build_term_index
+
+    term_ix = f"/tmp/flatnav_bench/ixterm_{pages_n}"
+    if not os.path.exists(os.path.join(term_ix, "stats.json")):
+        build_term_index(
+            ray.data.read_parquet(pages_dir), term_ix,
+            IndexConfig(num_partitions=32, layout="term"),
+        )
+    tsess = TermSearchSession(term_ix, num_actors=num_cpus)
+    tsess.search(queries.slice(0, 32))  # warm actor load + fetch caches
+    t0 = time.perf_counter()
+    tsess.search(queries)
+    extras["query_qps_termlayout_cold"] = len(queries) / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    tsess.search(queries)
+    extras["query_qps_termlayout"] = len(queries) / (time.perf_counter() - t0)
+    tsess.shutdown()
 
     # ---- operator suite over the driver testdata ----
     t0 = time.perf_counter()
@@ -177,7 +232,7 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": _sf(sf_dir),
         "num_cpus": num_cpus,
-        **{k: round(v, 3) for k, v in extras.items()},
+        **_round_extras(extras),
     }
 
 

@@ -43,15 +43,18 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
             continue
         dm = pq.read_table(dmp)
         dm_parts.append((si, dm))
+        src_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         seg = pq.read_table(segment_path(src, partition))
         for i in range(len(seg)):
-            d, tf = decode_postings(
+            # blobs hold docmap positions — resolve to real ids through the
+            # source's docmap before cross-source merging
+            p, tf = decode_postings(
                 seg.column("doc_blob")[i].as_py(),
                 seg.column("tf_blob")[i].as_py(),
                 np.asarray(seg.column("block_last_doc")[i].as_py(), dtype=np.int64),
                 block_size=cfg.block_size,
             )
-            seg_rows.append((si, seg.column("term")[i].as_py(), d, tf))
+            seg_rows.append((si, seg.column("term")[i].as_py(), src_ids[p], tf))
     if not dm_parts:
         return {"partition": partition, "n_docs": 0, "sum_doc_len": 0, "n_terms": 0, "bytes": 0}
 
@@ -86,8 +89,11 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
         pos = np.searchsorted(win_ids, m_docs)
         m_dls = win_len[pos]
         srt = np.lexsort((m_docs, m_terms))
-        m_terms, m_docs, m_tfs, m_dls = m_terms[srt], m_docs[srt], m_tfs[srt], m_dls[srt]
-        cols, tb, _ = encode_segment_table(m_terms, m_docs, m_tfs, m_dls, block_size=cfg.block_size)
+        m_terms, m_pos, m_tfs, m_dls = m_terms[srt], pos[srt], m_tfs[srt], m_dls[srt]
+        # encode docmap POSITIONS in the merged index (same format as build)
+        cols, tb, _ = encode_segment_table(
+            m_terms, m_pos.astype(np.int64), m_tfs, m_dls, block_size=cfg.block_size
+        )
         hasher.update(cols["doc_blob"].buffers()[2])
         segment = pa.table(
             [

@@ -29,20 +29,26 @@ def _segment_files(index_dir: str) -> list[str]:
 
 def canonical_postings(index_dir: str, block_size: int = 128) -> pa.Table:
     """Fully decoded (term, doc_id, tf) across all partitions, sorted — the
-    partition-count-independent canonical form of the index."""
+    partition-count-independent canonical form of the index. Posting blobs
+    hold docmap positions; canonicalization resolves them to real doc ids
+    through each partition's docmap."""
     terms, docs, tfs = [], [], []
     for f in _segment_files(index_dir):
         t = pq.read_table(f)
+        dm = pq.read_table(
+            os.path.join(index_dir, "docmap", os.path.basename(f)), columns=["doc_id"]
+        )
+        dm_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         for i in range(len(t)):
-            d, tf = decode_postings(
+            p, tf = decode_postings(
                 t.column("doc_blob")[i].as_py(),
                 t.column("tf_blob")[i].as_py(),
                 np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
                 block_size=block_size,
             )
             term = t.column("term")[i].as_py()
-            terms.extend([term] * d.size)
-            docs.append(d)
+            terms.extend([term] * p.size)
+            docs.append(dm_ids[p])
             tfs.append(tf)
     if not docs:
         return pa.table(

@@ -158,10 +158,10 @@ class _ShardState:
         if p is None:
             self._contrib[term] = None
             return None
-        doc_ids, tfs = decode_postings(
+        # blobs store docmap positions: direct indexing, no searchsorted
+        pos, tfs = decode_postings(
             p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
         )
-        pos = np.searchsorted(self.docmap_ids, doc_ids)
         dls = self.docmap_lens[pos]
         contrib = scorer.term_scores(tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl)
         out = (pos, contrib, len(p["block_last_doc"]))
@@ -311,11 +311,10 @@ class _ShardState:
             if i > 0 and threshold > -np.inf and suffix[i] < threshold * approx_factor:
                 essential_end = i
                 break
-            doc_ids, tfs = decode_postings(
+            pos, tfs = decode_postings(
                 p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
             )
             n_blocks += len(p["block_last_doc"])
-            pos = np.searchsorted(self.docmap_ids, doc_ids)
             dls = self.docmap_lens[pos]
             scores[pos] += qtf * scorer.term_scores(
                 tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl
@@ -332,26 +331,27 @@ class _ShardState:
 
         cand_ids = self.docmap_ids[cand]
         for term, qtf, p, _ub in tps[essential_end:]:
+            # block metadata and decoded postings are docmap POSITIONS —
+            # candidate matching stays in position space throughout
             last = p["block_last_doc"]
-            bidx = np.searchsorted(last, cand_ids)
+            bidx = np.searchsorted(last, cand)
             bidx = bidx[bidx < last.size]
             mask = np.zeros(last.size, dtype=bool)
             mask[np.unique(bidx)] = True
-            doc_ids, tfs = decode_postings(
+            pos_d, tfs = decode_postings(
                 p["doc_blob"], p["tf_blob"], last,
                 p["block_doc_offs"], p["block_tf_offs"], mask,
                 block_size=self.block_size,
             )
             n_blocks += int(mask.sum())
-            if doc_ids.size == 0:
+            if pos_d.size == 0:
                 continue
-            pin = np.searchsorted(cand_ids, doc_ids)
-            valid = pin < cand_ids.size
-            valid[valid] = cand_ids[pin[valid]] == doc_ids[valid]
-            doc_ids, tfs = doc_ids[valid], tfs[valid]
-            pos = np.searchsorted(self.docmap_ids, doc_ids)
-            dls = self.docmap_lens[pos]
-            scores[pos] += qtf * scorer.term_scores(
+            pin = np.searchsorted(cand, pos_d)
+            valid = pin < cand.size
+            valid[valid] = cand[pin[valid]] == pos_d[valid]
+            pos_d, tfs = pos_d[valid], tfs[valid]
+            dls = self.docmap_lens[pos_d]
+            scores[pos_d] += qtf * scorer.term_scores(
                 tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl
             )
 
@@ -366,6 +366,8 @@ class _ShardState:
         """Re-accumulate scores for a small doc set in lexicographic term
         order (identical float op order as the cached TAAT path)."""
         out = np.zeros(docs.size, dtype=np.float64)
+        # docs are real ids (the result surface); work in position space
+        dpos = np.searchsorted(self.docmap_ids, docs)
         for term, qtf in plan.query_terms[qi]:
             if plan.term_idf.get(term, 0.0) <= 0.0:
                 continue
@@ -373,22 +375,21 @@ class _ShardState:
             if p is None:
                 continue
             last = p["block_last_doc"]
-            bidx = np.searchsorted(last, docs)
+            bidx = np.searchsorted(last, dpos)
             bidx = bidx[bidx < last.size]
             mask = np.zeros(last.size, dtype=bool)
             mask[np.unique(bidx)] = True
-            doc_ids, tfs = decode_postings(
+            pos_d, tfs = decode_postings(
                 p["doc_blob"], p["tf_blob"], last,
                 p["block_doc_offs"], p["block_tf_offs"], mask,
                 block_size=self.block_size,
             )
-            if doc_ids.size == 0:
+            if pos_d.size == 0:
                 continue
-            pin = np.searchsorted(doc_ids, docs)
-            valid = pin < doc_ids.size
-            valid[valid] = doc_ids[pin[valid]] == docs[valid]
-            pos = np.searchsorted(self.docmap_ids, docs[valid])
-            dls = self.docmap_lens[pos]
+            pin = np.searchsorted(pos_d, dpos)
+            valid = pin < pos_d.size
+            valid[valid] = pos_d[pin[valid]] == dpos[valid]
+            dls = self.docmap_lens[dpos[valid]]
             out[valid] += qtf * scorer.term_scores(
                 tfs[pin[valid]], dls, plan.term_df[term], plan.n_docs, plan.avgdl
             )
@@ -557,6 +558,10 @@ class SearchSession:
         self.actors = [
             cls.remote(index_dir, a, int(self.stats["block_size"])) for a in assign
         ]
+        # per-session term->df cache: a serving process would otherwise re-read
+        # the term_stats parquet on EVERY search call (dominates single-query
+        # latency); misses are looked up per batch, absent terms cached as 0
+        self._df_cache: dict[str, int] = {}
 
     # queries per broadcast plan: bounds the ray.put object and per-actor
     # accumulation for very large batches; chunks stream through the pool
@@ -577,7 +582,12 @@ class SearchSession:
         distinct: set[str] = set()
         for t in queries.column("text").to_pylist():
             distinct.update(tokenize_py(t))
-        term_df = lookup_term_df(self.index_dir, sorted(distinct))
+        missing = sorted(distinct - self._df_cache.keys())
+        if missing:
+            self._df_cache.update(lookup_term_df(self.index_dir, missing))
+            for t in missing:  # absent terms -> df 0, cached too
+                self._df_cache.setdefault(t, 0)
+        term_df = {t: self._df_cache[t] for t in distinct}
         plan = make_query_plan(
             queries, term_df, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
             query_cfg.k,

@@ -377,13 +377,24 @@ def _merge_one_partition(
         m_tfs = np.concatenate(tf_parts)
         pos = np.searchsorted(win_sorted, m_docs)
         m_dls = win_lens_lookup[pos].astype(np.int64)
+        # posting blobs store partition-LOCAL dense positions (row index into
+        # the final docmap), not raw 63-bit hash ids: per-term deltas become
+        # ~n_docs/df instead of ~2^63/df, so varints drop from ~9 bytes to
+        # 1-2 bytes per posting — less encode/decode memory traffic (the
+        # merge is DRAM-bound) and the query path indexes the docmap directly
         if remap_ids is not None:
-            m_docs = remap_ids[pos]
-        order = np.lexsort((m_docs, m_codes))
-        m_codes, m_docs, m_tfs, m_dls = (
-            m_codes[order], m_docs[order], m_tfs[order], m_dls[order]
+            # dense_url: final docmap is sorted by the NEW interleaved ids,
+            # so a doc's docmap row = its url rank within the partition
+            m_pos = rank_of[pos]
+        else:
+            m_pos = pos.astype(np.int64)
+        # single packed sort key (code, position) — one stable argsort pass
+        # instead of a two-key lexsort (positions fit 32 bits by construction)
+        order = np.argsort((m_codes.astype(np.int64) << np.int64(32)) | m_pos, kind="stable")
+        m_codes, m_pos, m_tfs, m_dls = (
+            m_codes[order], m_pos[order], m_tfs[order], m_dls[order]
         )
-        cols, tb, _ = encode_segment_table(m_codes, m_docs, m_tfs, m_dls, block_size=cfg.block_size)
+        cols, tb, _ = encode_segment_table(m_codes, m_pos, m_tfs, m_dls, block_size=cfg.block_size)
         hasher.update(cols["doc_blob"].buffers()[2])
         segment = pa.table(
             [

@@ -52,11 +52,29 @@ class TestDocidReorder:
         # and most ranks agree outright
         assert len(mismatches) < len(ua) * 0.1
 
-    def test_dense_ids_compress_better(self, two_orderings):
+    def test_position_blobs_compact(self, two_orderings):
+        """Posting blobs store partition-local docmap POSITIONS (delta+varint)
+        — under both orderings the doc component must stay near 1-2 bytes per
+        posting. (The dense_url ordering used to cut raw-hash-id blobs >20%;
+        position encoding gives that compression to every ordering, so the
+        assertion is absolute now, and dense must not regress vs hash.)"""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
         ix_hash, ix_dense, _ = two_orderings
+        for ix in (ix_hash, ix_dense):
+            seg_dir = os.path.join(ix, "segments")
+            blob = post = 0
+            for f in sorted(os.listdir(seg_dir)):
+                t = pq.read_table(os.path.join(seg_dir, f), columns=["df", "doc_blob"])
+                post += int(t.column("df").to_numpy(zero_copy_only=False).astype(np.int64).sum())
+                blob += sum(len(x.as_py()) for x in t.column("doc_blob"))
+            assert post > 0 and blob / post < 2.5, (ix, blob, post)
         s_hash = index_size_bytes(ix_hash)["segments"]
         s_dense = index_size_bytes(ix_dense)["segments"]
-        assert s_dense < s_hash * 0.8, (s_dense, s_hash)
+        assert s_dense < s_hash * 1.1, (s_dense, s_hash)
 
     def test_partition_derivable_from_id(self, two_orderings):
         import pyarrow.parquet as pq
