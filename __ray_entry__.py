@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings / similarity search
         "knn_cosine": d.knn_cosine,
         "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
+        "knn_ivfpq": d.knn_ivfpq,                 # rows-only (compressed ANN)
         "embedding_dups": d.embedding_dups,
         "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
         # the engine itself (flagship: build + BM25 top-k, rank-identical)

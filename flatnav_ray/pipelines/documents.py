@@ -200,6 +200,23 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 10, nprobe: int = 4) -> p
     return ivf.search(assigned, qv, k=k, nprobe=nprobe)
 
 
+def knn_ivfpq(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
+    """IVF-PQ ANN (compressed-domain scan + exact re-rank) — rows-only check;
+    pytest holds the recall oracle (tests/test_pq.py)."""
+    from ..stages.pq import IvfPqIndex
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ix, coded = IvfPqIndex.build(emb, n_centroids=16, m=8, n_bits=6)
+    coded = coded.materialize()
+    qt = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id < {n_queries}")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    qv = np.stack(qt.column("embedding").to_pylist())
+    return ix.search(coded, qv, k=k, nprobe=4, rerank=64)
+
+
 def embedding_dups(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     from ..stages.dedup import embedding_near_dups
 
