@@ -107,20 +107,25 @@ def stable_hash64(strings, seed: int = 0) -> np.ndarray:
             sl = lens[sel]
             maxw = max(1, int(sl[-1] + 7) // 8)
             rows = sel.size
-            # padded byte matrix -> little-endian uint64 word matrix
-            idx = starts[sel, None] + np.arange(maxw * 8, dtype=np.int64)[None, :]
-            mask = np.arange(maxw * 8, dtype=np.int64)[None, :] < sl[:, None]
-            if vals.size:
-                bmat = vals[np.minimum(idx, vals.size - 1)]
-                bmat &= mask.astype(np.uint8) * np.uint8(0xFF)
-            else:
-                bmat = np.zeros((rows, maxw * 8), dtype=np.uint8)
-            words = np.ascontiguousarray(bmat).view("<u8")
-            wn = (sl + 7) // 8
+            # padded byte matrix via per-row slice copies (O(total bytes);
+            # a vectorized gather would build index matrices 8x the text size)
+            bmat = np.zeros((rows, maxw * 8), dtype=np.uint8)
+            st = starts[sel]
+            for r in range(rows):
+                ln = sl[r]
+                if ln:
+                    bmat[r, :ln] = vals[st[r] : st[r] + ln]
+            words = bmat.view("<u8")
+            wn = (sl + 7) // 8  # ascending (rows are length-sorted)
             h = np.full(rows, _FNV_OFFSET, dtype=np.uint64)
             for wj in range(maxw):
-                nxt = (h ^ words[:, wj]) * _FNV_PRIME
-                h = np.where(wn > wj, nxt, h)
+                # active rows (wn > wj) are a contiguous SUFFIX of the
+                # length-sorted chunk: fold in place on a slice — no masks,
+                # no temporaries, total work == total words
+                a = int(np.searchsorted(wn, wj + 1, side="left"))
+                hw = h[a:]
+                hw ^= words[a:, wj]
+                hw *= _FNV_PRIME
             h = splitmix64(h ^ sl.astype(np.uint64))
             if seed:
                 h = splitmix64(h ^ np.uint64(seed))

@@ -256,22 +256,36 @@ def minhash_lsh_clusters(
     rows_per_band = num_perm // bands
 
     def _bands(batch: pa.Table) -> pa.Table:
+        # fully vectorized across the batch: one splitmix re-mix of the
+        # shingle-hash stream per permutation, per-doc minima via
+        # np.minimum.reduceat over the (sorted) parent segments — identical
+        # values to the scalar minhash_signature path (tested)
         texts = batch.column(text_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         parents, shingles = token_shingles(texts, n=shingle_n)
-        out_band, out_bucket, out_id = [], [], []
-        for i in range(len(ids)):
-            sh = shingles[parents == i]
-            sig = minhash_signature(sh, num_perm)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bucket = int(
-                    splitmix64(np.bitwise_xor.reduce(chunk) ^ np.uint64(b + 1))[()]
-                    & np.uint64(2**62 - 1)
-                )
-                out_band.append(b)
-                out_bucket.append(bucket)
-                out_id.append(int(ids[i]))
+        nb = ids.size
+        counts = np.bincount(parents, minlength=nb) if parents.size else np.zeros(nb, np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        empty = counts == 0
+        u64max = np.uint64(np.iinfo(np.uint64).max)
+        sig = np.empty((num_perm, nb), dtype=np.uint64)
+        if shingles.size:
+            red_starts = np.minimum(starts, shingles.size - 1)  # reduceat bounds
+            for p in range(num_perm):
+                mixed = splitmix64(shingles ^ np.uint64(1 + p * 0x9E3779B9))
+                s = np.minimum.reduceat(mixed, red_starts)
+                s[empty] = u64max  # reduceat returns a garbage element for empty segments
+                sig[p] = s
+        else:
+            sig[:] = u64max
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), nb)
+        out_id = np.tile(ids, bands)
+        out_bucket = np.empty(bands * nb, dtype=np.int64)
+        for b in range(bands):
+            xb = np.bitwise_xor.reduce(sig[b * rows_per_band : (b + 1) * rows_per_band], axis=0)
+            out_bucket[b * nb : (b + 1) * nb] = (
+                splitmix64(xb ^ np.uint64(b + 1)) & np.uint64(2**62 - 1)
+            ).astype(np.int64)
         return pa.table(
             {
                 "band": pa.array(out_band, type=pa.int32()),
@@ -341,17 +355,32 @@ def simhash_clusters(
     within Hamming distance 3 shares at least one band), Hamming verify."""
 
     def _sig(batch: pa.Table) -> pa.Table:
+        # vectorized SimHash: per-token ±1 bit matrix, per-doc bit votes via
+        # np.add.reduceat over parent segments, sign-pack — identical values
+        # to the scalar simhash64 path (tested)
         texts = batch.column(text_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         parents, toks = explode_tokens(texts)
         th = stable_hash64(toks)
-        sigs = []
-        for i in range(len(ids)):
-            sigs.append(simhash64(th[parents == i]))
+        nb = ids.size
+        counts = np.bincount(parents, minlength=nb) if parents.size else np.zeros(nb, np.int64)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        empty = counts == 0
+        if th.size:
+            pm = (
+                ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+                .astype(np.int32) * 2 - 1
+            )
+            votes = np.add.reduceat(pm, np.minimum(starts, th.size - 1), axis=0)
+            votes[empty] = 0
+            pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            sigs = ((votes > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1, dtype=np.uint64)
+        else:
+            sigs = np.zeros(nb, dtype=np.uint64)
         return pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
-                "simhash": pa.array(np.array(sigs, dtype=np.uint64).astype(np.int64), type=pa.int64()),
+                "simhash": pa.array(sigs.astype(np.int64), type=pa.int64()),
             }
         )
 

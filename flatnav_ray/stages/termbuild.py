@@ -458,52 +458,53 @@ class _TermShardState:
         self, qterms: list[tuple[str, int]], k: int,
         rows: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Exact top-k for one query. `qterms` must be lexicographically
-        sorted — contributions concatenate in that order and np.add.at applies
-        them sequentially, so each doc's float sum folds exactly like the
-        scalar oracle's per-term loop."""
-        lookup = rows if rows is not None else None
-        entries = []
-        for term, qtf in qterms:
-            hit = lookup.get(term) if lookup is not None else self.term_contrib(term)
-            if hit is None:
-                continue
-            d, contrib = hit
-            entries.append((d, contrib if qtf == 1 else qtf * contrib))
-        if not entries:
-            e = np.empty(0, dtype=np.int64)
-            return e, np.empty(0, dtype=np.float64)
-        from ..functions.bm25 import topk_select
-
-        if len(entries) == 1:
-            return topk_select(entries[0][1], entries[0][0], k)
-        all_docs = np.concatenate([e[0] for e in entries])
-        all_sc = np.concatenate([e[1] for e in entries])
-        uniq, inv = np.unique(all_docs, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(acc, inv, all_sc)
-        return topk_select(acc, uniq, k)
+        if rows is not None:
+            return _score_query_rows(rows, qterms, k)
+        got = {}
+        for term, _ in qterms:
+            hit = self.term_contrib(term)
+            if hit is not None:
+                got[term] = hit
+        return _score_query_rows(got, qterms, k)
 
 
-def _score_queries_table(
-    state_or_rows, queries: pa.Table, k: int, n_docs_nonzero: bool = True
-) -> pa.Table:
-    """Shared driver loop: tokenize each query (analyzer parity, SURVEY.md M5),
-    score via vectorized accumulation, emit (query_id, rank, doc_id, score)."""
-    from ..functions.tokenize import tokenize_py
+def _score_query_rows(
+    rows: dict[str, tuple[np.ndarray, np.ndarray]],
+    qterms: list[tuple[str, int]],
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k for one query over fetched (docs, contribution) rows.
+    `qterms` must be lexicographically sorted — contributions concatenate in
+    that order and np.add.at applies them sequentially, so each doc's float
+    sum folds exactly like the scalar oracle's per-term loop."""
+    from ..functions.bm25 import topk_select
 
-    qids = queries.column("query_id").to_pylist()
-    texts = queries.column("text").to_pylist()
+    entries = []
+    for term, qtf in qterms:
+        hit = rows.get(term)
+        if hit is None:
+            continue
+        d, contrib = hit
+        entries.append((d, contrib if qtf == 1 else qtf * contrib))
+    if not entries:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if len(entries) == 1:
+        return topk_select(entries[0][1], entries[0][0], k)
+    all_docs = np.concatenate([e[0] for e in entries])
+    all_sc = np.concatenate([e[1] for e in entries])
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(acc, inv, all_sc)
+    return topk_select(acc, uniq, k)
+
+
+def _score_slice_table(rows, qitems: list[tuple[int, list]], k: int) -> pa.Table:
+    """Score a slice of queries against fetched rows -> result table (used
+    driver-side AND as a raw Ray task with `rows` read zero-copy from the
+    object store)."""
     out_q, out_r, out_d, out_s = [], [], [], []
-    for qid, text in zip(qids, texts):
-        counts: dict[str, int] = {}
-        for tok in tokenize_py(text):
-            counts[tok] = counts.get(tok, 0) + 1
-        if isinstance(state_or_rows, _TermShardState):
-            dd, ss = state_or_rows.score_query(sorted(counts.items()), k)
-        else:
-            state, rows = state_or_rows
-            dd, ss = state.score_query(sorted(counts.items()), k, rows=rows)
+    for qid, qterms in qitems:
+        dd, ss = _score_query_rows(rows, qterms, k)
         if dd.size == 0:
             continue
         out_q.append(np.full(dd.size, qid, dtype=np.int64))
@@ -527,6 +528,29 @@ def _score_queries_table(
             "score": pa.array(np.concatenate(out_s), type=pa.float64()),
         }
     )
+
+
+def _score_queries_table(state: "_TermShardState", queries: pa.Table, k: int) -> pa.Table:
+    """Shared driver loop: tokenize each query (analyzer parity, SURVEY.md M5),
+    score via the vectorized accumulation, emit (query_id, rank, doc_id, score)."""
+    from ..functions.tokenize import tokenize_py
+
+    qitems = []
+    for qid, text in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        counts: dict[str, int] = {}
+        for tok in tokenize_py(text):
+            counts[tok] = counts.get(tok, 0) + 1
+        qitems.append((int(qid), sorted(counts.items())))
+    rows = {}
+    for _, qterms in qitems:
+        for term, _ in qterms:
+            if term not in rows:
+                hit = state.term_contrib(term)
+                if hit is not None:
+                    rows[term] = hit
+    return _score_slice_table(rows, qitems, k)
 
 
 class TermIndexSearcher:
@@ -631,22 +655,56 @@ class TermSearchSession:
         )
         self.actors = [cls.remote(a, *args) for a in assign]
         self._rows: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        self._merge_state = _TermShardState(TERM_SEGMENT_SCHEMA.empty_table(), *args)
+        self._rows_ref = None  # object-store copy shared by scoring tasks
+        self._n_workers = max(1, n)
 
     def search(self, queries: pa.Table, k: int = 10) -> pa.Table:
         import ray
 
         from ..functions.tokenize import tokenize_py
 
-        needed = sorted(
-            {t for x in queries.column("text").to_pylist() for t in tokenize_py(x)}
-            - set(self._rows)
-        )
+        qids = queries.column("query_id").to_pylist()
+        texts = queries.column("text").to_pylist()
+        qitems: list[tuple[int, list]] = []
+        distinct: set[str] = set()
+        for qid, text in zip(qids, texts):
+            counts: dict[str, int] = {}
+            for tok in tokenize_py(text):
+                counts[tok] = counts.get(tok, 0) + 1
+            qitems.append((int(qid), sorted(counts.items())))
+            distinct.update(counts)
+        needed = sorted(distinct - set(self._rows))
         if needed:
             futs = [a.fetch.remote(needed) for a in self.actors]
             for part in ray.get(futs):
                 self._rows.update(part)
-        return _score_queries_table((self._merge_state, self._rows), queries, k)
+            for t in needed:
+                self._rows.setdefault(t, None)  # absent terms cached too
+            self._rows_ref = None  # invalidate the shared object-store copy
+
+        # small batches score inline; large ones fan the per-query
+        # accumulation out as raw Ray tasks over an object-store copy of the
+        # fetched rows (read zero-copy by every task) — the coordinator was
+        # otherwise a single-core bottleneck on Σ df(query terms) postings
+        live_rows = {t: v for t, v in self._rows.items() if v is not None}
+        if len(qitems) <= 64 or self._n_workers == 1:
+            out = _score_slice_table(live_rows, qitems, k)
+        else:
+            if self._rows_ref is None:
+                self._rows_ref = ray.put(live_rows)
+            task = ray.remote(num_cpus=1)(_score_slice_table)
+            n_slices = min(self._n_workers * 2, max(1, len(qitems) // 32))
+            step = (len(qitems) + n_slices - 1) // n_slices
+            futs = [
+                task.remote(self._rows_ref, qitems[s : s + step], k)
+                for s in range(0, len(qitems), step)
+            ]
+            out = pa.concat_tables(ray.get(futs))
+        import pyarrow.compute as pc
+
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+        )
 
     def shutdown(self) -> None:
         import ray

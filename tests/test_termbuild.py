@@ -63,6 +63,8 @@ class TestTermLayout:
         from flatnav_ray.stages.termbuild import TermSearchSession
 
         _, term_ix, _, _, queries = both_indexes
+        import pyarrow as pa
+
         sess = TermSearchSession(term_ix, num_actors=3)
         try:
             a = sess.search(queries, k=10)
@@ -70,5 +72,28 @@ class TestTermLayout:
             assert a.equals(b)
             # warm path (coordinator + actor caches) stays identical
             assert sess.search(queries, k=10).equals(b)
+            # large batch takes the fan-out (raw-task) scoring path — results
+            # must still be bit-identical per query
+            reps = 1 + (70 // max(1, len(queries)))
+            big = pa.concat_tables(
+                [
+                    pa.table(
+                        {
+                            "query_id": pa.array(
+                                [q + 1000 * r for q in queries.column("query_id").to_pylist()],
+                                type=pa.int64(),
+                            ),
+                            "text": queries.column("text"),
+                        }
+                    )
+                    for r in range(reps)
+                ]
+            )
+            assert len(big) > 64
+            big_out = sess.search(big, k=10)
+            first = big_out.filter(
+                pa.compute.less(big_out.column("query_id"), 1000)
+            )
+            assert first.equals(b)
         finally:
             sess.shutdown()
