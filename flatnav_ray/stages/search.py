@@ -506,6 +506,42 @@ def merge_topk_table(partials: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _merge_partial_range(refs, lo, hi, k: int) -> pa.Table:
+    """Raw-task merge worker: fetch every shard's partial table (zero-copy
+    from the object store), keep only queries in [lo, hi), run the vectorized
+    top-k merge on that slice. Fanning the merge out by query range removes
+    the driver's single-core lexsort bottleneck on k x P x Q partial rows."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    tabs = [t for t in ray.get(list(refs)) if t is not None and len(t)]
+    kept = []
+    for t in tabs:
+        m = pc.greater_equal(t.column("query_id"), lo)
+        if hi is not None:
+            m = pc.and_(m, pc.less(t.column("query_id"), hi))
+        ft = t.filter(m)
+        if len(ft):
+            kept.append(ft)
+    if not kept:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int32()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+    return merge_topk_table(pa.concat_tables(kept), k)
+
+
+# partial-row count above which SearchSession fans the final merge out to
+# raw Ray tasks instead of a driver-side lexsort
+_MERGE_FANOUT_ROWS = 200_000
+
+
 def _shard_actor_cls():
     import ray
 
@@ -600,6 +636,31 @@ class SearchSession:
             )
             for a in self.actors
         ]
+        import pyarrow.compute as pc
+
+        # big batches: fan the k x P x Q merge out by query range — each raw
+        # task reads the shard partials zero-copy and merges its slice
+        est_rows = len(queries) * len(self.actors) * query_cfg.k
+        if est_rows >= _MERGE_FANOUT_ROWS and len(plan.query_ids) > 1:
+            n_slices = min(8, max(2, est_rows // _MERGE_FANOUT_ROWS + 1))
+            qs_sorted = np.sort(plan.query_ids)
+            cuts = [int(qs_sorted[(i * qs_sorted.size) // n_slices]) for i in range(n_slices)]
+            # dedupe cut points (repeated qids) while keeping coverage
+            bounds = sorted(set(cuts))
+            task = ray.remote(num_cpus=1)(_merge_partial_range)
+            outs = ray.get(
+                [
+                    task.remote(
+                        futs, bounds[i],
+                        bounds[i + 1] if i + 1 < len(bounds) else None, query_cfg.k,
+                    )
+                    for i in range(len(bounds))
+                ]
+            )
+            merged = pa.concat_tables(outs)
+            return merged.take(
+                pc.sort_indices(merged, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+            )
         parts = [t for t in ray.get(futs) if t is not None and len(t)]
         if not parts:
             return merge_topk_table(
@@ -614,8 +675,6 @@ class SearchSession:
                 query_cfg.k,
             )
         merged = merge_topk_table(pa.concat_tables(parts), query_cfg.k)
-        import pyarrow.compute as pc
-
         return merged.take(
             pc.sort_indices(merged, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
         )

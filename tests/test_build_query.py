@@ -262,3 +262,21 @@ class TestSpillRouting:
         ix2 = str(tmp_path / "ix_shared")
         build_index(ray.data.from_arrow(pages), ix2, IndexConfig(num_partitions=6))
         assert canonical_postings(ix1).equals(canonical_postings(ix2))
+
+
+class TestMergeFanout:
+    def test_fanout_merge_identical_to_driver_merge(self, built_index, monkeypatch):
+        """The query-range fan-out merge (big batches) must return exactly
+        what the driver-side lexsort merge returns."""
+        from flatnav_ray.stages import search as smod
+        from flatnav_ray.stages.search import SearchSession
+
+        ix, _, _, queries = built_index
+        sess = SearchSession(ix, num_actors=4)
+        try:
+            base = sess.search(queries, QueryConfig(k=10))
+            monkeypatch.setattr(smod, "_MERGE_FANOUT_ROWS", 1)
+            fanned = sess.search(queries, QueryConfig(k=10))
+            assert fanned.equals(base)
+        finally:
+            sess.shutdown()
