@@ -506,6 +506,33 @@ def merge_topk_table(partials: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _expand_dedup_results(
+    res: pa.Table, orig_qids: np.ndarray, rep: np.ndarray, n_distinct: int
+) -> pa.Table:
+    """Replicate per-distinct-query result rows back onto the original query
+    ids (res is sorted by (query_id, rank) with distinct ids 0..n_distinct-1)."""
+    import pyarrow.compute as pc
+
+    rq = res.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(rq, minlength=n_distinct)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    sizes = counts[rep]
+    total = int(sizes.sum())
+    if total == 0:
+        return res.slice(0, 0)
+    starts = np.repeat(offs[rep], sizes)
+    within = np.arange(total) - np.repeat(np.cumsum(sizes) - sizes, sizes)
+    out = res.take(pa.array(starts + within))
+    out = out.set_column(
+        out.schema.get_field_index("query_id"),
+        "query_id",
+        pa.array(np.repeat(orig_qids, sizes), type=pa.int64()),
+    )
+    return out.take(
+        pc.sort_indices(out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+    )
+
+
 def _merge_partial_range(refs, lo, hi, k: int) -> pa.Table:
     """Raw-task merge worker: fetch every shard's partial table (zero-copy
     from the object store), keep only queries in [lo, hi), run the vectorized
@@ -609,6 +636,29 @@ class SearchSession:
         from ..state.stats import lookup_term_df
 
         query_cfg = query_cfg or QueryConfig()
+        # collapse duplicate query texts: plan, broadcast, per-shard scoring
+        # and merge all scale with DISTINCT queries; results are replicated
+        # per original query_id afterwards (bit-identical — scoring is a pure
+        # function of the text)
+        texts_all = queries.column("text").to_pylist()
+        uniq: dict[str, int] = {}
+        rep = np.fromiter(
+            (uniq.setdefault(t, len(uniq)) for t in texts_all),
+            dtype=np.int64, count=len(texts_all),
+        )
+        if len(uniq) < len(texts_all):
+            dq = pa.table(
+                {
+                    "query_id": pa.array(np.arange(len(uniq), dtype=np.int64)),
+                    "text": pa.array(list(uniq.keys()), type=pa.string()),
+                }
+            )
+            res = self.search(dq, query_cfg)
+            return _expand_dedup_results(
+                res,
+                queries.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                rep, len(uniq),
+            )
         if len(queries) > self.MAX_PLAN_QUERIES:
             parts = [
                 self.search(queries.slice(i, self.MAX_PLAN_QUERIES), query_cfg)

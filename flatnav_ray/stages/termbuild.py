@@ -662,9 +662,26 @@ class TermSearchSession:
         import ray
 
         from ..functions.tokenize import tokenize_py
+        from .search import _expand_dedup_results
 
         qids = queries.column("query_id").to_pylist()
         texts = queries.column("text").to_pylist()
+        # duplicate query texts score once (see SearchSession.search)
+        uniq: dict[str, int] = {}
+        rep = np.fromiter(
+            (uniq.setdefault(t, len(uniq)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        if len(uniq) < len(texts):
+            dq = pa.table(
+                {
+                    "query_id": pa.array(np.arange(len(uniq), dtype=np.int64)),
+                    "text": pa.array(list(uniq.keys()), type=pa.string()),
+                }
+            )
+            res = self.search(dq, k)
+            return _expand_dedup_results(
+                res, np.asarray(qids, dtype=np.int64), rep, len(uniq)
+            )
         qitems: list[tuple[int, list]] = []
         distinct: set[str] = set()
         for qid, text in zip(qids, texts):
