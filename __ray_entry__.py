@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_dense": d.bm25_topk_dense,     # dense_url docid reorder (O4)
+        "bm25_topk_gorder": d.bm25_topk_gorder,   # Gorder docid reorder (O5, rows-only)
     }
 
 

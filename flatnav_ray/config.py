@@ -35,6 +35,10 @@ class IndexConfig:
     #   "dense_url" — per-partition url-sorted dense ids interleaved by
     #                 partition (id % P == partition): posting deltas become
     #                 small constants -> much better varint compression
+    #   "gorder"    — Gorder sliding-window ordering (Reordering.h:27-117
+    #                 graft) over the shared-term doc-similarity graph:
+    #                 docs sharing rare terms get adjacent ids, shrinking
+    #                 per-term posting deltas (stages/reorder.py)
     docid_strategy: str = "hash"
 
     def fingerprint(self) -> str:

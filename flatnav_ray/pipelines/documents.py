@@ -381,3 +381,29 @@ def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
         }
     )
     return search_to_table(ix, multi, QueryConfig(k=k, method="maxscore"))
+
+
+def bm25_topk_gorder(sf_dir: str, k: int = 10) -> pa.Table:
+    """Gorder docid strategy (SURVEY.md O5 — the reference's gOrder
+    sliding-window cache-locality ordering, Reordering.h:27-117, grafted as a
+    shared-term-locality docid assignment, stages/reorder.py). Scores are
+    id-independent; exact-score ties break by the Gorder id, whose greedy
+    construction is not SQL-expressible -> rows-only driver check; pytest
+    (tests/test_reorder.py) holds the rank-identity-modulo-ties oracle."""
+    cfg = IndexConfig(num_partitions=8, docid_strategy="gorder")
+    ix = _index_dir_for(sf_dir, cfg)
+    if not os.path.exists(os.path.join(ix, "stats.json")):
+        build_index(documents_as_pages(sf_dir), ix, cfg, resume=True)
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k))
+    orig = pc.cast(
+        pc.struct_field(pc.extract_regex(out.column("url"), r"/(?P<id>[0-9]+)$"), "id"),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "query_id": out.column("query_id"),
+            "rank": out.column("rank").cast(pa.int64()),
+            "doc_id": orig,
+        }
+    )

@@ -1,0 +1,171 @@
+"""O5 — Gorder-style sliding-window docid ordering (the graft of the
+reference's `gOrder`, /root/reference/include/flatnav/util/Reordering.h:27-117
+with /root/reference/include/flatnav/util/GorderPriorityQueue.h:13-109).
+
+The reference permutes graph node ids so nodes that share edges land in
+nearby cache lines. The full-text analog permutes the per-partition docmap
+POSITIONS so documents that share *rare* terms receive adjacent positions:
+per-term posting deltas shrink for exactly the terms that cluster, so the
+delta+varint doc blobs compress better. Same motive (locality), same plug
+slot as the reference's pluggable `reorder(strategies=[...])`
+(python-bindings/src/flatnav/bindings.cpp:285-295) — here it is
+`IndexConfig(docid_strategy="gorder")`, next to "hash" and "dense_url" (O4).
+
+Documented deviations from the reference algorithm:
+
+- flatnav's Gorder walks a directed fixed-degree graph and does 2-hop
+  priority updates (out-edges of in-neighbors). Here the graph is the
+  doc-similarity graph *induced* by shared low-df terms — the bipartite
+  doc→term→doc expansion IS the 2-hop step, applied once at graph-build
+  time — so the greedy itself only needs 1-hop updates on the symmetric,
+  degree-capped adjacency. (The reference's own comment at Reordering.h:96
+  notes the exact update rule barely moves the result.)
+- The priority queue is a flat numpy array + argmax instead of the bucketed
+  GorderPriorityQueue. argmax is O(n) per step, so the greedy is run over
+  contiguous chunks of GORDER_CHUNK docs: O(chunk) per step, locality is a
+  within-chunk property anyway (deltas only shrink between near-adjacent
+  ranks), and a partition at 100 TB scale would otherwise need the full
+  bucket structure. Chunking keeps the cost linear in partition size.
+
+Scale notes: everything here runs INSIDE one partition's merge task — no
+extra shuffle. Graph build is vectorized (one argsort + windowed pair
+emission over posting groups); only the greedy loop is sequential, bounded
+by GORDER_CHUNK, and partitions reorder in parallel across the cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Only terms with 2 <= df <= GORDER_MAX_DF induce doc-doc edges: hot terms
+# carry no locality signal (they touch every doc) and would emit O(df^2) work.
+GORDER_MAX_DF = 16
+# Windowed pair emission span within one term's posting group: each doc links
+# to at most TERM_SPAN successors per shared term (full O(df^2) pairs are not
+# needed — edge multiplicity across terms recovers the strong pairs).
+GORDER_TERM_SPAN = 4
+# Degree cap of the similarity graph — the flatnav `M` analog (Index.h:58).
+GORDER_MAX_DEGREE = 32
+# Sliding-window width `w` of the greedy (Reordering.h gOrder parameter).
+GORDER_WINDOW = 8
+# Greedy chunk size: the argmax priority scan is O(chunk) per placed doc.
+GORDER_CHUNK = 1 << 16
+
+
+def doc_similarity_graph(
+    positions: np.ndarray,
+    term_codes: np.ndarray,
+    n_docs: int,
+    max_df: int = GORDER_MAX_DF,
+    term_span: int = GORDER_TERM_SPAN,
+    max_degree: int = GORDER_MAX_DEGREE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build the degree-capped symmetric doc-doc adjacency (CSR) induced by
+    shared low-df terms, from one partition's postings.
+
+    positions: int64 docmap position per posting (0..n_docs-1).
+    term_codes: integer term code per posting (same length).
+    Returns (indptr[n_docs+1], indices) with neighbors sorted by descending
+    shared-term multiplicity per doc. Fully vectorized (no Python loop over
+    terms or postings).
+    """
+    pos = positions.astype(np.int64, copy=False)
+    codes = term_codes.astype(np.int64, copy=False)
+    if pos.size == 0 or n_docs == 0:
+        return np.zeros(n_docs + 1, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # group postings by term (positions fit 32 bits: asserted by caller's
+    # packed-key sort in twophase._merge_one_partition)
+    order = np.argsort((codes << np.int64(32)) | pos, kind="stable")
+    c = codes[order]
+    p = pos[order]
+    new = np.ones(c.size, dtype=bool)
+    new[1:] = c[1:] != c[:-1]
+    grp_id = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, c.size))
+    df_of_post = sizes[grp_id]
+    ok = (df_of_post >= 2) & (df_of_post <= max_df)
+    srcs: list[np.ndarray] = []
+    dsts: list[np.ndarray] = []
+    for s in range(1, term_span + 1):
+        if s >= c.size:
+            break
+        same = grp_id[s:] == grp_id[:-s]
+        m = same & ok[s:]
+        if m.any():
+            srcs.append(p[:-s][m])
+            dsts.append(p[s:][m])
+    if not srcs:
+        return np.zeros(n_docs + 1, dtype=np.int64), np.empty(0, dtype=np.int64)
+    a = np.concatenate(srcs)
+    b = np.concatenate(dsts)
+    # symmetric edges, weighted by multiplicity (number of shared terms that
+    # emitted the pair)
+    ea = np.concatenate([a, b])
+    eb = np.concatenate([b, a])
+    key = (ea << np.int64(32)) | eb
+    uniq, counts = np.unique(key, return_counts=True)
+    src = (uniq >> np.int64(32)).astype(np.int64)
+    dst = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    # cap per-source degree at max_degree, keeping the heaviest edges — the
+    # flatnav M-link truncation analog (Index.h:765-834 keeps the best M)
+    o = np.lexsort((-counts, src))
+    src, dst = src[o], dst[o]
+    first = np.ones(src.size, dtype=bool)
+    first[1:] = src[1:] != src[:-1]
+    grp = np.cumsum(first) - 1
+    grp_start = np.flatnonzero(first)
+    rank_in_grp = np.arange(src.size) - grp_start[grp]
+    keep = rank_in_grp < max_degree
+    src, dst = src[keep], dst[keep]
+    indptr = np.zeros(n_docs + 1, dtype=np.int64)
+    np.add.at(indptr, src + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, dst
+
+
+def gorder_rank(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    n_docs: int,
+    window: int = GORDER_WINDOW,
+    chunk: int = GORDER_CHUNK,
+) -> np.ndarray:
+    """Greedy sliding-window ordering (Reordering.h:70-112's loop): place the
+    unplaced doc sharing the most edges with the last `window` placed docs.
+
+    Returns rank_of[old_position] -> new rank (the reference's `Pinv`,
+    Reordering.h:113-117). Deterministic: ties break toward the lowest old
+    position (np.argmax first-hit), seed doc = position 0 per chunk — the
+    reference seeds node 0 the same way (Reordering.h:68-69).
+    """
+    rank_of = np.empty(n_docs, dtype=np.int64)
+    NEG = np.int64(-(1 << 62))
+    for lo in range(0, n_docs, chunk):
+        hi = min(lo + chunk, n_docs)
+        m = hi - lo
+        pri = np.zeros(m, dtype=np.int64)
+        placed = np.empty(m, dtype=np.int64)
+        for i in range(m):
+            v = int(np.argmax(pri))
+            placed[i] = v
+            pri[v] = NEG
+            nb = indices[indptr[lo + v] : indptr[lo + v + 1]] - lo
+            nb = nb[(nb >= 0) & (nb < m)]
+            pri[nb] += 1
+            if i >= window:
+                u = placed[i - window]
+                nbu = indices[indptr[lo + u] : indptr[lo + u + 1]] - lo
+                nbu = nbu[(nbu >= 0) & (nbu < m)]
+                pri[nbu] -= 1
+        rank_of[placed + lo] = np.arange(lo, hi)
+    return rank_of
+
+
+def gorder_rank_of(
+    positions: np.ndarray, term_codes: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """positions+term codes of one partition's postings -> rank_of permutation
+    (old docmap position -> new interleaved-id rank)."""
+    indptr, indices = doc_similarity_graph(positions, term_codes, n_docs)
+    return gorder_rank(indptr, indices, n_docs)

@@ -308,10 +308,16 @@ def _merge_one_partition(
     win_partial = all_partial[win_by_doc_order]
     win_lens = all_lens[win_by_doc_order]
 
-    # O4 docid reorder (flatnav reorder() graft): remap winners to dense
-    # url-sorted ids interleaved by partition — id % P == partition still
-    # holds, and per-partition posting deltas become the constant P
-    remap_ids: np.ndarray | None = None
+    # O4/O5 docid reorder (flatnav reorder() graft, bindings.cpp:285-295):
+    # remap winners to dense ids interleaved by partition — id % P ==
+    # partition still holds. rank_of[old docmap position] -> new rank:
+    #   "dense_url" (O4) — rank = url sort order (domain locality)
+    #   "gorder"    (O5) — rank = Gorder sliding-window ordering over the
+    #                      shared-term doc graph (stages/reorder.py; computed
+    #                      below once the winnowed postings exist)
+    win_partial_lookup = win_partial  # aligned with OLD win_sorted
+    win_lens_lookup = win_lens
+    rank_of: np.ndarray | None = None
     if cfg.docid_strategy == "dense_url":
         urls_concat = pa.concat_arrays(
             [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in urls_cols]
@@ -320,18 +326,10 @@ def _merge_one_partition(
         url_order = pa.compute.sort_indices(win_urls_tmp).to_numpy(zero_copy_only=False)
         rank_of = np.empty(url_order.size, dtype=np.int64)
         rank_of[url_order] = np.arange(url_order.size)
-        new_ids = rank_of * np.int64(cfg.num_partitions) + np.int64(partition)
-        remap_ids = new_ids  # aligned with win_sorted order
-        # re-sort the winner-aligned arrays by NEW id so docmap stays id-sorted
-        new_order = np.argsort(new_ids)
-        win_by_doc_order = win_by_doc_order[new_order]
-        win_partial_lookup = win_partial  # still aligned with OLD win_sorted
-        win_lens_lookup = win_lens
-        win_lens = win_lens[new_order]
-        win_new_sorted = new_ids[new_order]
-    else:
-        win_partial_lookup = win_partial
-        win_lens_lookup = win_lens
+    elif cfg.docid_strategy == "gorder":
+        # identity placeholder (empty-postings partitions keep dense ids);
+        # replaced by the real Gorder permutation once postings are winnowed
+        rank_of = np.arange(win_sorted.size, dtype=np.int64)
 
     # 2. postings: keep only rows whose (doc_id, partial) is the winner.
     # Term strings never enter the sort: each partial carries a SORTED local
@@ -377,14 +375,18 @@ def _merge_one_partition(
         m_tfs = np.concatenate(tf_parts)
         pos = np.searchsorted(win_sorted, m_docs)
         m_dls = win_lens_lookup[pos].astype(np.int64)
+        if cfg.docid_strategy == "gorder":
+            from .reorder import gorder_rank_of
+
+            rank_of = gorder_rank_of(pos, m_codes, win_sorted.size)
         # posting blobs store partition-LOCAL dense positions (row index into
         # the final docmap), not raw 63-bit hash ids: per-term deltas become
         # ~n_docs/df instead of ~2^63/df, so varints drop from ~9 bytes to
         # 1-2 bytes per posting — less encode/decode memory traffic (the
         # merge is DRAM-bound) and the query path indexes the docmap directly
-        if remap_ids is not None:
-            # dense_url: final docmap is sorted by the NEW interleaved ids,
-            # so a doc's docmap row = its url rank within the partition
+        if rank_of is not None:
+            # reordered: final docmap is sorted by the NEW interleaved ids,
+            # so a doc's docmap row = its rank within the partition
             m_pos = rank_of[pos]
         else:
             m_pos = pos.astype(np.int64)
@@ -410,13 +412,21 @@ def _merge_one_partition(
         segment = SEGMENT_SCHEMA.empty_table()
         n_terms = 0
 
-    # 3. final docmap (winners, sorted by doc_id)
+    # 3. final docmap (winners, sorted by final doc_id). Under a reorder
+    # strategy the winner-aligned arrays re-sort by the NEW interleaved ids
+    # (rank * P + partition) so the docmap row index == posting position.
+    if rank_of is not None:
+        new_ids = rank_of * np.int64(cfg.num_partitions) + np.int64(partition)
+        new_order = np.argsort(new_ids)
+        win_by_doc_order = win_by_doc_order[new_order]
+        win_lens = win_lens[new_order]
+        win_new_sorted = new_ids[new_order]
     all_urls = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in urls_cols])
     all_langs = pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in langs_cols])
     take = pa.array(win_by_doc_order.astype(np.int64))
     docmap = pa.table(
         [
-            pa.array(win_new_sorted if remap_ids is not None else win_sorted, type=pa.int64()),
+            pa.array(win_new_sorted if rank_of is not None else win_sorted, type=pa.int64()),
             all_urls.take(take),
             pa.array(win_lens.astype(np.int32), type=pa.int32()),
             all_langs.take(take),
