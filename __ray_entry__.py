@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": d.knn_cosine,
         "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
         "knn_ivfpq": d.knn_ivfpq,                 # rows-only (compressed ANN)
+        "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
         "embedding_dups": d.embedding_dups,
         "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
         # the engine itself (flagship: build + BM25 top-k, rank-identical)

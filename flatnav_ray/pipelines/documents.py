@@ -200,6 +200,32 @@ def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 10, nprobe: int = 4) -> p
     return ivf.search(assigned, qv, k=k, nprobe=nprobe)
 
 
+def knn_nsw(sf_dir: str, k: int = 10, n_queries: int = 10, ef_search: int = 64) -> pa.Table:
+    """Graph ANN — the reference's own core algorithm (flat NSW graph,
+    Index.h) as a sharded Ray operator (stages/nsw.py): shard-parallel
+    beam-search-insert build, per-shard beam query, deterministic merge.
+    Approximate (recall tuned by ef_search) -> rows-only check; pytest holds
+    the recall-vs-brute-force oracle (tests/test_nsw.py)."""
+    import tempfile
+
+    from ..stages.nsw import build_nsw_index, search_nsw_index
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ix = os.path.join(
+        tempfile.gettempdir(),
+        f"flatnav_docs/nsw_{hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()}",
+    )
+    if not os.path.isdir(ix) or not os.listdir(ix):
+        build_nsw_index(emb, ix, n_shards=2)
+    qt = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id < {n_queries}")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    qv = np.stack(qt.column("embedding").to_pylist())
+    return search_nsw_index(ix, qv, k=k, ef_search=ef_search)
+
+
 def knn_ivfpq(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
     """IVF-PQ ANN (compressed-domain scan + exact re-rank) — rows-only check;
     pytest holds the recall oracle (tests/test_pq.py)."""

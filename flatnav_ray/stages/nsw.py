@@ -1,0 +1,308 @@
+"""Graph ANN — the direct graft of the reference's core data structure: a
+flat navigable-small-world graph (flatnav `Index`, /root/reference/include/
+flatnav/index/Index.h): fixed max out-degree M (Index.h:58), beam-search
+insert with an ef_construction-wide frontier (Index.h:300-329 addBatch ->
+beamSearch), diversification pruning of candidate neighbors — keep a
+candidate only if it is closer to the new node than to any already-kept
+neighbor (selectNeighbors, Index.h:714-763), query beam search with
+ef_search and a visited set (Index.h:387-409, util/VisitedSetPool.h), and
+entry-point selection by strided sampling (num_initializations,
+Index.h:845-870).
+
+Ray-Data shape (original design, not a port — the reference is a
+single-arena shared-memory C++ engine):
+
+- **build**: embeddings shard by hash(vec_id) % n_shards; each shard builds
+  an independent NSW graph inside ONE `groupby(shard).map_groups` task (the
+  graph is mutable shared state across inserts, which the Dataset API cannot
+  express across tasks — so it lives within a task, per shard) and persists
+  as a parquet file of (vec_id, vector, neighbor list) rows. Shards build in
+  parallel across the cluster; the 100 TB path is MORE shards (bounded build
+  state per task), not bigger graphs.
+- **search**: the query matrix broadcasts once (ray.put); one task per shard
+  beam-searches its graph and emits a k×Q partial; partials merge with the
+  same deterministic (cosine desc, vec_id asc) reduce as brute_force_knn.
+  Per-shard recall is tuned by ef_search, exactly flatnav's knob.
+
+Deviation, documented: flatnav searches ONE graph over all N vectors;
+sharding trades a single entry point for S independent searches (each over
+N/S vectors) — per-query work rises S×, but every shard search is exact
+top-k-merging-compatible and build parallelism is unbounded. This is the
+standard distributed serving layout for graph ANN.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .knn import _merge_partials, _normalize, _to_matrix
+
+NSW_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("vector", pa.list_(pa.float32())),
+        ("neighbors", pa.list_(pa.int32())),
+    ]
+)
+
+
+def _select_neighbors(
+    cand: np.ndarray, cand_sims: np.ndarray, vecs: np.ndarray, m: int
+) -> np.ndarray:
+    """Diversification prune (selectNeighbors semantics, Index.h:714-763):
+    scanning candidates best-first, keep c only if sim(c, new) >= sim(c, kept)
+    for every already-kept neighbor — i.e. c is closer to the new node than to
+    the kept set, so the kept edges spread over distinct directions."""
+    order = np.argsort(-cand_sims, kind="stable")
+    kept: list[int] = []
+    for idx in order:
+        c = int(cand[idx])
+        if len(kept) >= m:
+            break
+        if kept:
+            to_kept = vecs[kept] @ vecs[c]
+            if (to_kept > cand_sims[idx]).any():
+                continue
+        kept.append(c)
+    if len(kept) < m:
+        # backfill with nearest pruned candidates (flatnav keeps pruned
+        # candidates as fallback so degree stays near M)
+        kset = set(kept)
+        for idx in order:
+            c = int(cand[idx])
+            if c not in kset:
+                kept.append(c)
+                kset.add(c)
+                if len(kept) >= m:
+                    break
+    return np.asarray(kept, dtype=np.int32)
+
+
+class _ShardGraph:
+    """One shard's NSW graph: numpy adjacency [n, 2M] (insert allows degree
+    overflow up to 2M before re-pruning to M, flatnav's connectNeighbors
+    behavior), beam-search insert and query."""
+
+    def __init__(self, vecs: np.ndarray, m: int = 16, ef_construction: int = 64):
+        self.vecs = vecs  # normalized float32, shape (n, d)
+        self.m = m
+        self.efc = ef_construction
+        n = vecs.shape[0]
+        self.adj = np.full((n, 2 * m), -1, dtype=np.int32)
+        self.deg = np.zeros(n, dtype=np.int32)
+        self._visited = np.zeros(n, dtype=np.int64)  # epoch-marked visited set
+        self._epoch = 0
+
+    # -- construction ------------------------------------------------------
+    def build(self) -> None:
+        for i in range(1, self.vecs.shape[0]):
+            cand, sims = self._beam(self.vecs[i], self.efc, limit=i)
+            nbrs = _select_neighbors(cand, sims, self.vecs, self.m)
+            self.adj[i, : nbrs.size] = nbrs
+            self.deg[i] = nbrs.size
+            for nb in nbrs:
+                d = self.deg[nb]
+                if d < self.adj.shape[1]:
+                    self.adj[nb, d] = i
+                    self.deg[nb] = d + 1
+                if self.deg[nb] >= self.adj.shape[1]:
+                    self._reprune(int(nb))
+
+    def _reprune(self, node: int) -> None:
+        nbrs = self.adj[node, : self.deg[node]]
+        sims = self.vecs[nbrs] @ self.vecs[node]
+        kept = _select_neighbors(nbrs.astype(np.int64), sims, self.vecs, self.m)
+        self.adj[node, :] = -1
+        self.adj[node, : kept.size] = kept
+        self.deg[node] = kept.size
+
+    # -- search ------------------------------------------------------------
+    def _entry(self, q: np.ndarray, limit: int, num_init: int = 32) -> int:
+        """Strided entry-point sampling (initializeSearch, Index.h:845-870):
+        probe every limit/num_init-th node, start from the best."""
+        step = max(1, limit // num_init)
+        probes = np.arange(0, limit, step)
+        return int(probes[np.argmax(self.vecs[probes] @ q)])
+
+    def _beam(
+        self, q: np.ndarray, ef: int, limit: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Best-first beam search; returns (ids, sims) of up to ef nearest,
+        unsorted. `limit` restricts to nodes < limit (insert-time: only
+        already-inserted nodes exist, flatnav's single-pass addBatch)."""
+        n = limit if limit is not None else self.vecs.shape[0]
+        if n <= 0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        self._epoch += 1
+        vis = self._visited
+        ep = self._entry(q, n)
+        s0 = float(self.vecs[ep] @ q)
+        vis[ep] = self._epoch
+        # frontier: max-heap by sim (python heapq is a min-heap -> negate);
+        # result: min-heap of (sim, -id) keeping the ef best
+        frontier = [(-s0, ep)]
+        result: list[tuple[float, int]] = [(s0, ep)]
+        while frontier:
+            neg, node = heapq.heappop(frontier)
+            if len(result) >= ef and -neg < result[0][0]:
+                break
+            nbrs = self.adj[node, : self.deg[node]]
+            nbrs = nbrs[nbrs < n]
+            if nbrs.size == 0:
+                continue
+            fresh = nbrs[vis[nbrs] != self._epoch]
+            if fresh.size == 0:
+                continue
+            vis[fresh] = self._epoch
+            sims = self.vecs[fresh] @ q
+            worst = result[0][0] if len(result) >= ef else -np.inf
+            for s, nb in zip(sims.tolist(), fresh.tolist()):
+                if len(result) < ef:
+                    heapq.heappush(result, (s, nb))
+                    heapq.heappush(frontier, (-s, nb))
+                elif s > worst:
+                    heapq.heapreplace(result, (s, nb))
+                    heapq.heappush(frontier, (-s, nb))
+                    worst = result[0][0]
+        ids = np.fromiter((r[1] for r in result), dtype=np.int64, count=len(result))
+        sims = np.fromiter((r[0] for r in result), dtype=np.float64, count=len(result))
+        return ids, sims
+
+
+def _shard_path(index_dir: str, shard: int) -> str:
+    return os.path.join(index_dir, f"shard-{shard:05d}.parquet")
+
+
+def build_nsw_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_shards: int = 4,
+    m: int = 16,
+    ef_construction: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Shard-parallel NSW build: hash-shard the embeddings, build one graph
+    per shard inside its map_groups task, persist (vec_id, vector, neighbors)
+    parquet per shard. Returns total vectors indexed."""
+    os.makedirs(index_dir, exist_ok=True)
+
+    def _with_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        from ..functions.hashes import splitmix64
+
+        shard = (splitmix64(ids) % np.uint64(n_shards)).astype(np.int32)
+        return batch.append_column("shard", pa.array(shard, type=pa.int32()))
+
+    def _build_shard(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"shard": pa.array([], type=pa.int32()),
+                             "n": pa.array([], type=pa.int64())})
+        shard = int(group.column("shard")[0].as_py())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)  # deterministic insert order
+        ids = ids[order]
+        vecs = _normalize(_to_matrix(group.column(vec_col)))[order].astype(np.float32)
+        g = _ShardGraph(vecs, m=m, ef_construction=ef_construction)
+        g.build()
+        nbr_ids = [g.adj[i, : g.deg[i]].tolist() for i in range(len(ids))]
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "vector": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+                "neighbors": pa.array(nbr_ids, type=pa.list_(pa.int32())),
+            }
+        )
+        import pyarrow.parquet as pq
+
+        tmp = _shard_path(index_dir, shard) + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, _shard_path(index_dir, shard))
+        return pa.table({"shard": pa.array([shard], type=pa.int32()),
+                         "n": pa.array([len(ids)], type=pa.int64())})
+
+    rows = (
+        ds.map_batches(_with_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(_build_shard, batch_format="pyarrow")
+    )
+    total = 0
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        total += int(b.column("n").to_numpy(zero_copy_only=False).sum()) if len(b) else 0
+    return total
+
+
+def search_nsw_index(
+    index_dir: str,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    ef_search: int = 64,
+    query_ids: np.ndarray | None = None,
+) -> pa.Table:
+    """Distributed query: broadcast queries once, one beam-search task per
+    shard, deterministic (cosine desc, vec_id asc) merge. Returns
+    (query_id, rank, vec_id, cosine) like brute_force_knn."""
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64)).astype(np.float32)
+    qids = (
+        np.asarray(query_ids, dtype=np.int64)
+        if query_ids is not None
+        else np.arange(q.shape[0], dtype=np.int64)
+    )
+    bref = ray.put((qids, q))
+    shards = sorted(
+        os.path.join(index_dir, f)
+        for f in os.listdir(index_dir)
+        if f.startswith("shard-") and f.endswith(".parquet")
+    )
+
+    @ray.remote(num_cpus=1)
+    def _shard_search(path: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        qids_, q_ = ray.get(bref)
+        t = pq.read_table(path)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _to_matrix(t.column("vector")).astype(np.float32)
+        g = _ShardGraph(vecs)
+        nb = t.column("neighbors")
+        for i in range(len(ids)):
+            row = np.asarray(nb[i].as_py(), dtype=np.int32)
+            g.adj[i, : row.size] = row
+            g.deg[i] = row.size
+        out_q, out_id, out_s = [], [], []
+        ef = max(ef_search, k)
+        for qi in range(q_.shape[0]):
+            cand, sims = g._beam(q_[qi], ef)
+            if cand.size == 0:
+                continue
+            kk = min(k, cand.size)
+            order = np.lexsort((ids[cand], -sims))[:kk]
+            out_q.append(np.full(kk, qids_[qi], dtype=np.int64))
+            out_id.append(ids[cand[order]])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = pa.concat_tables(ray.get([_shard_search.remote(p) for p in shards]))
+    # cosine recomputed in float32 graph space; recompute exact float64 rank
+    # keys at merge time is unnecessary — ties resolve by (cosine, vec_id)
+    return _merge_partials(ray.data.from_arrow(partials), k, "vec_id")

@@ -1,0 +1,122 @@
+"""Graph ANN (stages/nsw.py — the graft of the reference's flat NSW index,
+Index.h): recall against the brute-force oracle with the ef_search knob
+(the reference's own test shape: recall >= 0.97 at high ef,
+python-bindings/unit_tests/test_index.py:40-63), determinism, and the
+select-neighbors diversification kernel."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from flatnav_ray.stages.nsw import (
+    _select_neighbors,
+    _ShardGraph,
+    build_nsw_index,
+    search_nsw_index,
+)
+
+
+def _recall(approx: pa.Table, exact: pa.Table, k: int) -> float:
+    ga, ge = {}, {}
+    for t, d in ((approx, ga), (exact, ge)):
+        for row in t.to_pylist():
+            d.setdefault(row["query_id"], set()).add(row["vec_id"])
+    return float(np.mean([len(ga.get(q, set()) & ge[q]) / k for q in ge]))
+
+
+class TestSelectNeighbors:
+    def test_diversification_prunes_clustered_candidates(self):
+        # 3 candidates in one direction + 1 orthogonal: with M=2 the prune
+        # must keep the best of the cluster AND the orthogonal one, not the
+        # two cluster members (selectNeighbors semantics, Index.h:714-763)
+        vecs = np.array(
+            [[1.0, 0.0], [0.999, 0.04], [0.995, 0.1], [0.0, 1.0]], dtype=np.float32
+        )
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        q = np.array([0.9, 0.43], dtype=np.float32)
+        q /= np.linalg.norm(q)
+        cand = np.arange(4, dtype=np.int64)
+        sims = (vecs @ q).astype(np.float64)
+        kept = _select_neighbors(cand, sims, vecs, 2)
+        assert 3 in kept.tolist()
+
+    def test_backfill_keeps_degree_near_m(self):
+        # all candidates nearly identical: prune would keep 1, backfill to M
+        vecs = np.tile(np.array([[1.0, 0.0]], dtype=np.float32), (5, 1))
+        cand = np.arange(5, dtype=np.int64)
+        sims = np.full(5, 0.9)
+        kept = _select_neighbors(cand, sims, vecs, 3)
+        assert kept.size == 3
+
+
+class TestShardGraph:
+    def test_beam_finds_exact_on_small_graph(self):
+        rng = np.random.Generator(np.random.PCG64(5))
+        vecs = rng.normal(size=(300, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        g = _ShardGraph(vecs, m=8, ef_construction=48)
+        g.build()
+        hits = 0
+        for qi in range(20):
+            q = vecs[qi]
+            ids, sims = g._beam(q, 48)
+            best = int(ids[np.argmax(sims)])
+            hits += best == qi  # the vector itself must be found
+        assert hits >= 19
+
+    def test_degree_bounded(self):
+        rng = np.random.Generator(np.random.PCG64(6))
+        vecs = rng.normal(size=(200, 8)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        g = _ShardGraph(vecs, m=6, ef_construction=32)
+        g.build()
+        assert int(g.deg.max()) <= 2 * 6
+
+
+@pytest.fixture(scope="module")
+def nsw_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    d = str(tmp_path_factory.mktemp("nsw") / "ix")
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = build_nsw_index(ds, d, n_shards=2, m=16, ef_construction=64)
+    assert n == 500
+    return d
+
+
+class TestNswEndToEnd:
+    def test_recall_floor_and_ef_knob(self, nsw_index):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from flatnav_ray.stages.knn import brute_force_knn
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack(t.column("embedding").to_pylist()[:20])
+        exact = brute_force_knn(
+            ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet"), qv, k=10
+        )
+        r_hi = _recall(search_nsw_index(nsw_index, qv, k=10, ef_search=128), exact, 10)
+        r_lo = _recall(search_nsw_index(nsw_index, qv, k=10, ef_search=10), exact, 10)
+        assert r_hi >= 0.9, r_hi  # reference floor shape (test_index.py:62)
+        assert r_hi >= r_lo
+
+    def test_deterministic(self, nsw_index):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack(t.column("embedding").to_pylist()[:5])
+        a = search_nsw_index(nsw_index, qv, k=10)
+        b = search_nsw_index(nsw_index, qv, k=10)
+        assert a.equals(b)
+
+    def test_schema_and_ranks(self, nsw_index):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack(t.column("embedding").to_pylist()[:3])
+        out = search_nsw_index(nsw_index, qv, k=10)
+        assert out.schema.names == ["query_id", "rank", "vec_id", "cosine"]
+        for q in (0, 1, 2):
+            ranks = [r["rank"] for r in out.to_pylist() if r["query_id"] == q]
+            assert ranks == list(range(10))
