@@ -51,18 +51,59 @@ def exact_text_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str
     return kept.map_batches(_rename, batch_format="pyarrow")
 
 
+# Above this many kept ids the broadcast array stops being "small side"
+# (2^24 ids = 128 MB as int64 — one object-store copy per node is still fine,
+# but the driver-side assembly is not) and the semi-join switches to a
+# hash-shuffle join. Classic broadcast-vs-shuffle planner cutoff.
+BROADCAST_MAX_KEEP = 1 << 24
+
+
 def semi_join_keep(
-    ds: ray.data.Dataset, keep_ids, id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    keep_ids,
+    id_col: str = "doc_id",
+    mode: str = "auto",
+    num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Filter a corpus to a kept-id set via broadcast semi-join: the (small)
-    id set ships once via ray.put; each batch filters with a vectorized
-    membership test — no shuffle of the corpus (SURVEY.md §4
-    broadcast-small-side). Composes exact/near-dup results back onto the
-    corpus: `semi_join_keep(pages, exact_text_dedup(pages))`."""
+    """Filter a corpus to a kept-id set — the dedup keep-list composer:
+    `semi_join_keep(pages, exact_text_dedup(pages))`.
+
+    mode="broadcast" (small keep side): the id set ships ONCE via ray.put
+    (plasma shares one copy per node); each batch filters with a vectorized
+    sorted-membership test — the corpus never shuffles (SURVEY.md §4
+    broadcast-small-side).
+
+    mode="shuffle" (large keep side — the 100 TB path when the keep-list
+    itself has billions of ids): Ray Data's native hash-partitioned
+    `left_semi` join; both sides shuffle by id hash, nothing materializes on
+    the driver.
+
+    mode="auto": broadcast below BROADCAST_MAX_KEEP kept ids, shuffle above
+    — the standard join-planner decision, made on the keep-side count only
+    (cheap: count() on a Dataset of ids)."""
     import ray as _ray
 
+    keep_ds = None
     if isinstance(keep_ids, ray.data.Dataset):
-        keep_ids = pa.concat_tables(keep_ids.iter_batches(batch_format="pyarrow")).column(id_col)
+        keep_ds = keep_ids.select_columns([id_col])
+        if mode == "auto":
+            mode = "broadcast" if keep_ds.count() <= BROADCAST_MAX_KEEP else "shuffle"
+    elif mode == "auto":
+        mode = "broadcast"
+
+    if mode == "shuffle":
+        if keep_ds is None:
+            keep_ds = ray.data.from_arrow(
+                pa.table({id_col: pa.array(np.asarray(keep_ids, dtype=np.int64))})
+            )
+        return ds.join(
+            keep_ds, "left_semi", num_partitions=num_partitions, on=(id_col,)
+        )
+
+    if keep_ds is not None:
+        keep_ids = pa.concat_tables(
+            keep_ds.iter_batches(batch_format="pyarrow")
+        ).column(id_col)
     arr = np.sort(np.asarray(keep_ids, dtype=np.int64))
     ref = _ray.put(arr)
 
@@ -453,6 +494,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 128,
+    sizes_mode: str = "auto",
+    num_partitions: int = 16,
 ) -> pa.Table:
     """Exact word-n-gram Jaccard similarity for all doc pairs sharing >=1
     shingle, thresholded. Fully distributed (DuckDB-checkable, oracle_sql):
@@ -469,7 +512,13 @@ def ngram_jaccard_pairs(
     shingles appearing in more than that many docs from PAIR GENERATION and
     intersection counting; doc shingle-set sizes stay exact. The SQL oracle
     applies the identical df filter. Pass None to disable (exact all-pairs
-    semantics, small corpora only)."""
+    semantics, small corpora only).
+
+    `sizes_mode` picks how doc sizes meet the pair stream: "broadcast"
+    (sorted arrays via ray.put, vectorized lookup — one int64+float64 per
+    doc), "join" (two hash-partitioned inner joins of the pair stream
+    against the sizes dataset — nothing doc-sized on the driver, the 100 TB
+    path), or "auto" (broadcast below BROADCAST_MAX_KEEP docs)."""
 
     def _shingles(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
@@ -486,18 +535,21 @@ def ngram_jaccard_pairs(
 
     shingles = ds.map_batches(_shingles, batch_format="pyarrow", zero_copy_batch=True)
 
-    # doc shingle-set sizes (small side: one row per doc) — broadcast as a
-    # sorted (ids, sizes) array pair: compact, zero-copy-shared via the object
-    # store, vectorized searchsorted lookup (at corpus scales where even one
-    # int64 per doc is too much driver memory, this becomes a hash join of
-    # the pair stream against the sizes dataset on doc_a/doc_b)
-    sizes_tbl = pa.concat_tables(
-        shingles.groupby(id_col).count().iter_batches(batch_format="pyarrow")
-    )
-    _sz_ids = sizes_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    _sz_vals = sizes_tbl.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
-    _o = np.argsort(_sz_ids)
-    sizes_ref = ray.put((_sz_ids[_o], _sz_vals[_o]))
+    # doc shingle-set sizes (one row per doc). Small side -> broadcast as a
+    # sorted (ids, sizes) array pair: compact, zero-copy-shared via the
+    # object store, vectorized searchsorted lookup. At corpus scales where
+    # even one int64 per doc is too much driver memory, sizes_mode="join"
+    # hash-joins the pair stream against the sizes dataset instead.
+    sizes = shingles.groupby(id_col).count()
+    if sizes_mode == "auto":
+        sizes_mode = "broadcast" if sizes.count() <= BROADCAST_MAX_KEEP else "join"
+    sizes_ref = None
+    if sizes_mode == "broadcast":
+        sizes_tbl = pa.concat_tables(sizes.iter_batches(batch_format="pyarrow"))
+        _sz_ids = sizes_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        _sz_vals = sizes_tbl.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        _o = np.argsort(_sz_ids)
+        sizes_ref = ray.put((_sz_ids[_o], _sz_vals[_o]))
 
     def _pairs(group: pa.Table) -> pa.Table:
         members = np.sort(group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64))
@@ -521,15 +573,7 @@ def ngram_jaccard_pairs(
         .count()
     )
 
-    def _jaccard(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        sz_ids, sz_vals = _ray.get(sizes_ref)
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        it = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = sz_vals[np.searchsorted(sz_ids, a)]
-        sb = sz_vals[np.searchsorted(sz_ids, b)]
+    def _threshold_out(a, b, it, sa, sb) -> pa.Table:
         j = it / (sa + sb - it)
         keep = j >= threshold
         return pa.table(
@@ -540,9 +584,61 @@ def ngram_jaccard_pairs(
             }
         )
 
-    batches = list(
-        inter.map_batches(_jaccard, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-    )
+    def _jaccard(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sz_ids, sz_vals = _ray.get(sizes_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        it = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = sz_vals[np.searchsorted(sz_ids, a)]
+        sb = sz_vals[np.searchsorted(sz_ids, b)]
+        return _threshold_out(a, b, it, sa, sb)
+
+    if sizes_mode == "join":
+        # two hash-partitioned inner joins of the (much smaller) pair stream
+        # against the sizes dataset — the doc count never reaches one process
+        def _as_sizes(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "sz_id": b.column(id_col).cast(pa.int64()),
+                    "sz": b.column("count()").cast(pa.float64()),
+                }
+            )
+
+        sizes_n = sizes.map_batches(_as_sizes, batch_format="pyarrow")
+
+        def _keep_a(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_a": b.column("doc_a"),
+                    "doc_b": b.column("doc_b"),
+                    "inter": b.column("count()").cast(pa.float64()),
+                    "sz_a": b.column("sz"),
+                }
+            )
+
+        j1 = inter.join(
+            sizes_n, "inner", num_partitions=num_partitions,
+            on=("doc_a",), right_on=("sz_id",)
+        ).map_batches(_keep_a, batch_format="pyarrow")
+
+        def _jaccard_joined(b: pa.Table) -> pa.Table:
+            a = b.column("doc_a").to_numpy(zero_copy_only=False)
+            bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+            it = b.column("inter").to_numpy(zero_copy_only=False)
+            sa = b.column("sz_a").to_numpy(zero_copy_only=False)
+            sb = b.column("sz").to_numpy(zero_copy_only=False)
+            return _threshold_out(a, bb, it, sa, sb)
+
+        stream = j1.join(
+            sizes_n, "inner", num_partitions=num_partitions,
+            on=("doc_b",), right_on=("sz_id",)
+        ).map_batches(_jaccard_joined, batch_format="pyarrow")
+    else:
+        stream = inter.map_batches(_jaccard, batch_format="pyarrow")
+
+    batches = list(stream.iter_batches(batch_format="pyarrow"))
     if not batches:
         return pa.table(
             {

@@ -47,6 +47,36 @@ class TestDedup:
         assert sorted(filtered.column("doc_id").to_pylist()) == [0, 2, 3, 4]
         assert filtered.column_names == t.column_names  # full rows survive
 
+    def test_semi_join_shuffle_mode_equals_broadcast(self, doc_ds):
+        """The large-keep-side path (hash-partitioned left_semi join — the
+        100 TB route when the keep-list itself won't broadcast) must filter
+        identically to the broadcast path."""
+        from flatnav_ray.stages.dedup import exact_text_dedup, semi_join_keep
+
+        ds, _ = doc_ds
+        kept = exact_text_dedup(ds)
+        a = pa.concat_tables(
+            semi_join_keep(ds, kept, mode="broadcast").iter_batches(batch_format="pyarrow")
+        )
+        kept2 = exact_text_dedup(ds)
+        b = pa.concat_tables(
+            semi_join_keep(ds, kept2, mode="shuffle", num_partitions=4).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        assert sorted(a.column("doc_id").to_pylist()) == sorted(b.column("doc_id").to_pylist())
+
+    def test_jaccard_sizes_join_mode_equals_broadcast(self, doc_ds):
+        """sizes_mode="join" (pair stream hash-joined against the sizes
+        dataset — nothing doc-sized on the driver) must reproduce the
+        broadcast-mode output exactly."""
+        from flatnav_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds, _ = doc_ds
+        a = ngram_jaccard_pairs(ds, threshold=0.3, sizes_mode="broadcast")
+        b = ngram_jaccard_pairs(ds, threshold=0.3, sizes_mode="join", num_partitions=2)
+        assert a.equals(b)
+
     def test_minhash_clusters_group_near_dups(self, doc_ds):
         from flatnav_ray.stages.dedup import minhash_lsh_clusters
 
