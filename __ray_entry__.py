@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": d.top_terms,
         "lang_counts": d.lang_counts,
         "doc_quality": d.doc_quality,
+        "token_counts": d.token_counts,
         "langid_pred": d.langid_pred,
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
@@ -141,6 +142,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, len({toks}) AS n_tokens, "
             f"len(list_filter({toks}, x -> list_contains({_STOP_SQL}, x))) AS n_stopwords "
             "FROM documents ORDER BY doc_id"
+        ),
+        "token_counts": (
+            # same RE2 patterns as functions/textstats.py WS_TOKEN_RE /
+            # BPE_TOKEN_RE; both engines count non-overlapping leftmost matches
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'(?:''s|''t|''re|''ve|''m|''ll|''d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'"
+            ")) AS n_bpe_tokens FROM documents ORDER BY doc_id"
         ),
         "langid_pred": (
             f"WITH scores AS (SELECT doc_id, {lang_scores} FROM documents) "

@@ -28,6 +28,36 @@ _LANG_PROFILES: dict[str, set[str]] = {
 
 STOPWORDS_EN = _LANG_PROFILES["en"]
 
+# Token-counting patterns (RE2 on both engines — pyarrow's
+# count_substring_regex and DuckDB's regexp_extract_all count identical
+# non-overlapping leftmost matches, so the SQL oracle is exact):
+#   WS_TOKEN_RE  — whitespace tokenization (runs of non-space)
+#   BPE_TOKEN_RE — a BPE-ish pre-tokenizer split in the GPT-2 style
+#     (contractions | letter runs | digit runs | punctuation runs), without
+#     RE2-unsupported lookaheads. Counts approximate subword-tokenizer input
+#     segments for length budgeting in training-data pipelines.
+WS_TOKEN_RE = r"\S+"
+BPE_TOKEN_RE = r"(?:'s|'t|'re|'ve|'m|'ll|'d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_counts(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-doc token counts: whitespace tokens and BPE-ish pre-tokenizer
+    segments. One vectorized RE2 scan per pattern (no Python per-row loop)."""
+    texts = batch.column(text_col)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(texts, WS_TOKEN_RE), pa.int64()
+            ),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(texts, BPE_TOKEN_RE), pa.int64()
+            ),
+        }
+    )
+
 
 def quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc quality signals: n_chars, n_tokens, avg_token_len,

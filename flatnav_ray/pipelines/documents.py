@@ -109,6 +109,16 @@ def doc_quality(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def token_counts(sf_dir: str) -> pa.Table:
+    """Whitespace + BPE-ish-regex token counts per doc (training-data length
+    budgeting; SQL-exact — both engines run the same RE2 patterns)."""
+    from ..functions.textstats import token_counts as _tc
+
+    return _concat(
+        _docs(sf_dir).map_batches(_tc, batch_format="pyarrow", zero_copy_batch=True)
+    ).sort_by("doc_id")
+
+
 def langid_pred(sf_dir: str) -> pa.Table:
     """Stopword-profile language ID per doc (SQL-expressible heuristic)."""
     out = _docs(sf_dir).map_batches(

@@ -214,6 +214,35 @@ class TestTextStats:
         out = detect_lang(t)
         assert out.column("lang_pred").to_pylist() == ["en", "de", "und"]
 
+    def test_token_counts_match_python_re(self):
+        """The vectorized RE2 counts must equal a per-string Python re scan
+        (the readable spec) on contractions, unicode spacing, empties."""
+        import re
+
+        from flatnav_ray.functions.textstats import (
+            BPE_TOKEN_RE,
+            WS_TOKEN_RE,
+            token_counts,
+        )
+
+        texts = [
+            "Hello world, it's 2026! Don't you think CO2-levels matter?",
+            "  leading space\tand\ttabs\nnewlines  ",
+            "",
+            "we'll they're I'm you've it'd can't 123abc x9 --- ...",
+            "über café niño 中文 text-with-dashes a1b2c3",
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        out = token_counts(t)
+        for i, s in enumerate(texts):
+            assert out.column("n_ws_tokens")[i].as_py() == len(re.findall(WS_TOKEN_RE, s))
+            assert out.column("n_bpe_tokens")[i].as_py() == len(re.findall(BPE_TOKEN_RE, s))
+
     def test_fingerprint_sensitivity(self):
         from flatnav_ray.functions.textstats import fingerprint_docs
 
