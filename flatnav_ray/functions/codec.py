@@ -48,12 +48,19 @@ def encode_varint_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     nbytes = varint_byte_lens(v)
     maxb = int(nbytes.max())
     # (n, maxb) byte matrix + boolean compress: sequential writes/reads beat
-    # the scatter-store formulation ~6x on wide (multi-byte) values
+    # the scatter-store formulation ~6x on wide (multi-byte) values.
+    # Work in uint32 when every value fits (position-encoded doc streams and
+    # tf streams always do) — halves the shift-loop's memory traffic.
     B = np.empty((n, maxb), dtype=np.uint8)
-    shifted = v.copy()
+    if maxb <= 4:  # nbytes <= 4 implies v < 2^28 < 2^32
+        shifted = v.astype(np.uint32)
+        low7, cont, seven = np.uint32(0x7F), np.uint8(0x80), np.uint32(7)
+    else:
+        shifted = v.copy()
+        low7, cont, seven = _LOW7, _CONT, _SEVEN
     for k in range(maxb):
-        B[:, k] = (shifted & _LOW7).astype(np.uint8) | _CONT
-        shifted >>= _SEVEN
+        B[:, k] = (shifted & low7).astype(np.uint8) | cont
+        shifted >>= seven
     B[np.arange(n), nbytes - 1] &= np.uint8(0x7F)
     mask = np.arange(maxb)[None, :] < nbytes[:, None]
     return B[mask].tobytes(), nbytes

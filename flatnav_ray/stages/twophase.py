@@ -269,6 +269,17 @@ def _merge_one_partition(
 ) -> pa.Table:
     if resume and partition in resume:
         return pa.table([[partition], [0], [0], [0], [0], [True]], schema=MANIFEST_ROW_SCHEMA)
+    import time as _t
+
+    _tm: dict[str, float] = {}
+    _t0 = _t.perf_counter()
+
+    def _lap(name: str) -> None:
+        nonlocal _t0
+        now = _t.perf_counter()
+        _tm[name] = _tm.get(name, 0.0) + (now - _t0)
+        _t0 = now
+
     n_partials = len(grp)
 
     v_dm_ids = _bin_row_views(grp.column("dm_doc_ids"))
@@ -315,6 +326,7 @@ def _merge_one_partition(
     #   "gorder"    (O5) — rank = Gorder sliding-window ordering over the
     #                      shared-term doc graph (stages/reorder.py; computed
     #                      below once the winnowed postings exist)
+    _lap("winners")
     win_partial_lookup = win_partial  # aligned with OLD win_sorted
     win_lens_lookup = win_lens
     rank_of: np.ndarray | None = None
@@ -352,50 +364,64 @@ def _merge_one_partition(
     else:
         global_vocab_arr = pa.array([], type=pa.string())
         dict_inv = np.empty(0, dtype=np.int64)
-    code_parts, doc_parts, tf_parts = [], [], []
+    _lap("vocab")
+    # positions are resolved per PARTIAL inside this loop (the searchsorted
+    # for the keep mask already computes them) — the raw 63-bit doc hashes
+    # never concatenate: downstream only partition-local docmap positions
+    # (int32) flow, which halves the merge's concat/sort/gather traffic
+    # (the merge is DRAM-bound; see BASELINE.md scaling notes)
+    code_parts, pos_parts, tf_parts, dl_parts = [], [], [], []
     for i in range(n_partials):
         p_docs = v_p_docs[i].view(np.int64)
         if p_docs.size == 0:
             continue
-        p_tfs = v_p_tfs[i].view(np.int32).astype(np.int64)
+        p_tfs = v_p_tfs[i].view(np.int32)
         codes = v_p_codes[i].view(np.int32)
         remap = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.int32)
         pos = np.searchsorted(win_sorted, p_docs)
         keep = win_partial_lookup[pos] == i
         if not keep.any():
             continue
+        kpos = pos[keep]
         code_parts.append(remap[codes[keep]])
-        doc_parts.append(p_docs[keep])
+        pos_parts.append(kpos.astype(np.int32))
         tf_parts.append(p_tfs[keep])
+        dl_parts.append(win_lens_lookup[kpos].astype(np.int32))
 
+    _lap("winnow")
     hasher = hashlib.blake2b(digest_size=16)
     if code_parts:
         m_codes = np.concatenate(code_parts)
-        m_docs = np.concatenate(doc_parts)
+        m_pos = np.concatenate(pos_parts)
         m_tfs = np.concatenate(tf_parts)
-        pos = np.searchsorted(win_sorted, m_docs)
-        m_dls = win_lens_lookup[pos].astype(np.int64)
+        m_dls = np.concatenate(dl_parts)
         if cfg.docid_strategy == "gorder":
             from .reorder import gorder_rank_of
 
-            rank_of = gorder_rank_of(pos, m_codes, win_sorted.size)
+            rank_of = gorder_rank_of(m_pos, m_codes, win_sorted.size)
         # posting blobs store partition-LOCAL dense positions (row index into
         # the final docmap), not raw 63-bit hash ids: per-term deltas become
         # ~n_docs/df instead of ~2^63/df, so varints drop from ~9 bytes to
-        # 1-2 bytes per posting — less encode/decode memory traffic (the
-        # merge is DRAM-bound) and the query path indexes the docmap directly
+        # 1-2 bytes per posting — less encode/decode memory traffic and the
+        # query path indexes the docmap directly
         if rank_of is not None:
             # reordered: final docmap is sorted by the NEW interleaved ids,
             # so a doc's docmap row = its rank within the partition
-            m_pos = rank_of[pos]
+            m_pos = rank_of[m_pos].astype(np.int32)
+        # single packed stable sort on (code, position) — and a uint32 key
+        # whenever both ranges fit (numpy's stable int sort is byte-wise LSD
+        # radix: 4 passes over half-width buffers instead of 8 over full)
+        bits_pos = max(1, int(win_sorted.size - 1).bit_length()) if win_sorted.size > 1 else 1
+        bits_code = max(1, int(len(global_vocab_arr) - 1).bit_length()) if len(global_vocab_arr) > 1 else 1
+        if bits_pos + bits_code <= 32:
+            key = (m_codes.astype(np.uint32) << np.uint32(bits_pos)) | m_pos.astype(np.uint32)
         else:
-            m_pos = pos.astype(np.int64)
-        # single packed sort key (code, position) — one stable argsort pass
-        # instead of a two-key lexsort (positions fit 32 bits by construction)
-        order = np.argsort((m_codes.astype(np.int64) << np.int64(32)) | m_pos, kind="stable")
+            key = (m_codes.astype(np.int64) << np.int64(32)) | m_pos.astype(np.int64)
+        order = np.argsort(key, kind="stable")
         m_codes, m_pos, m_tfs, m_dls = (
             m_codes[order], m_pos[order], m_tfs[order], m_dls[order]
         )
+        _lap("sort")
         cols, tb, _ = encode_segment_table(m_codes, m_pos, m_tfs, m_dls, block_size=cfg.block_size)
         hasher.update(cols["doc_blob"].buffers()[2])
         segment = pa.table(
@@ -412,6 +438,7 @@ def _merge_one_partition(
         segment = SEGMENT_SCHEMA.empty_table()
         n_terms = 0
 
+    _lap("encode")
     # 3. final docmap (winners, sorted by final doc_id). Under a reorder
     # strategy the winner-aligned arrays re-sort by the NEW interleaved ids
     # (rank * P + partition) so the docmap row index == posting position.
@@ -452,6 +479,15 @@ def _merge_one_partition(
             config_fingerprint=cfg.fingerprint(),
         ),
     )
+    _lap("write")
+    if os.environ.get("FLATNAV_MERGE_TIMING"):
+        import sys as _sys
+
+        print(
+            f"[merge timing] part={partition} "
+            + " ".join(f"{k}={v:.2f}s" for k, v in _tm.items()),
+            file=_sys.stderr,
+        )
     return pa.table(
         [[partition], [int(win_sorted.size)], [sum_dl], [n_terms], [nbytes], [False]],
         schema=MANIFEST_ROW_SCHEMA,
