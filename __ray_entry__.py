@@ -38,8 +38,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from flatnav_ray.pipelines import documents as d
+    from flatnav_ray.pipelines import events as ev
 
     return {
+        # event-stream family (tumbling windows / sessionization — §2.9
+        # extensions; the reference is batch-only)
+        "events_windowed": ev.events_windowed,
+        "events_sessions": ev.events_sessions,
         # tokenizer / stats family (M4, A6, A8, A9)
         "doc_token_stats": d.doc_token_stats,
         "term_df": d.term_df,
@@ -122,6 +127,24 @@ def oracle_sql() -> dict[str, str]:
     )
     assert dense_sql != bm25_sql
     return {
+        "events_windowed": (
+            # integer-cents sum: distributed partial-sum order cannot perturb
+            # float low bits, so the hash compare is exact (stages/events.py)
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start, "
+            "event_type, count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_sessions": (
+            "WITH o AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events) "
+            "SELECT event_id, user_id, CAST(sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+            "FROM o ORDER BY event_id"
+        ),
         "doc_token_stats": (
             f"SELECT doc_id, len({toks}) AS n_tokens FROM documents ORDER BY doc_id"
         ),

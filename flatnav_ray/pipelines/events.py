@@ -1,0 +1,28 @@
+"""Driver-gate pipelines over the events table (tumbling windows,
+sessionization) — see stages/events.py for the operator designs."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..stages.events import sessionize, windowed_counts
+
+
+def _events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+def events_windowed(sf_dir: str) -> pa.Table:
+    """Per (1-hour tumbling window, event_type): count + exact integer-cents
+    value sum. Map-side combined; only (window, type) partials shuffle."""
+    return windowed_counts(_events(sf_dir))
+
+
+def events_sessions(sf_dir: str) -> pa.Table:
+    """Gap-based (30 min) sessionization per user; session_seq is the 0-based
+    session index within the user."""
+    return sessionize(_events(sf_dir))

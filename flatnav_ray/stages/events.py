@@ -1,0 +1,109 @@
+"""Event-stream operators over the events table (ts, user_id, event_type,
+value): tumbling-window aggregation and gap-based sessionization.
+
+The reference is batch-only (SURVEY.md §2.9 — no windows/watermarks,
+Index.h:44), so these are capability EXTENSIONS in the training-data-pipeline
+family: the event-time operations a 100 TB log/interaction corpus needs
+before it can feed a training set (windowed counts for rate features,
+sessions for trajectory grouping).
+
+Ray-Data-first shapes:
+- windowed_counts: the window key is a pure per-row function of ts (epoch
+  bucket) computed vectorized in map_batches, each batch PRE-AGGREGATES
+  (combiner) so only (window, type) partial rows shuffle, then one small
+  groupby sums partials — the map-side-combine pattern SURVEY.md §4
+  prescribes for wide aggregations.
+- sessionize: shuffle by user_id (groupby.map_groups), per-user vectorized
+  gap detection (diff + cumsum). Sessions of one user never span tasks, so
+  the partitioning assumption is explicit: user_id is the shard key.
+
+Float discipline: `value` sums are computed in integer CENTS (the column is
+2-decimal), so distributed partial-sum order cannot perturb low bits — the
+DuckDB oracle compares bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+WINDOW_US_HOUR = 3_600_000_000
+
+
+def windowed_counts(
+    ds: ray.data.Dataset,
+    window_us: int = WINDOW_US_HOUR,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> pa.Table:
+    """Tumbling-window aggregate: per (window_start, event_type) ->
+    (n_events, sum_value_cents). Returns a small sorted table."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // window_us) * window_us
+        cents = np.round(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "window_start": pa.array(win, type=pa.int64()),
+                type_col: batch.column(type_col),
+                "n_events": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "sum_value_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        # map-side combine: one row per (window, type) leaves the batch
+        return t.group_by(["window_start", type_col]).aggregate(
+            [("n_events", "sum"), ("sum_value_cents", "sum")]
+        ).rename_columns(["window_start", type_col, "n_events", "sum_value_cents"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        partials.groupby(["window_start", type_col])
+        .sum(["n_events", "sum_value_cents"])
+    )
+    out = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    out = out.rename_columns(["window_start", type_col, "n_events", "sum_value_cents"])
+    return out.sort_by([("window_start", "ascending"), (type_col, "ascending")])
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    gap_us: int = 30 * 60 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> pa.Table:
+    """Assign gap-based sessions per user: a new session starts when the gap
+    to the user's previous event exceeds `gap_us`. Returns (event_id,
+    user_id, session_seq) with session_seq = 0-based session index within the
+    user (deterministic; ties in ts break by event_id)."""
+
+    def _per_user(group: pa.Table) -> pa.Table:
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ts_s = ts[order]
+        new_sess = np.zeros(ts_s.size, dtype=np.int64)
+        if ts_s.size > 1:
+            new_sess[1:] = (ts_s[1:] - ts_s[:-1] > gap_us).astype(np.int64)
+        seq = np.cumsum(new_sess)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        return pa.table(
+            {
+                id_col: group.column(id_col),
+                user_col: group.column(user_col),
+                "session_seq": pa.array(seq[inv], type=pa.int64()),
+            }
+        )
+
+    out = pa.concat_tables(
+        ds.groupby(user_col)
+        .map_groups(_per_user, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    return out.sort_by([(id_col, "ascending")])

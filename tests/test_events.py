@@ -1,0 +1,96 @@
+"""Event-stream operators (stages/events.py): tumbling-window aggregate and
+gap sessionization — semantics vs hand-computed expectations, plus the
+integer-cents exactness contract."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+US = 1_000_000
+HOUR = 3_600 * US
+
+
+def _events_table():
+    # two users; user 1 has a >30min gap between events 2 and 3
+    rows = [
+        # (event_id, ts_us, user_id, event_type, value)
+        (0, 10 * US, 1, "click", 1.25),
+        (1, 20 * US, 1, "view", 2.50),
+        (2, 100 * US, 2, "click", 0.75),
+        (3, 40 * 60 * US, 1, "click", 3.00),      # 40 min after event 1 -> new session
+        (4, HOUR + 5 * US, 2, "error", 10.10),    # next hour window
+        (5, HOUR + 6 * US, 2, "click", 0.10),
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+class TestWindowedCounts:
+    def test_tumbling_hour_windows(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.events import windowed_counts
+
+        out = windowed_counts(ray.data.from_arrow(_events_table()))
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+            for r in out.to_pylist()
+        }
+        assert got[(0, "click")] == (3, 125 + 75 + 300)
+        assert got[(0, "view")] == (1, 250)
+        assert got[(HOUR, "error")] == (1, 1010)
+        assert got[(HOUR, "click")] == (1, 10)
+        assert len(got) == 4
+
+    def test_combiner_invariant_to_batching(self, ray_session):
+        """Map-side combine must not change results when batches split."""
+        import ray.data
+
+        from flatnav_ray.stages.events import windowed_counts
+
+        t = _events_table()
+        a = windowed_counts(ray.data.from_arrow(t))
+        b = windowed_counts(
+            ray.data.from_arrow(t).repartition(3)
+        )
+        assert a.equals(b)
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.events import sessionize
+
+        out = sessionize(ray.data.from_arrow(_events_table()))
+        seq = {r["event_id"]: r["session_seq"] for r in out.to_pylist()}
+        assert seq[0] == 0 and seq[1] == 0       # user 1, same session
+        assert seq[3] == 1                        # 40-min gap -> new session
+        assert seq[2] == 0                        # user 2 first session
+        assert seq[4] == 1 and seq[5] == 1        # user 2: >30min after event 2
+        assert out.column("event_id").to_pylist() == [0, 1, 2, 3, 4, 5]
+
+    def test_session_boundary_is_strict_gap(self, ray_session):
+        """Exactly gap_us apart stays in the SAME session (strict >)."""
+        import ray.data
+
+        from flatnav_ray.stages.events import sessionize
+
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1], type=pa.int64()),
+                "ts": pa.array([0, 30 * 60 * US], type=pa.timestamp("us")),
+                "user_id": pa.array([7, 7], type=pa.int64()),
+                "event_type": pa.array(["a", "a"]),
+                "value": pa.array([0.0, 0.0]),
+            }
+        )
+        out = sessionize(ray.data.from_arrow(t))
+        assert out.column("session_seq").to_pylist() == [0, 0]
