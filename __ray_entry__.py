@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extensions; the reference is batch-only)
         "events_windowed": ev.events_windowed,
         "events_sessions": ev.events_sessions,
+        "events_asof": ev.events_asof,
         # tokenizer / stats family (M4, A6, A8, A9)
         "doc_token_stats": d.doc_token_stats,
         "term_df": d.term_df,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": d.doc_quality,
         "token_counts": d.token_counts,
         "langid_pred": d.langid_pred,
+        "top_docs_per_lang": d.top_docs_per_lang,
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
         "jaccard_pairs": d.jaccard_pairs,
@@ -144,6 +146,24 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
             "FROM o ORDER BY event_id"
+        ),
+        "events_asof": (
+            # as-of join: strict (ts, event_id) priority — the 1-PRECEDING
+            # frame excludes the row itself, matching stages/relational.py
+            "WITH e AS (SELECT event_id, user_id, ts, event_type FROM events "
+            "WHERE event_type IN ('purchase', 'click')), "
+            "o AS (SELECT event_id, user_id, event_type, "
+            "last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM e) "
+            "SELECT event_id, user_id, COALESCE(m, -1) AS matched_event_id "
+            "FROM o WHERE event_type = 'purchase' ORDER BY event_id"
+        ),
+        "top_docs_per_lang": (
+            "WITH r AS (SELECT lang, doc_id, n_chars, row_number() OVER "
+            "(PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank "
+            "FROM documents) "
+            "SELECT lang, rank, doc_id, n_chars FROM r WHERE rank < 3 ORDER BY lang, rank"
         ),
         "doc_token_stats": (
             f"SELECT doc_id, len({toks}) AS n_tokens FROM documents ORDER BY doc_id"

@@ -164,6 +164,16 @@ def simhash_dups(sf_dir: str) -> pa.Table:
     return simhash_clusters(_docs(sf_dir))
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k: per lang the k longest documents (n_chars DESC, doc_id
+    ASC ties). Map-side bounded top-k per batch, final per-group re-select."""
+    from ..stages.relational import grouped_topk
+
+    return grouped_topk(
+        _docs(sf_dir), group_col="lang", value_col="n_chars", id_col="doc_id", k=k
+    )
+
+
 def fingerprints(sf_dir: str) -> pa.Table:
     from ..functions.textstats import fingerprint_docs
 

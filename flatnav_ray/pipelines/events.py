@@ -26,3 +26,11 @@ def events_sessions(sf_dir: str) -> pa.Table:
     """Gap-based (30 min) sessionization per user; session_seq is the 0-based
     session index within the user."""
     return sessionize(_events(sf_dir))
+
+
+def events_asof(sf_dir: str) -> pa.Table:
+    """As-of join: each purchase matched to the user's most recent prior
+    click (strict (ts, event_id) order; -1 when none)."""
+    from ..stages.relational import asof_join_prior
+
+    return asof_join_prior(_events(sf_dir), left_type="purchase", right_type="click")

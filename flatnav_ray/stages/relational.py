@@ -1,0 +1,141 @@
+"""Relational operators the reference lacks but a log/training-data pipeline
+needs: as-of join (most recent prior event) and grouped top-k.
+
+The reference is a single-table ANN engine (SURVEY.md §2.4 — its only joins
+are label lookups); these extend the join/aggregation families J1-J3 / A1-A2
+to event-time and per-group semantics.
+
+Ray-Data-first shapes and their partitioning assumptions:
+
+- asof_join_prior: ONE shuffle, keyed by the entity column (user_id) via
+  ``groupby(user).map_groups``; rows are pre-filtered and pre-projected in
+  ``map_batches`` BEFORE the shuffle, so only the two event types' (id, ts,
+  type) triples move. Inside a group the match is a vectorized
+  forward-fill (lexsort + np.maximum.accumulate), never a row loop.
+  Assumption: one user's history fits in a task (same as sessionize —
+  user_id is the shard key; a hot user is bounded by its own event count).
+
+- grouped_topk: the A1/A2 bounded top-k pattern applied per group. Each
+  input batch emits AT MOST k rows per group present in the batch (map-side
+  combine), so the shuffle moves O(groups_per_batch * k) rows no matter how
+  large the corpus; a final ``groupby(group).map_groups`` re-selects the
+  global k. Deterministic ties: (value DESC, id ASC).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def asof_join_prior(
+    ds: ray.data.Dataset,
+    left_type: str,
+    right_type: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> pa.Table:
+    """For each event of ``left_type``, the user's most recent PRIOR event of
+    ``right_type`` (strictly earlier in (ts, event_id) lexicographic order —
+    exact ts ties break by event_id, so the result is deterministic).
+    Returns (event_id, user_id, matched_event_id) sorted by event_id, with
+    matched_event_id = -1 when the user has no prior right-type event.
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column(type_col), value_set=pa.array([left_type, right_type]))
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                user_col: b.column(user_col),
+                "ts_us": b.column(ts_col).cast(pa.int64()),
+                "is_left": pc.equal(b.column(type_col), left_type),
+            }
+        )
+
+    def _per_user(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        is_left = group.column("is_left").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ts))
+        ids_s, left_s = ids[order], is_left[order]
+        n = ids_s.size
+        # forward-fill the index of the last right-type row, then shift by
+        # one position so "prior" is strict in the (ts, id) order
+        idx = np.where(~left_s, np.arange(n), -1)
+        ff = np.maximum.accumulate(idx)
+        prior = np.empty(n, dtype=np.int64)
+        prior[0] = -1
+        prior[1:] = ff[:-1]
+        sel = np.flatnonzero(left_s)
+        p = prior[sel]
+        matched = np.where(p >= 0, ids_s[np.maximum(p, 0)], -1)
+        return pa.table(
+            {
+                id_col: pa.array(ids_s[sel], type=pa.int64()),
+                user_col: pa.array(
+                    np.full(sel.size, group.column(user_col)[0].as_py(), dtype=np.int64)
+                ),
+                "matched_event_id": pa.array(matched, type=pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
+    out = pa.concat_tables(
+        slim.groupby(user_col)
+        .map_groups(_per_user, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    return out.sort_by([(id_col, "ascending")])
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> pa.Table:
+    """Top-k rows per group by (value DESC, id ASC). Returns
+    (group, rank, id, value) sorted by (group, rank); rank is 0-based."""
+
+    def _batch_topk(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        i = batch.column(id_col).to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g)
+        gidx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # (group ASC, value DESC, id ASC) then first-k-per-group by position
+        order = np.lexsort((i, -v, gidx))
+        gs = gidx[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        pos = np.arange(gs.size) - np.repeat(starts, np.diff(np.r_[starts, gs.size]))
+        keep = order[pos < k]
+        return batch.select([group_col, id_col, value_col]).take(pa.array(keep))
+
+    def _final(group: pa.Table) -> pa.Table:
+        v = group.column(value_col).to_numpy(zero_copy_only=False)
+        i = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, -v))[:k]
+        t = group.take(pa.array(order))
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "rank": pa.array(np.arange(order.size), type=pa.int64()),
+                id_col: t.column(id_col),
+                value_col: t.column(value_col),
+            }
+        )
+
+    partials = ds.map_batches(_batch_topk, batch_format="pyarrow", zero_copy_batch=True)
+    out = pa.concat_tables(
+        partials.groupby(group_col)
+        .map_groups(_final, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    return out.sort_by([(group_col, "ascending"), ("rank", "ascending")])
