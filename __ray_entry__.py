@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": ev.events_windowed,
         "events_sessions": ev.events_sessions,
         "events_asof": ev.events_asof,
+        "events_range_join": ev.events_range_join,
         # tokenizer / stats family (M4, A6, A8, A9)
         "doc_token_stats": d.doc_token_stats,
         "term_df": d.term_df,
@@ -158,6 +159,15 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM e) "
             "SELECT event_id, user_id, COALESCE(m, -1) AS matched_event_id "
             "FROM o WHERE event_type = 'purchase' ORDER BY event_id"
+        ),
+        "events_range_join": (
+            # band join, left-inclusive right-exclusive 30-min window
+            "SELECT c.event_id AS left_event_id, p.event_id AS right_event_id, "
+            "c.user_id, CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE "
+            "ORDER BY left_event_id, right_event_id"
         ),
         "top_docs_per_lang": (
             "WITH r AS (SELECT lang, doc_id, n_chars, row_number() OVER "

@@ -28,6 +28,17 @@ def events_sessions(sf_dir: str) -> pa.Table:
     return sessionize(_events(sf_dir))
 
 
+def events_range_join(sf_dir: str) -> pa.Table:
+    """Band join: (click, purchase) pairs of the same user with the purchase
+    in [click.ts, click.ts + 30 min) — window attribution."""
+    from ..stages.relational import range_join_window
+
+    return range_join_window(
+        _events(sf_dir), left_type="click", right_type="purchase",
+        window_us=30 * 60 * 1_000_000,
+    )
+
+
 def events_asof(sf_dir: str) -> pa.Table:
     """As-of join: each purchase matched to the user's most recent prior
     click (strict (ts, event_id) order; -1 when none)."""

@@ -20,6 +20,14 @@ Ray-Data-first shapes and their partitioning assumptions:
   combine), so the shuffle moves O(groups_per_batch * k) rows no matter how
   large the corpus; a final ``groupby(group).map_groups`` re-selects the
   global k. Deterministic ties: (value DESC, id ASC).
+
+- range_join_window: band/interval join — (left, right) pairs of the same
+  user with right.ts in [left.ts, left.ts + window). Same single
+  groupby(user) shuffle as asof_join_prior; inside a group both sides are
+  ts-sorted and the per-left match range is two np.searchsorted calls, pair
+  emission is the repeat/offset gather (no per-row loop, no cross product).
+  Output size is bounded by window density (pairs per left row = right
+  events inside one window), not by group size squared.
 """
 
 from __future__ import annotations
@@ -92,6 +100,86 @@ def asof_join_prior(
         .iter_batches(batch_format="pyarrow")
     )
     return out.sort_by([(id_col, "ascending")])
+
+
+def range_join_window(
+    ds: ray.data.Dataset,
+    left_type: str,
+    right_type: str,
+    window_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> pa.Table:
+    """All (left, right) event pairs of the same user with
+    ``right.ts in [left.ts, left.ts + window_us)`` (left-inclusive band
+    join, e.g. purchases within 30 min after a click). Returns
+    (left_event_id, right_event_id, user_id, gap_us) sorted by
+    (left_event_id, right_event_id). Self-pairs cannot occur because the
+    two type filters are disjoint; exact-ts ties ARE matched (gap 0).
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column(type_col), value_set=pa.array([left_type, right_type]))
+        b = batch.filter(keep)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                user_col: b.column(user_col),
+                "ts_us": b.column(ts_col).cast(pa.int64()),
+                "is_left": pc.equal(b.column(type_col), left_type),
+            }
+        )
+
+    def _per_user(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        is_left = group.column("is_left").to_numpy(zero_copy_only=False)
+        l_ids, l_ts = ids[is_left], ts[is_left]
+        r_ids, r_ts = ids[~is_left], ts[~is_left]
+        empty = pa.table(
+            {
+                "left_event_id": pa.array([], type=pa.int64()),
+                "right_event_id": pa.array([], type=pa.int64()),
+                user_col: pa.array([], type=pa.int64()),
+                "gap_us": pa.array([], type=pa.int64()),
+            }
+        )
+        if l_ids.size == 0 or r_ids.size == 0:
+            return empty
+        r_order = np.argsort(r_ts, kind="stable")
+        r_ids, r_ts = r_ids[r_order], r_ts[r_order]
+        lo = np.searchsorted(r_ts, l_ts, side="left")
+        hi = np.searchsorted(r_ts, l_ts + window_us, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # variable-length slice gather: right index = slice start + offset
+        left_rep = np.repeat(np.arange(l_ids.size), counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        ridx = np.repeat(lo, counts) + offs
+        return pa.table(
+            {
+                "left_event_id": pa.array(l_ids[left_rep], type=pa.int64()),
+                "right_event_id": pa.array(r_ids[ridx], type=pa.int64()),
+                user_col: pa.array(
+                    np.full(total, group.column(user_col)[0].as_py(), dtype=np.int64)
+                ),
+                "gap_us": pa.array(r_ts[ridx] - l_ts[left_rep], type=pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(_project, batch_format="pyarrow", zero_copy_batch=True)
+    out = pa.concat_tables(
+        slim.groupby(user_col)
+        .map_groups(_per_user, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    return out.sort_by(
+        [("left_event_id", "ascending"), ("right_event_id", "ascending")]
+    )
 
 
 def grouped_topk(

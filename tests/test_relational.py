@@ -88,6 +88,78 @@ class TestAsofJoin:
         assert got == expect
 
 
+class TestRangeJoin:
+    def test_hand_computed(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.relational import range_join_window
+
+        # user 1: click@10 matches purchases @10 (tie, gap 0) and @15;
+        # purchase@25 is outside the 10s window. user 2: purchase before the
+        # click -> no pair.
+        rows = [
+            (0, 10, 1, "click"),
+            (1, 10, 1, "purchase"),
+            (2, 15, 1, "purchase"),
+            (3, 25, 1, "purchase"),
+            (4, 12, 1, "click"),
+            (5, 3, 2, "purchase"),
+            (6, 5, 2, "click"),
+        ]
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] * US for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            }
+        )
+        out = range_join_window(
+            ray.data.from_arrow(t), "click", "purchase", window_us=10 * US
+        ).to_pylist()
+        got = [(r["left_event_id"], r["right_event_id"], r["gap_us"]) for r in out]
+        assert got == [(0, 1, 0), (0, 2, 5 * US), (4, 2, 3 * US)]
+
+    def test_vs_numpy_reference(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.relational import range_join_window
+
+        rng = np.random.default_rng(23)
+        n = 3000
+        W = 40 * US
+        ids = np.arange(n, dtype=np.int64)
+        ts = rng.integers(0, 2000, n).astype(np.int64) * US
+        users = rng.integers(0, 29, n).astype(np.int64)
+        types = np.array(["click", "purchase", "view"])[rng.integers(0, 3, n)]
+        t = pa.table(
+            {
+                "event_id": pa.array(ids),
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array(users),
+                "event_type": pa.array(types),
+            }
+        )
+        expect = set()
+        for i in range(n):
+            if types[i] != "click":
+                continue
+            for j in range(n):
+                if (
+                    types[j] == "purchase"
+                    and users[j] == users[i]
+                    and ts[i] <= ts[j] < ts[i] + W
+                ):
+                    expect.add((int(ids[i]), int(ids[j]), int(ts[j] - ts[i])))
+        out = range_join_window(
+            ray.data.from_arrow(t).repartition(8), "click", "purchase", window_us=W
+        ).to_pylist()
+        got = {
+            (r["left_event_id"], r["right_event_id"], r["gap_us"]) for r in out
+        }
+        assert got == expect and len(out) == len(got)
+
+
 class TestGroupedTopk:
     def test_hand_computed(self, ray_session):
         import ray.data
