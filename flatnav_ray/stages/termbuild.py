@@ -38,7 +38,7 @@ from ..functions.codec import decode_postings, encode_segment_table
 from ..functions.hashes import splitmix64
 from ..functions.tokenize import term_frequencies
 from ..state.manifest import PartitionManifest, write_manifest
-from ..state.stats import save_stats
+from ..state.stats import load_stats, save_stats
 from .build import DOCMAP_SCHEMA, dedup_latest, docmap_path, _atomic_write_parquet
 
 TERM_SEGMENT_SCHEMA = pa.schema(
@@ -248,6 +248,25 @@ def build_term_index(
     cfg = cfg or IndexConfig(layout="term")
     os.makedirs(index_dir, exist_ok=True)
 
+    # checkpoint-resume at index granularity: the posting stream is one
+    # global term shuffle, so unlike the doc layout there is no per-partition
+    # unit to skip — but a completed build (stats.json fingerprint matches +
+    # segments present) is never redone. A crashed build leaves no
+    # stats.json (it is written last) and reruns from scratch.
+    seg_dir = os.path.join(index_dir, "term_segments")
+    from ..state.stats import stats_path
+
+    if os.path.exists(stats_path(index_dir)) and os.path.isdir(seg_dir):
+        prev = load_stats(index_dir)
+        if (
+            prev.get("layout") == "term"
+            and prev.get("config_fingerprint") == cfg.fingerprint()
+            and prev.get("salt_threshold") == salt_threshold
+            and any(f.endswith(".parquet") for f in os.listdir(seg_dir))
+        ):
+            prev["resumed"] = True
+            return prev
+
     prepared = pages.map_batches(
         prepare_batch,
         batch_format="pyarrow",
@@ -313,7 +332,6 @@ def build_term_index(
     final = sublists.groupby("term", num_partitions=shuffle_parts).map_groups(
         _merge_term, batch_format="pyarrow", fn_kwargs={"block_size": cfg.block_size}
     )
-    seg_dir = os.path.join(index_dir, "term_segments")
     import shutil
 
     if os.path.isdir(seg_dir):

@@ -97,3 +97,28 @@ class TestTermLayout:
             assert first.equals(b)
         finally:
             sess.shutdown()
+
+
+class TestTermBuildResume:
+    def test_completed_build_skipped(self, both_indexes, small_corpus):
+        import ray.data
+
+        _, term_ix, stats, pages, _ = both_indexes
+        again = build_term_index(
+            ray.data.from_arrow(pages), term_ix,
+            IndexConfig(num_partitions=8, layout="term"), salt_threshold=100,
+        )
+        assert again.get("resumed") is True
+        assert again["n_docs"] == stats["n_docs"]
+        assert canonical_term_postings(term_ix).num_rows > 0
+
+    def test_config_change_rebuilds(self, both_indexes, small_corpus):
+        import ray.data
+
+        _, term_ix, _, pages, _ = both_indexes
+        # different salt threshold -> fingerprint context differs -> rebuild
+        again = build_term_index(
+            ray.data.from_arrow(pages), term_ix,
+            IndexConfig(num_partitions=8, layout="term"), salt_threshold=101,
+        )
+        assert "resumed" not in again
