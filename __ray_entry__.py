@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": d.token_counts,
         "langid_pred": d.langid_pred,
         "top_docs_per_lang": d.top_docs_per_lang,
+        "docs_sample": d.docs_sample,
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
         "jaccard_pairs": d.jaccard_pairs,
@@ -168,6 +169,10 @@ def oracle_sql() -> dict[str, str]:
             "AND c.event_type = 'click' AND p.event_type = 'purchase' "
             "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE "
             "ORDER BY left_event_id, right_event_id"
+        ),
+        "docs_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id % 20 = 3 ORDER BY doc_id"
         ),
         "top_docs_per_lang": (
             "WITH r AS (SELECT lang, doc_id, n_chars, row_number() OVER "

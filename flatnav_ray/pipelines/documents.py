@@ -164,6 +164,24 @@ def simhash_dups(sf_dir: str) -> pa.Table:
     return simhash_clusters(_docs(sf_dir))
 
 
+def docs_sample(sf_dir: str, modulus: int = 20, residue: int = 3) -> pa.Table:
+    """Deterministic 1-in-20 systematic sample of the documents table
+    (O3 strided sampling; doc_id % 20 == 3)."""
+    import pyarrow as pa
+
+    from ..stages.relational import strided_sample
+
+    out = strided_sample(_docs(sf_dir), modulus=modulus, residue=residue)
+    t = pa.concat_tables(
+        out.map_batches(
+            lambda b: b.select(["doc_id", "lang", "n_chars"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by([("doc_id", "ascending")])
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     """Grouped top-k: per lang the k longest documents (n_chars DESC, doc_id
     ASC ties). Map-side bounded top-k per batch, final per-group re-select."""

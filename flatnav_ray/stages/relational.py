@@ -102,6 +102,31 @@ def asof_join_prior(
     return out.sort_by([(id_col, "ascending")])
 
 
+def strided_sample(
+    ds: ray.data.Dataset,
+    modulus: int,
+    residue: int = 0,
+    key_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic systematic sample: keep rows with
+    ``key % modulus == residue`` (O3 — the reference samples every k-th
+    vector, `tools/construct_npy.cpp`-style strided reads). Pure
+    ``map_batches`` filter: embarrassingly parallel, no shuffle, stable
+    under any partitioning, and unbiased for hash-assigned or sequential
+    keys — unlike ``ds.limit(n)``'s first-N storage-order bias. Returns a
+    Dataset (stays lazy; compose with downstream stages)."""
+    if not 0 <= residue < modulus:
+        raise ValueError(f"residue {residue} not in [0, {modulus})")
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        # numpy int64 %: exact for full-width 63-bit hash keys, and
+        # python-style sign (non-negative result) for negative keys
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(k % modulus == residue))
+
+    return ds.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def range_join_window(
     ds: ray.data.Dataset,
     left_type: str,

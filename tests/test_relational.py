@@ -216,3 +216,28 @@ class TestGroupedTopk:
                 (r["id"], r["v"]) for r in out if r["g"] == grp
             ]
             assert got == exp, grp
+
+
+class TestStridedSample:
+    def test_exact_membership_and_negatives(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.relational import strided_sample
+
+        # include a negative and a full-width 63-bit key: numpy % must stay
+        # exact where a float64 round-trip would not
+        keys = np.array([-7, 0, 3, 23, 43, 2**62 + 3, 2**62 + 4], dtype=np.int64)
+        t = pa.table({"doc_id": pa.array(keys)})
+        out = strided_sample(ray.data.from_arrow(t), modulus=20, residue=3)
+        got = sorted(r["doc_id"] for r in out.take_all())
+        assert got == sorted(int(k) for k in keys if k % 20 == 3)
+        assert (-7) % 20 == 13  # python-style sign: -7 excluded above
+
+    def test_rate(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.relational import strided_sample
+
+        t = pa.table({"doc_id": pa.array(np.arange(1000, dtype=np.int64))})
+        out = strided_sample(ray.data.from_arrow(t).repartition(4), 10, 7)
+        assert out.count() == 100
