@@ -252,31 +252,47 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
     Build and query phases run in SEPARATE fresh processes per level: a heavy
     build leaves the node's memory system (page cache, compaction state)
     degraded for several seconds, and real deployments separate builder and
-    server nodes anyway."""
-    results = {}
-    for cpus in (cpus_lo, cpus_hi):
+    server nodes anyway.
+
+    The lo/hi legs are INTERLEAVED (lo,hi,lo,hi,...) with best-of per level:
+    this host's effective memory bandwidth swings 2-5x over minutes-long
+    windows (co-tenant contention — verified with a pure-CPU spin test that
+    stays flat while identical memory-heavy runs vary 4x), so running all lo
+    reps then all hi reps lets one bad window land entirely on one level and
+    fabricate an inversion. Interleaving decorrelates the noise from the
+    comparison."""
+
+    def _run_level(cpus: int, phase: str) -> dict:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         env["GRAFT_BENCH_PAGES"] = str(pages_n)
-        env.setdefault("GRAFT_BUILD_REPS", "3")
+        env["GRAFT_BUILD_REPS"] = "1"  # reps handled by the interleaved loop
+        env["GRAFT_PHASE"] = phase
         # ray.init(num_cpus=N) only bounds the scheduler's bookkeeping — on a
         # shared machine the N-cpu run would still burn all physical cores
         # (arrow pools, 0-cpu shuffle aggregators, driver). taskset pins the
         # whole process tree (workers inherit affinity) to N REAL cores: the
         # honest stand-in for an N-node vs 4N-node cluster.
-        def _run(phase: str) -> dict:
-            env["GRAFT_PHASE"] = phase
-            cmd = [sys.executable, os.path.abspath(__file__), "--json-only"]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            return json.loads(line)
+        cmd = [sys.executable, os.path.abspath(__file__), "--json-only"]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
 
-        r = _run("build")
-        r.update({k: v for k, v in _run("query").items() if k.startswith("query")})
-        results[cpus] = r
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    results: dict[int, dict] = {}
+    for rep in range(reps):
+        for cpus in (cpus_lo, cpus_hi):
+            r = _run_level(cpus, "build")
+            r.update({k: v for k, v in _run_level(cpus, "query").items() if k.startswith("query")})
+            best = results.get(cpus)
+            if best is None:
+                results[cpus] = r
+            else:  # keep the best throughput observed per metric
+                best["build_docs_per_sec"] = max(best["build_docs_per_sec"], r["build_docs_per_sec"])
+                best["query_qps"] = max(best["query_qps"], r["query_qps"])
     lo, hi = results[cpus_lo], results[cpus_hi]
     factor = cpus_hi / cpus_lo
     build_eff = (hi["build_docs_per_sec"] / lo["build_docs_per_sec"]) / factor

@@ -26,14 +26,23 @@ _LOW7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-# varint byte-length thresholds: value v needs k bytes iff v < 2^(7k)
-_VARINT_BINS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
 
 
 def varint_byte_lens(values: np.ndarray) -> np.ndarray:
-    """Bytes needed per value — single vectorized searchsorted pass."""
+    """Bytes needed per value — branch-free comparison adds, one pass per
+    byte level actually present (searchsorted's per-element binary search was
+    ~10x slower on the posting streams, which are 1-3 bytes wide)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    return (np.searchsorted(_VARINT_BINS, v, side="right") + 1).astype(np.int64)
+    nb = np.ones(v.size, dtype=np.int64)
+    if v.size == 0:
+        return nb
+    mx = int(v.max())
+    for k in range(1, 10):
+        thr = 1 << (7 * k)
+        if mx < thr:
+            break
+        nb += v >= np.uint64(thr)
+    return nb
 
 
 def encode_varint_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
@@ -47,6 +56,8 @@ def encode_varint_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         return b"", np.empty(0, dtype=np.int64)
     nbytes = varint_byte_lens(v)
     maxb = int(nbytes.max())
+    if maxb == 1:  # all values < 128 (most tf streams, dense-position deltas)
+        return v.astype(np.uint8).tobytes(), nbytes
     # (n, maxb) byte matrix + boolean compress: sequential writes/reads beat
     # the scatter-store formulation ~6x on wide (multi-byte) values.
     # Work in uint32 when every value fits (position-encoded doc streams and
@@ -54,15 +65,16 @@ def encode_varint_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     B = np.empty((n, maxb), dtype=np.uint8)
     if maxb <= 4:  # nbytes <= 4 implies v < 2^28 < 2^32
         shifted = v.astype(np.uint32)
-        low7, cont, seven = np.uint32(0x7F), np.uint8(0x80), np.uint32(7)
+        low7, seven = np.uint32(0x7F), np.uint32(7)
     else:
         shifted = v.copy()
-        low7, cont, seven = _LOW7, _CONT, _SEVEN
-    for k in range(maxb):
-        B[:, k] = (shifted & low7).astype(np.uint8) | cont
-        shifted >>= seven
-    B[np.arange(n), nbytes - 1] &= np.uint8(0x7F)
+        low7, seven = _LOW7, _SEVEN
     mask = np.arange(maxb)[None, :] < nbytes[:, None]
+    for k in range(maxb):
+        B[:, k] = (shifted & low7).astype(np.uint8)
+        shifted >>= seven
+    # continuation bit on byte k iff byte k+1 is kept — no arange fancy-index
+    B[:, :-1] |= mask[:, 1:].astype(np.uint8) << np.uint8(7)
     return B[mask].tobytes(), nbytes
 
 
@@ -193,15 +205,17 @@ def encode_segment_table(
     tb = np.flatnonzero(np.concatenate(([True], p_terms[1:] != p_terms[:-1])))
     te = np.append(tb[1:], n)
     nterms = tb.size
-    term_of = np.repeat(np.arange(nterms, dtype=np.int64), te - tb)
-    pos_in_term = np.arange(n, dtype=np.int64) - tb[term_of]
-
-    # block structure: block start wherever pos_in_term % block_size == 0
-    is_block_start = (pos_in_term % block_size) == 0
-    block_id = np.cumsum(is_block_start) - 1           # global block index
-    nblocks = int(block_id[-1]) + 1
-    block_starts = np.flatnonzero(is_block_start)
-    block_ends = np.append(block_starts[1:], n)
+    # block structure derived from per-term dfs on nblocks-sized arrays
+    # (~n/block_size elements) — no n-sized arange/cumsum/repeat passes
+    df = te - tb
+    nb_t = -(-df // block_size)                        # ceil(df / block_size)
+    cum_nb = np.zeros(nterms + 1, dtype=np.int64)
+    np.cumsum(nb_t, out=cum_nb[1:])
+    nblocks = int(cum_nb[-1])
+    term_of_block = np.repeat(np.arange(nterms, dtype=np.int64), nb_t)
+    within = np.arange(nblocks, dtype=np.int64) - cum_nb[term_of_block]
+    block_starts = tb[term_of_block] + within * block_size
+    block_ends = np.minimum(block_starts + block_size, te[term_of_block])
 
     # deltas: doc - prev doc within term; absolute at block starts
     deltas = np.empty(n, dtype=np.uint64)
@@ -212,8 +226,7 @@ def encode_segment_table(
     doc_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(doc_lens_b, out=doc_off[1:])
 
-    tf_u = p_tfs.astype(np.uint64)
-    tf_blob_all, tf_lens_b = encode_varint_with_lens(tf_u)
+    tf_blob_all, tf_lens_b = encode_varint_with_lens(p_tfs)
     tf_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tf_lens_b, out=tf_off[1:])
 
@@ -233,14 +246,11 @@ def encode_segment_table(
     bl_last = p_docs[block_ends - 1].astype(np.int64)
     bl_maxtf = np.maximum.reduceat(p_tfs, block_starts).astype(np.int32)
     bl_mindl = np.minimum.reduceat(p_dls, block_starts).astype(np.int32)
-    bl_doffs = (doc_off[block_starts] - doc_off[tb][term_of[block_starts]]).astype(np.int32)
-    bl_toffs = (tf_off[block_starts] - tf_off[tb][term_of[block_starts]]).astype(np.int32)
+    bl_doffs = (doc_off[block_starts] - doc_off[tb][term_of_block]).astype(np.int32)
+    bl_toffs = (tf_off[block_starts] - tf_off[tb][term_of_block]).astype(np.int32)
 
-    # per-term list offsets into the block arrays
-    term_of_block = term_of[block_starts]
-    list_off = np.zeros(nterms + 1, dtype=np.int32)
-    np.add.at(list_off, term_of_block + 1, 1)
-    np.cumsum(list_off, out=list_off)
+    # per-term list offsets into the block arrays = the block-count cumsum
+    list_off = cum_nb.astype(np.int32)
 
     def _list_arr(values: np.ndarray, typ) -> pa.Array:
         return pa.ListArray.from_arrays(pa.array(list_off), pa.array(values, type=typ))
