@@ -170,7 +170,16 @@ def build_index(
         mapped.count()  # drives the map phase; partials land on disk
         _t1 = _time.perf_counter()
 
-        merge_task = _ray.remote(num_cpus=1)(merge_spilled_partition)
+        # merge tasks are DRAM-bandwidth-bound, not core-bound: running one
+        # per core queues the memory controller superlinearly (measured on
+        # the 1M-doc spill: 32 concurrent merges 65-82s, 16 concurrent
+        # 24-25s, 8 concurrent 32s — cores/2 is the saturation point).
+        # num_cpus=2 reserves a bandwidth slot of ~2 cores per merge on any
+        # node size, which also holds per-node on a real multi-node cluster
+        # (each node schedules its own merges against its own memory bus).
+        merge_cpus = int(os.environ.get("FLATNAV_MERGE_NUM_CPUS", "2"))
+        merge_cpus = max(1, min(merge_cpus, int(_ray.cluster_resources().get("CPU", 1))))
+        merge_task = _ray.remote(num_cpus=merge_cpus)(merge_spilled_partition)
         futs = [
             merge_task.remote(p, spill_dir, index_dir, cfg, done)
             for p in range(cfg.num_partitions)

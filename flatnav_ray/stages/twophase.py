@@ -33,7 +33,7 @@ import pyarrow as pa
 from ..config import IndexConfig
 from ..functions.codec import encode_segment_table
 from ..functions.hashes import stable_hash64
-from ..functions.tokenize import term_frequencies
+from ..functions.tokenize import term_frequencies_encoded
 from ..state.manifest import PartitionManifest, write_manifest
 from .build import (
     DOCMAP_SCHEMA,
@@ -94,8 +94,6 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
 
     # tokenize the WHOLE batch once, then split postings/docmap by partition
     # (per-partition tokenize calls would drown in per-call overhead)
-    import pyarrow.compute as pc2
-
     doc_ids_all = srt.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     doc_sort = np.argsort(doc_ids_all, kind="stable")
     srt = srt.take(pa.array(doc_sort))
@@ -103,14 +101,11 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
     parts_all = srt.column("partition").to_numpy(zero_copy_only=False)
     # NOTE: no term-string sort here — partial posting order is irrelevant
     # (the merge lexsorts globally on integer codes); the only string op on
-    # the map side is one hash-based dictionary_encode
-    postings = term_frequencies(doc_ids_all, srt.column("text"))
-    p_terms_all = postings.column("term")
-    p_docs_all = postings.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    p_tfs_all = postings.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-    pos_all = np.searchsorted(doc_ids_all, p_docs_all)
-    doc_lens_all = np.zeros(doc_ids_all.size, dtype=np.int64)
-    np.add.at(doc_lens_all, pos_all, p_tfs_all)
+    # the map side is the encoded kernel's single dictionary_encode, and its
+    # codes ARE the per-batch dictionary indices (no second encode pass)
+    batch_codes, pos_all, p_tfs_all, batch_dict = term_frequencies_encoded(srt.column("text"))
+    p_docs_all = doc_ids_all[pos_all]
+    doc_lens_all = np.bincount(pos_all, weights=p_tfs_all, minlength=doc_ids_all.size).astype(np.int64)
     p_parts = parts_all[pos_all]
 
     warc_all = srt.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -121,15 +116,6 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
         url_col = url_col.combine_chunks()
     if isinstance(lang_col, pa.ChunkedArray):
         lang_col = lang_col.combine_chunks()
-
-    # dictionary-encode terms ONCE per batch (postings are term-sorted, so the
-    # first-occurrence dictionary comes out sorted); per-partition dictionaries
-    # are pure integer ops + one arrow take — no Python string round-trips
-    enc = pc2.dictionary_encode(
-        p_terms_all.combine_chunks() if isinstance(p_terms_all, pa.ChunkedArray) else p_terms_all
-    )
-    batch_dict = enc.dictionary
-    batch_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
     # group postings and docmap rows by partition with ONE stable int argsort
     # each, then slice contiguous ranges (no per-partition O(N) masking)
