@@ -139,26 +139,27 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
         best = dt if best is None or dt < best else best
     timings["query_bm25_batch"] = best
     extras["query_qps"] = len(queries) / timings["query_bm25_batch"]
-    # p50 latency over repeated small batches (per-query latency analog)
-    lats = []
-    for i in range(5):
-        qb = queries_table(50, seed=100 + i)
-        t0 = time.perf_counter()
-        sess.search(qb, qcfg)
-        lats.append((time.perf_counter() - t0) / 50 * 1000)
-    extras["query_p50_ms"] = float(np.percentile(lats, 50))
-    # tail latency over single-query round trips — the reference reports
-    # p50/p95/p99/p999 per query (run-benchmark.py:472-481); 1000 samples
-    # gives the p999 one real data point
-    lat_q = queries_table(1000, seed=77)
-    lat_ms = []
-    for i in range(len(lat_q)):
-        qb = lat_q.slice(i, 1)
-        t0 = time.perf_counter()
-        sess.search(qb, qcfg)
-        lat_ms.append((time.perf_counter() - t0) * 1e3)
-    for p, name in ((50, "p50"), (95, "p95"), (99, "p99"), (99.9, "p999")):
-        extras[f"query_lat_{name}_ms"] = float(np.percentile(lat_ms, p))
+    if phase == "all":  # latency percentiles don't feed the scaling ratio
+        # p50 latency over repeated small batches (per-query latency analog)
+        lats = []
+        for i in range(5):
+            qb = queries_table(50, seed=100 + i)
+            t0 = time.perf_counter()
+            sess.search(qb, qcfg)
+            lats.append((time.perf_counter() - t0) / 50 * 1000)
+        extras["query_p50_ms"] = float(np.percentile(lats, 50))
+        # tail latency over single-query round trips — the reference reports
+        # p50/p95/p99/p999 per query (run-benchmark.py:472-481); 1000 samples
+        # gives the p999 one real data point
+        lat_q = queries_table(1000, seed=77)
+        lat_ms = []
+        for i in range(len(lat_q)):
+            qb = lat_q.slice(i, 1)
+            t0 = time.perf_counter()
+            sess.search(qb, qcfg)
+            lat_ms.append((time.perf_counter() - t0) * 1e3)
+        for p, name in ((50, "p50"), (95, "p95"), (99, "p99"), (99.9, "p999")):
+            extras[f"query_lat_{name}_ms"] = float(np.percentile(lat_ms, p))
     # recall-vs-throughput sweep over approx_factor (the ef_search-graft knob;
     # reference sweeps ef_search and emits recall/QPS curves)
     if phase == "all":

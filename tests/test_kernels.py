@@ -59,6 +59,31 @@ class TestTokenizer:
         )
         assert rows == [("a", 1, 2), ("b", 1, 1), ("b", 2, 1)]
 
+    def test_term_frequencies_matches_scalar_counter(self):
+        # randomized oracle: the integer-keyed kernel == Counter over tokenize_py
+        from collections import Counter
+
+        from flatnav_ray.functions.tokenize import tokenize_py
+
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(0, 30)).tolist())
+            + (", punct! " if i % 3 == 0 else "")
+            for i in range(200)
+        ]
+        doc_ids = rng.permutation(200).astype(np.int64)
+        t = term_frequencies(doc_ids, pa.array(texts))
+        got = sorted(
+            zip(t.column("term").to_pylist(), t.column("doc_id").to_pylist(), t.column("tf").to_pylist())
+        )
+        want = sorted(
+            (term, int(doc_ids[i]), tf)
+            for i, text in enumerate(texts)
+            for term, tf in Counter(tokenize_py(text)).items()
+        )
+        assert got == want
+
 
 class TestBm25:
     def test_closed_form_toy_corpus(self):
