@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multi": d.bm25_topk_multi,     # rows-only (pytest holds oracle)
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
+        "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
         "bm25_topk_dense": d.bm25_topk_dense,     # dense_url docid reorder (O4)
         "bm25_topk_gorder": d.bm25_topk_gorder,   # Gorder docid reorder (O5, rows-only)
     }
@@ -256,5 +257,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
+        "bm25_topk_incremental": bm25_sql,
         "bm25_topk_dense": dense_sql,
     }

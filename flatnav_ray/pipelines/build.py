@@ -270,6 +270,7 @@ def build_index(
             "scorer": cfg.scorer,
             "analyzer": cfg.analyzer,
             "layout": cfg.layout,
+            "docid_strategy": cfg.docid_strategy,
         },
     )
     return BuildResult(

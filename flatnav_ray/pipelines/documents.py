@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -23,6 +24,7 @@ from ..functions.textstats import detect_lang, quality_stats
 from ..functions.tokenize import term_frequencies
 from ..sources.pages import documents_as_pages
 from ..stages.introspect import df_distribution
+from ..state.stats import load_stats
 from .build import build_index
 from .query import search_to_table
 
@@ -402,6 +404,36 @@ def bm25_topk_compacted(sf_dir: str, k: int = 10) -> pa.Table:
         merge_indexes([ixa, ixb], ixm, cfg)
     queries = derived_queries(ixm)
     out = search_to_table(ixm, queries, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pa.Table:
+    """Incremental ingest surface (reference `add`, Index.h:298-336 /
+    bindings.cpp:216-259, re-expressed as delta-build + compaction in
+    pipelines/ingest.py): build a base index from even-id docs, add_documents
+    the odd-id docs as a delta generation, query the swapped result — must be
+    rank-identical to the single-build bm25_topk, so it shares that oracle."""
+    from .ingest import add_documents
+
+    cfg = IndexConfig(num_partitions=8)
+    base = _index_dir_for(sf_dir, cfg)
+    ix = base + "-incremental"
+    if not os.path.exists(os.path.join(ix, "stats.json")) or not load_stats(ix).get(
+        "compacted_from"
+    ):
+        def _even(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b.column("ext_doc_id"), 1), 0))
+
+        def _odd(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b.column("ext_doc_id"), 1), 1))
+
+        shutil.rmtree(ix, ignore_errors=True)
+        build_index(documents_as_pages(sf_dir).map_batches(_even, batch_format="pyarrow"),
+                    ix, cfg, resume=False)
+        add_documents(ix, documents_as_pages(sf_dir).map_batches(_odd, batch_format="pyarrow"))
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k))
     out = out.select(["query_id", "rank", "doc_id"])
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 

@@ -33,3 +33,41 @@ def test_merge_two_indexes_equals_union_build(ray_session, tmp_path):
     rb = search_to_table(ix_u, q, QueryConfig(k=10))
     assert ra.equals(rb)
     assert stats["n_docs"] == 800
+
+
+def test_add_documents_equals_union_build_and_upserts(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from flatnav_ray.pipelines.ingest import add_documents
+    from flatnav_ray.sources.synth import PagesGenerator, queries_table
+
+    gen = PagesGenerator(seed=11, vocab_size=2000, mean_len=50, dup_rate=0.0)
+    a = gen.chunk(0, 300)
+    b = gen.chunk(1, 300)
+    cfg = IndexConfig(num_partitions=6)
+    ix, ix_u = str(tmp_path / "incr"), str(tmp_path / "union")
+    build_index(ray.data.from_arrow(a), ix, cfg)
+    stats = add_documents(ix, ray.data.from_arrow(b))  # in-place generation swap
+    build_index(ray.data.from_arrow(pa.concat_tables([a, b])), ix_u, cfg)
+    assert canonical_postings(ix).equals(canonical_postings(ix_u))
+    q = queries_table(15, seed=5, vocab_size=2000)
+    assert search_to_table(ix, q, QueryConfig(k=10)).equals(
+        search_to_table(ix_u, q, QueryConfig(k=10))
+    )
+    assert stats["n_docs"] == 600
+
+    # upsert: re-adding an existing url with new text replaces its postings
+    import pyarrow.compute as pc
+
+    row = a.slice(0, 1)
+    url = row.column("url")[0].as_py()
+    updated = row.set_column(
+        row.schema.get_field_index("html"),
+        "html",
+        pa.array([b"<html><body><p>zzzreplacementterm only</p></body></html>"], pa.binary()),
+    )
+    add_documents(ix, ray.data.from_arrow(updated))
+    qq = pa.table({"query_id": pa.array([0], pa.int64()), "text": pa.array(["zzzreplacementterm"])})
+    hit = search_to_table(ix, qq, QueryConfig(k=5))
+    assert len(hit) == 1 and hit.column("url")[0].as_py() == url
