@@ -267,6 +267,58 @@ def encode_segment_table(
     }, tb, te
 
 
+def decode_segment_postings(
+    doc_blob_col, tf_blob_col, df_col, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode EVERY term of a segment at once — the bulk-decode dual of
+    encode_segment_table (one varint pass over the column's shared values
+    buffer, block-absolute reconstruction via cumsum; no per-term Python).
+
+    Returns (term_row int64 per posting, doc positions int64, tfs int64),
+    postings in segment row order (term-major, position-ascending within
+    term). Used by compaction/merge paths that re-encode whole segments.
+    """
+    import pyarrow as pa
+
+    dfs = np.asarray(df_col.to_numpy(zero_copy_only=False), dtype=np.int64)
+    n = int(dfs.sum())
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    term_of = np.repeat(np.arange(dfs.size, dtype=np.int64), dfs)
+
+    def _col_bytes(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        vals = arr.buffers()[2]
+        buf = np.frombuffer(vals, dtype=np.uint8) if vals is not None else np.empty(0, np.uint8)
+        return buf[offs[0]: offs[-1]]
+
+    deltas = decode_varint(_col_bytes(doc_blob_col))
+    tfs = decode_varint(_col_bytes(tf_blob_col))
+    assert deltas.size == n and tfs.size == n, "blob/df mismatch"
+
+    # block structure from dfs (same derivation as encode_segment_table)
+    tb = np.zeros(dfs.size, dtype=np.int64)
+    np.cumsum(dfs[:-1], out=tb[1:])
+    te = tb + dfs
+    nb_t = -(-dfs // block_size)
+    cum_nb = np.zeros(dfs.size + 1, dtype=np.int64)
+    np.cumsum(nb_t, out=cum_nb[1:])
+    term_of_block = np.repeat(np.arange(dfs.size, dtype=np.int64), nb_t)
+    within = np.arange(int(cum_nb[-1]), dtype=np.int64) - cum_nb[term_of_block]
+    block_starts = tb[term_of_block] + within * block_size
+    block_ends = np.minimum(block_starts + block_size, te[term_of_block])
+
+    # positions: deltas[block_start] is absolute; cumsum with per-block rebase
+    C = np.cumsum(deltas.astype(np.int64))
+    base = C[block_starts] - deltas[block_starts].astype(np.int64)
+    vals = C - np.repeat(base, block_ends - block_starts)
+    return term_of, vals, tfs.astype(np.int64)
+
+
 def decode_postings(
     doc_blob: bytes,
     tf_blob: bytes,

@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import IndexConfig
-from ..functions.codec import decode_postings, encode_segment_table
+from ..functions.codec import decode_segment_postings, encode_segment_table
 from ..state.manifest import PartitionManifest, write_manifest
 from ..state.stats import load_stats, save_stats
 from .build import (
@@ -35,8 +35,11 @@ from .build import (
 
 def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConfig) -> dict:
     _clamp_worker_threads()
+    import pyarrow.compute as pc
+
     dm_parts = []
-    seg_rows = []  # (src_idx, term, doc_ids, tfs)
+    post_parts = []  # (src_idx, term_row int64, src doc ids int64, tfs int64)
+    term_cols = []   # per-source segment term column (aligned with term_row)
     for si, src in enumerate(src_dirs):
         dmp = docmap_path(src, partition)
         if not os.path.exists(dmp):
@@ -45,16 +48,14 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
         dm_parts.append((si, dm))
         src_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         seg = pq.read_table(segment_path(src, partition))
-        for i in range(len(seg)):
-            # blobs hold docmap positions — resolve to real ids through the
-            # source's docmap before cross-source merging
-            p, tf = decode_postings(
-                seg.column("doc_blob")[i].as_py(),
-                seg.column("tf_blob")[i].as_py(),
-                np.asarray(seg.column("block_last_doc")[i].as_py(), dtype=np.int64),
-                block_size=cfg.block_size,
-            )
-            seg_rows.append((si, seg.column("term")[i].as_py(), src_ids[p], tf))
+        # bulk-decode the whole segment (no per-term Python); blobs hold
+        # docmap positions — resolve to real ids through the source's docmap
+        trow, pos, tf = decode_segment_postings(
+            seg.column("doc_blob"), seg.column("tf_blob"), seg.column("df"),
+            block_size=cfg.block_size,
+        )
+        post_parts.append((len(term_cols), trow, src_ids[pos], tf))
+        term_cols.append(seg.column("term"))
     if not dm_parts:
         return {"partition": partition, "n_docs": 0, "sum_doc_len": 0, "n_terms": 0, "bytes": 0}
 
@@ -73,31 +74,51 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
     win_src = all_src[win_rows]
     win_len = all_len[win_rows]
 
-    terms_parts, docs_parts, tfs_parts = [], [], []
-    for si, term, d, tf in seg_rows:
-        pos = np.searchsorted(win_ids, d)
-        keep = win_src[pos] == si
+    # global sorted vocabulary across sources; per-source remap is one
+    # Arrow hash join (index_in) — term strings never enter the posting sort
+    if term_cols:
+        all_terms = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in term_cols]
+        )
+        u = pc.unique(all_terms)
+        vocab = u.take(pc.sort_indices(u))
+        code_of = [
+            pc.index_in(
+                c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c, value_set=vocab
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in term_cols
+        ]
+    else:
+        vocab = pa.array([], type=pa.string())
+        code_of = []
+
+    codes_parts, pos_parts, tfs_parts = [], [], []
+    for ci, trow, d, tf in post_parts:
+        si = dm_parts[ci][0]
+        wpos = np.searchsorted(win_ids, d)
+        keep = win_src[wpos] == si
         if keep.any():
-            terms_parts.append(np.full(int(keep.sum()), term, dtype=object))
-            docs_parts.append(d[keep])
+            codes_parts.append(code_of[ci][trow[keep]])
+            pos_parts.append(wpos[keep])
             tfs_parts.append(tf[keep])
     hasher = hashlib.blake2b(digest_size=16)
-    if terms_parts:
-        m_terms = np.concatenate(terms_parts)
-        m_docs = np.concatenate(docs_parts)
+    if codes_parts:
+        m_codes = np.concatenate(codes_parts)
+        m_pos = np.concatenate(pos_parts)
         m_tfs = np.concatenate(tfs_parts)
-        pos = np.searchsorted(win_ids, m_docs)
-        m_dls = win_len[pos]
-        srt = np.lexsort((m_docs, m_terms))
-        m_terms, m_pos, m_tfs, m_dls = m_terms[srt], pos[srt], m_tfs[srt], m_dls[srt]
+        m_dls = win_len[m_pos]
+        # positions ascend with doc ids within a partition, so (code, pos)
+        # sorts identically to the old (term string, doc id) lexsort
+        srt = np.lexsort((m_pos, m_codes))
+        m_codes, m_pos, m_tfs, m_dls = m_codes[srt], m_pos[srt], m_tfs[srt], m_dls[srt]
         # encode docmap POSITIONS in the merged index (same format as build)
         cols, tb, _ = encode_segment_table(
-            m_terms, m_pos.astype(np.int64), m_tfs, m_dls, block_size=cfg.block_size
+            m_codes, m_pos.astype(np.int64), m_tfs, m_dls, block_size=cfg.block_size
         )
         hasher.update(cols["doc_blob"].buffers()[2])
         segment = pa.table(
             [
-                pa.array(m_terms[tb], type=pa.string()),
+                vocab.take(pa.array(m_codes[tb].astype(np.int64))),
                 cols["df"], cols["doc_blob"], cols["tf_blob"],
                 cols["block_last_doc"], cols["block_max_tf"], cols["block_min_dl"],
                 cols["block_doc_offs"], cols["block_tf_offs"],
@@ -176,7 +197,11 @@ def merge_indexes(src_dirs: list[str], out_dir: str, cfg: IndexConfig | None = N
         assert int(st["num_partitions"]) == cfg.num_partitions, "partition counts must match"
         assert st["analyzer"] == stats0["analyzer"], "analyzer mismatch"
     os.makedirs(out_dir, exist_ok=True)
-    task = ray.remote(num_cpus=1)(_merge_one)
+    # DRAM-bound like the build merge: cores/2 concurrent is the measured
+    # memory-controller saturation point (see pipelines/build.py)
+    merge_cpus = max(1, min(int(os.environ.get("FLATNAV_MERGE_NUM_CPUS", "2")),
+                            int(ray.cluster_resources().get("CPU", 1))))
+    task = ray.remote(num_cpus=merge_cpus)(_merge_one)
     parts = sorted({int(p) for s in src_dirs for p in load_stats(s)["partitions"]})
     out = ray.get([task.remote(p, src_dirs, out_dir, cfg) for p in parts])
     n_docs = sum(o["n_docs"] for o in out)
