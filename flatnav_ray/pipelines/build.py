@@ -322,7 +322,10 @@ def _build_term_stats(index_dir: str) -> None:
     total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     if total_rows <= DRIVER_SIDE_TERMSTATS_ROWS:
         t = pads.dataset(files, format="parquet").to_table(columns=["term", "df"])
-        agg = t.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
+        agg = t.group_by("term").aggregate([("df", "sum")])
+        # select by generated name (key-vs-aggregate column order varies
+        # across pyarrow releases; a positional rename would mislabel)
+        agg = pa.table({"term": agg.column("term"), "df": agg.column("df_sum")})
         agg = agg.sort_by("term")
         os.makedirs(out_dir, exist_ok=True)
         pq.write_table(
@@ -337,7 +340,7 @@ def _build_term_stats(index_dir: str) -> None:
         .groupby("term")
         .sum("df")
         .map_batches(
-            lambda b: b.rename_columns(["term", "df"]),
+            lambda b: pa.table({"term": b.column("term"), "df": b.column("sum(df)")}),
             batch_format="pyarrow",
         )
         .sort("term")

@@ -61,7 +61,8 @@ def term_df(sf_dir: str) -> pa.Table:
 
     pairs = _docs(sf_dir).map_batches(_pairs, batch_format="pyarrow")
     agg = pairs.groupby("term").count()
-    out = _concat(agg).rename_columns(["term", "df"])
+    c = _concat(agg)
+    out = pa.table({"term": c.column("term"), "df": c.column("count()")})
     return out.sort_by("term")
 
 
@@ -74,7 +75,8 @@ def term_cf(sf_dir: str) -> pa.Table:
 
     tfs = _docs(sf_dir).map_batches(_tf, batch_format="pyarrow")
     agg = tfs.groupby("term").sum("tf")
-    out = _concat(agg).rename_columns(["term", "cf"])
+    c = _concat(agg)
+    out = pa.table({"term": c.column("term"), "cf": c.column("sum(tf)")})
     return out.sort_by("term")
 
 
@@ -86,7 +88,8 @@ def top_terms(sf_dir: str, n: int = 50) -> pa.Table:
 
 
 def lang_counts(sf_dir: str) -> pa.Table:
-    out = _concat(_docs(sf_dir).groupby("lang").count()).rename_columns(["lang", "n_docs"])
+    c = _concat(_docs(sf_dir).groupby("lang").count())
+    out = pa.table({"lang": c.column("lang"), "n_docs": c.column("count()")})
     return out.sort_by("lang")
 
 
@@ -248,14 +251,17 @@ def knn_nsw(sf_dir: str, k: int = 10, n_queries: int = 10, ef_search: int = 64) 
     the recall-vs-brute-force oracle (tests/test_nsw.py)."""
     import tempfile
 
-    from ..stages.nsw import build_nsw_index, search_nsw_index
+    from ..stages.nsw import build_nsw_index, nsw_index_complete, search_nsw_index
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     ix = os.path.join(
         tempfile.gettempdir(),
         f"flatnav_docs/nsw_{hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()}",
     )
-    if not os.path.isdir(ix) or not os.listdir(ix):
+    # rebuild unless the completion marker is present with every shard on
+    # disk: a crashed build (shard subset / leftover .tmp) must not be
+    # silently served as complete
+    if not nsw_index_complete(ix):
         build_nsw_index(emb, ix, n_shards=2)
     qt = pa.concat_tables(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")

@@ -37,6 +37,38 @@ def _cfg_from_stats(stats: dict) -> IndexConfig:
     )
 
 
+def recover_generation(index_dir: str) -> str | None:
+    """Roll a crashed generation swap forward (or back).
+
+    The swap is two renames — `index_dir -> .old-<tag>` then
+    `.gen-<tag> -> index_dir` — and cannot be fully atomic without
+    renameat2(RENAME_EXCHANGE): a crash in the window between them leaves
+    index_dir missing with the `.old-<tag>` (and possibly a complete
+    `.gen-<tag>`) beside it. This detects that state and repairs it:
+    roll FORWARD to the new generation when a complete `.gen-<tag>` exists
+    (stats.json is written last by merge_indexes, so its presence proves
+    completeness), else roll BACK to `.old-<tag>`. Returns "forward",
+    "back", or None when index_dir is intact."""
+    if os.path.exists(os.path.join(index_dir, "stats.json")):
+        return None
+    parent = os.path.dirname(os.path.abspath(index_dir)) or "."
+    base = os.path.basename(os.path.abspath(index_dir))
+    olds = sorted(n for n in os.listdir(parent) if n.startswith(f"{base}.old-"))
+    if not olds:
+        return None
+    tag = olds[-1].rsplit("-", 1)[1]
+    gen = os.path.join(parent, f"{base}.gen-{tag}")
+    shutil.rmtree(index_dir, ignore_errors=True)  # at most a torn partial
+    if os.path.exists(os.path.join(gen, "stats.json")):
+        os.rename(gen, index_dir)
+        for n in olds:
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+        return "forward"
+    os.rename(os.path.join(parent, olds[-1]), index_dir)
+    shutil.rmtree(gen, ignore_errors=True)
+    return "back"
+
+
 def add_documents(
     index_dir: str,
     pages: ray.data.Dataset,
@@ -46,12 +78,15 @@ def add_documents(
 
     Builds a delta index (same config fingerprint as the base), compacts
     [delta, base] into a new generation, and either writes it to `out_dir`
-    or atomically swaps it into `index_dir` (rename-based: the base is
-    readable until the swap; a crash leaves either the old or the new
-    generation, never a torn one). Returns the merged stats dict.
+    or swaps it into `index_dir`. The swap is two renames; a crash between
+    them leaves index_dir missing with the `.old-<tag>` dir beside it —
+    `recover_generation` (called here on open) detects that and rolls
+    forward/back, so the observable states are: old generation, new
+    generation, or recoverable-by-open. Returns the merged stats dict.
     """
     from ..stages.compact import merge_indexes
 
+    recover_generation(index_dir)
     stats = load_stats(index_dir)
     assert stats.get("layout", "doc") == "doc", "incremental add requires the doc layout"
     # dense_url / gorder assign per-partition DENSE ids: two independently

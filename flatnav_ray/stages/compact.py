@@ -196,6 +196,15 @@ def merge_indexes(src_dirs: list[str], out_dir: str, cfg: IndexConfig | None = N
         st = load_stats(s)
         assert int(st["num_partitions"]) == cfg.num_partitions, "partition counts must match"
         assert st["analyzer"] == stats0["analyzer"], "analyzer mismatch"
+        # decode_segment_postings reconstructs block-absolute positions from
+        # cfg.block_size — a source built with a different block_size would
+        # silently corrupt postings in the merge. Scorer params must match
+        # too (they are part of the serving stats the merged index inherits).
+        assert int(st["block_size"]) == cfg.block_size, "block_size mismatch"
+        assert st["scorer"] == stats0["scorer"], "scorer mismatch"
+        assert float(st["k1"]) == float(stats0["k1"]), "k1 mismatch"
+        assert float(st["b"]) == float(stats0["b"]), "b mismatch"
+    assert int(stats0["block_size"]) == cfg.block_size, "block_size mismatch"
     os.makedirs(out_dir, exist_ok=True)
     # DRAM-bound like the build merge: cores/2 concurrent is the measured
     # memory-controller saturation point (see pipelines/build.py)

@@ -46,7 +46,9 @@ def exact_text_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str
     kept = sigs.groupby("text_hash").min(id_col)
 
     def _rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["text_hash", id_col])
+        return pa.table(
+            {"text_hash": b.column("text_hash"), id_col: b.column(f"min({id_col})")}
+        )
 
     return kept.map_batches(_rename, batch_format="pyarrow")
 
@@ -261,23 +263,6 @@ def _cluster_assignments(
         hit[hit] = keys[pos[hit]] == uniq[hit]
         labels[hit] = vals[pos[hit]]
     return labels
-
-
-def _pairs_from_buckets(bucket_tbl: pa.Table, id_col: str, cap: int = 64) -> list[tuple[int, int]]:
-    """Candidate pairs per bucket: each member pairs with the bucket's minimum
-    doc_id (star pattern — linear, not quadratic; hot buckets capped)."""
-    pairs: list[tuple[int, int]] = []
-    bt = bucket_tbl.sort_by([("bucket", "ascending"), (id_col, "ascending")])
-    buckets = bt.column("bucket").to_numpy(zero_copy_only=False)
-    ids = bt.column(id_col).to_numpy(zero_copy_only=False)
-    start = 0
-    for i in range(1, len(buckets) + 1):
-        if i == len(buckets) or buckets[i] != buckets[start]:
-            members = ids[start:i][:cap]
-            root = int(members[0])
-            pairs.extend((root, int(m)) for m in members[1:])
-            start = i
-    return pairs
 
 
 def minhash_lsh_clusters(
@@ -732,8 +717,13 @@ def embedding_near_dups_lsh(
         )
     out = pa.concat_tables(batches)
     # distinct (a pair can reappear if a bucket key repeats across groups)
-    out = out.group_by(["doc_a", "doc_b"]).aggregate([("cosine", "max")]).rename_columns(
-        ["doc_a", "doc_b", "cosine"]
+    g = out.group_by(["doc_a", "doc_b"]).aggregate([("cosine", "max")])
+    out = pa.table(
+        {
+            "doc_a": g.column("doc_a"),
+            "doc_b": g.column("doc_b"),
+            "cosine": g.column("cosine_max"),
+        }
     )
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 

@@ -55,10 +55,21 @@ def windowed_counts(
                 "sum_value_cents": pa.array(cents, type=pa.int64()),
             }
         )
-        # map-side combine: one row per (window, type) leaves the batch
-        return t.group_by(["window_start", type_col]).aggregate(
+        # map-side combine: one row per (window, type) leaves the batch.
+        # Columns selected BY NAME (pyarrow generates "<col>_sum"; key-vs-
+        # aggregate ordering has changed across pyarrow releases, so a
+        # positional rename would silently mislabel them)
+        agg = t.group_by(["window_start", type_col]).aggregate(
             [("n_events", "sum"), ("sum_value_cents", "sum")]
-        ).rename_columns(["window_start", type_col, "n_events", "sum_value_cents"])
+        )
+        return pa.table(
+            {
+                "window_start": agg.column("window_start"),
+                type_col: agg.column(type_col),
+                "n_events": agg.column("n_events_sum"),
+                "sum_value_cents": agg.column("sum_value_cents_sum"),
+            }
+        )
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = (
@@ -66,7 +77,14 @@ def windowed_counts(
         .sum(["n_events", "sum_value_cents"])
     )
     out = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
-    out = out.rename_columns(["window_start", type_col, "n_events", "sum_value_cents"])
+    out = pa.table(
+        {
+            "window_start": out.column("window_start"),
+            type_col: out.column(type_col),
+            "n_events": out.column("sum(n_events)"),
+            "sum_value_cents": out.column("sum(sum_value_cents)"),
+        }
+    )
     return out.sort_by([("window_start", "ascending"), (type_col, "ascending")])
 
 

@@ -71,7 +71,7 @@ def df_distribution(index_dir: str) -> pa.Table:
     parts = [pq.read_table(f, columns=["term", "df"]) for f in _segment_files(index_dir)]
     t = pa.concat_tables(parts)
     agg = t.group_by("term").aggregate([("df", "sum")])
-    return agg.rename_columns(["term", "df"])
+    return pa.table({"term": agg.column("term"), "df": agg.column("df_sum")})
 
 
 def index_size_bytes(index_dir: str) -> dict:

@@ -89,10 +89,12 @@ class _ShardGraph:
     overflow up to 2M before re-pruning to M, flatnav's connectNeighbors
     behavior), beam-search insert and query."""
 
-    def __init__(self, vecs: np.ndarray, m: int = 16, ef_construction: int = 64):
+    def __init__(self, vecs: np.ndarray, m: int = 16, ef_construction: int = 64,
+                 num_initializations: int = 32):
         self.vecs = vecs  # normalized float32, shape (n, d)
         self.m = m
         self.efc = ef_construction
+        self.num_init = num_initializations
         n = vecs.shape[0]
         self.adj = np.full((n, 2 * m), -1, dtype=np.int32)
         self.deg = np.zeros(n, dtype=np.int32)
@@ -123,10 +125,12 @@ class _ShardGraph:
         self.deg[node] = kept.size
 
     # -- search ------------------------------------------------------------
-    def _entry(self, q: np.ndarray, limit: int, num_init: int = 32) -> int:
+    def _entry(self, q: np.ndarray, limit: int) -> int:
         """Strided entry-point sampling (initializeSearch, Index.h:845-870):
-        probe every limit/num_init-th node, start from the best."""
-        step = max(1, limit // num_init)
+        probe every limit/num_initializations-th node, start from the best
+        (the reference exposes num_initializations as a search knob,
+        bindings.cpp:484-504)."""
+        step = max(1, limit // self.num_init)
         probes = np.arange(0, limit, step)
         return int(probes[np.argmax(self.vecs[probes] @ q)])
 
@@ -179,6 +183,33 @@ def _shard_path(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, f"shard-{shard:05d}.parquet")
 
 
+def _nsw_stats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "nsw_stats.json")
+
+
+def load_nsw_stats(index_dir: str) -> dict | None:
+    """Completion marker + build params (m, ef_construction, shard list).
+    Written LAST by build_nsw_index: its presence (with every listed shard
+    file on disk) is the proof the build finished — a crashed build (subset
+    of shards, leftover .tmp files) has no marker and must be rebuilt."""
+    import json
+
+    p = _nsw_stats_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def nsw_index_complete(index_dir: str) -> bool:
+    st = load_nsw_stats(index_dir)
+    if st is None:
+        return False
+    return all(
+        os.path.exists(_shard_path(index_dir, int(s))) for s in st["shards"]
+    )
+
+
 def build_nsw_index(
     ds: ray.data.Dataset,
     index_dir: str,
@@ -187,10 +218,13 @@ def build_nsw_index(
     ef_construction: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_initializations: int = 32,
 ) -> int:
     """Shard-parallel NSW build: hash-shard the embeddings, build one graph
     per shard inside its map_groups task, persist (vec_id, vector, neighbors)
-    parquet per shard. Returns total vectors indexed."""
+    parquet per shard plus an nsw_stats.json completion marker (written last;
+    records m/ef_construction so search reconstructs graphs with the right
+    adjacency width). Returns total vectors indexed."""
     os.makedirs(index_dir, exist_ok=True)
 
     def _with_shard(batch: pa.Table) -> pa.Table:
@@ -209,7 +243,8 @@ def build_nsw_index(
         order = np.argsort(ids)  # deterministic insert order
         ids = ids[order]
         vecs = _normalize(_to_matrix(group.column(vec_col)))[order].astype(np.float32)
-        g = _ShardGraph(vecs, m=m, ef_construction=ef_construction)
+        g = _ShardGraph(vecs, m=m, ef_construction=ef_construction,
+                        num_initializations=num_initializations)
         g.build()
         nbr_ids = [g.adj[i, : g.deg[i]].tolist() for i in range(len(ids))]
         t = pa.table(
@@ -233,8 +268,27 @@ def build_nsw_index(
         .map_groups(_build_shard, batch_format="pyarrow")
     )
     total = 0
+    shards_built: list[int] = []
     for b in rows.iter_batches(batch_format="pyarrow"):
-        total += int(b.column("n").to_numpy(zero_copy_only=False).sum()) if len(b) else 0
+        if len(b):
+            total += int(b.column("n").to_numpy(zero_copy_only=False).sum())
+            shards_built.extend(int(s) for s in b.column("shard").to_pylist())
+    import json
+
+    tmp = _nsw_stats_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "n_vectors": total,
+                "n_shards": n_shards,
+                "shards": sorted(shards_built),
+                "m": m,
+                "ef_construction": ef_construction,
+                "num_initializations": num_initializations,
+            },
+            f,
+        )
+    os.replace(tmp, _nsw_stats_path(index_dir))
     return total
 
 
@@ -244,10 +298,15 @@ def search_nsw_index(
     k: int = 10,
     ef_search: int = 64,
     query_ids: np.ndarray | None = None,
+    num_initializations: int | None = None,
 ) -> pa.Table:
     """Distributed query: broadcast queries once, one beam-search task per
     shard, deterministic (cosine desc, vec_id asc) merge. Returns
-    (query_id, rank, vec_id, cosine) like brute_force_knn."""
+    (query_id, rank, vec_id, cosine) like brute_force_knn.
+
+    Graph params (m — hence adjacency width — and the num_initializations
+    default) come from the index's nsw_stats.json marker, so an index built
+    with m != 16 reconstructs correctly."""
     q = _normalize(np.asarray(query_vectors, dtype=np.float64)).astype(np.float32)
     qids = (
         np.asarray(query_ids, dtype=np.int64)
@@ -255,6 +314,13 @@ def search_nsw_index(
         else np.arange(q.shape[0], dtype=np.int64)
     )
     bref = ray.put((qids, q))
+    st = load_nsw_stats(index_dir) or {}
+    m = int(st.get("m", 16))
+    num_init = int(
+        num_initializations
+        if num_initializations is not None
+        else st.get("num_initializations", 32)
+    )
     shards = sorted(
         os.path.join(index_dir, f)
         for f in os.listdir(index_dir)
@@ -269,12 +335,21 @@ def search_nsw_index(
         t = pq.read_table(path)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         vecs = _to_matrix(t.column("vector")).astype(np.float32)
-        g = _ShardGraph(vecs)
+        # rebuild adjacency in one shot from the ListArray's offsets/values
+        # buffers (a per-row as_py() loop copied every neighbor list)
         nb = t.column("neighbors")
-        for i in range(len(ids)):
-            row = np.asarray(nb[i].as_py(), dtype=np.int32)
-            g.adj[i, : row.size] = row
-            g.deg[i] = row.size
+        nb = nb.combine_chunks() if isinstance(nb, pa.ChunkedArray) else nb
+        offs = np.asarray(nb.offsets, dtype=np.int64)
+        vals = np.asarray(nb.values, dtype=np.int32)
+        widths = np.diff(offs)
+        # adjacency width: persisted 2m, grown if any row overflowed it
+        width = max(2 * m, int(widths.max()) if widths.size else 0)
+        g = _ShardGraph(vecs, m=max(1, (width + 1) // 2), num_initializations=num_init)
+        if widths.size and widths.sum():
+            rows_idx = np.repeat(np.arange(len(ids)), widths)
+            cols_idx = np.arange(offs[0], offs[-1]) - np.repeat(offs[:-1], widths)
+            g.adj[rows_idx, cols_idx] = vals[offs[0] : offs[-1]]
+        g.deg = widths.astype(np.int32)
         out_q, out_id, out_s = [], [], []
         ef = max(ef_search, k)
         for qi in range(q_.shape[0]):

@@ -291,7 +291,7 @@ def build_term_index(
     # partials shuffle — never the raw posting stream
     def _partial_counts(b: pa.Table) -> pa.Table:
         agg = b.select(["term"]).group_by("term").aggregate([([], "count_all")])
-        return agg.rename_columns(["term", "n"])
+        return pa.table({"term": agg.column("term"), "n": agg.column("count_all")})
 
     df_tbl = pa.concat_tables(
         postings.map_batches(_partial_counts, batch_format="pyarrow", zero_copy_batch=True)

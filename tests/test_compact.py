@@ -71,3 +71,58 @@ def test_add_documents_equals_union_build_and_upserts(ray_session, tmp_path):
     qq = pa.table({"query_id": pa.array([0], pa.int64()), "text": pa.array(["zzzreplacementterm"])})
     hit = search_to_table(ix, qq, QueryConfig(k=5))
     assert len(hit) == 1 and hit.column("url")[0].as_py() == url
+
+
+def test_block_size_mismatch_rejected(ray_session, tmp_path):
+    """Merging indexes built with different block_size would silently corrupt
+    postings (positions are block-absolute) — must be rejected up front."""
+    import ray.data
+
+    from flatnav_ray.sources.synth import PagesGenerator
+
+    a = PagesGenerator(seed=1).chunk(0, 200)
+    ix_a = str(tmp_path / "a")
+    ix_b = str(tmp_path / "b")
+    build_index(ray.data.from_arrow(a), ix_a, IndexConfig(num_partitions=2, block_size=128))
+    build_index(ray.data.from_arrow(a), ix_b, IndexConfig(num_partitions=2, block_size=64))
+    with pytest.raises(AssertionError, match="block_size"):
+        merge_indexes([ix_a, ix_b], str(tmp_path / "m"), IndexConfig(num_partitions=2, block_size=128))
+
+
+def test_recover_generation_rolls_forward_and_back(ray_session, tmp_path):
+    """Crash between the two swap renames leaves index_dir missing with
+    .old-<tag> (and maybe a complete .gen-<tag>) beside it; opening the index
+    must repair the state (ADVICE r2)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from flatnav_ray.pipelines.ingest import recover_generation
+    from flatnav_ray.sources.synth import PagesGenerator
+    from flatnav_ray.state.stats import load_stats
+
+    a = PagesGenerator(seed=2).chunk(0, 150)
+    ix = str(tmp_path / "ix")
+    build_index(ray.data.from_arrow(a), ix, IndexConfig(num_partitions=2))
+
+    # forward: complete .gen exists (stats.json present)
+    gen = f"{ix}.gen-deadbeef"
+    shutil.copytree(ix, gen)
+    os.rename(ix, f"{ix}.old-deadbeef")
+    assert recover_generation(ix) == "forward"
+    assert os.path.exists(os.path.join(ix, "stats.json"))
+    assert not os.path.exists(gen) and not os.path.exists(f"{ix}.old-deadbeef")
+    n_docs = load_stats(ix)["n_docs"]
+
+    # back: .gen is torn (no stats.json) -> old generation restored
+    gen = f"{ix}.gen-cafe0001"
+    shutil.copytree(ix, gen)
+    os.remove(os.path.join(gen, "stats.json"))
+    os.rename(ix, f"{ix}.old-cafe0001")
+    assert recover_generation(ix) == "back"
+    assert load_stats(ix)["n_docs"] == n_docs
+    assert not os.path.exists(gen)
+
+    # intact index: no-op
+    assert recover_generation(ix) is None

@@ -120,3 +120,32 @@ class TestNswEndToEnd:
         for q in (0, 1, 2):
             ranks = [r["rank"] for r in out.to_pylist() if r["query_id"] == q]
             assert ranks == list(range(10))
+
+
+class TestNswPersistence:
+    def test_completion_marker_and_wide_m_round_trip(self, ray_session, tmp_path):
+        """An index built with m > 16 must persist its adjacency width and
+        reconstruct at query time (ADVICE r2: default m=16 reload crashed on
+        wider rows), and a build without the nsw_stats.json marker must be
+        treated as incomplete."""
+        import ray.data
+
+        from flatnav_ray.stages.nsw import load_nsw_stats, nsw_index_complete
+
+        d = str(tmp_path / "ix_wide")
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = build_nsw_index(ds, d, n_shards=2, m=24, ef_construction=48)
+        assert n == 500
+        st = load_nsw_stats(d)
+        assert st["m"] == 24 and nsw_index_complete(d)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack(t.column("embedding").to_pylist()[:5])
+        out = search_nsw_index(d, qv, k=10)  # would broadcast-crash pre-fix
+        assert len(out) == 50
+        # crashed build simulation: marker missing -> incomplete
+        import os
+
+        os.remove(os.path.join(d, "nsw_stats.json"))
+        assert not nsw_index_complete(d)
