@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashes import minhash_signature, simhash64, splitmix64, stable_hash64
+from .knn import _to_matrix
 from ..functions.textstats import token_shingles
 from ..functions.tokenize import explode_tokens
 
@@ -662,7 +663,7 @@ def embedding_near_dups_lsh(
 
     def _bucketize(batch: pa.Table) -> pa.Table:
         pl = _ray.get(planes_ref)
-        m = _normalize_rows(np.stack(batch.column(vec_col).to_pylist()).astype(np.float64))
+        m = _normalize_rows(_to_matrix(batch.column(vec_col)))
         outs = []
         for t in range(pl.shape[0]):
             bits = (m @ pl[t].T) > 0
@@ -687,7 +688,7 @@ def embedding_near_dups_lsh(
                     "cosine": pa.array([], pa.float64()),
                 }
             )
-        m = _normalize_rows(np.stack(group.column(vec_col).to_pylist()).astype(np.float64))
+        m = _normalize_rows(_to_matrix(group.column(vec_col)))
         sims = m @ m.T
         ai, bi = np.nonzero(np.triu(sims >= threshold, 1))
         a, b = ids[ai], ids[bi]
@@ -747,7 +748,7 @@ def embedding_near_dups(
 
     full = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
     ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = np.stack(full.column(vec_col).to_pylist()).astype(np.float64)
+    mat = _to_matrix(full.column(vec_col))
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     mat = mat / np.maximum(norms, 1e-12)
     mat_ref = ray.put((ids, mat))
@@ -755,7 +756,7 @@ def embedding_near_dups(
     def _pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(mat_ref)
         bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        bmat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        bmat = _to_matrix(batch.column(vec_col))
         bmat = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
         sims = bmat @ all_mat.T
         ai, bi = np.nonzero(sims >= threshold)

@@ -17,7 +17,28 @@ import ray.data
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack(col.to_pylist()).astype(np.float64)
+    """Arrow list<float> / fixed_size_list<float> column -> (n, d) float64
+    matrix via the flat values buffer (one vectorized astype; no per-row
+    Python objects — this runs in the inner loop of every ANN/dedup/PQ/NSW
+    batch). Ragged lists or nulls fall back to the row-wise path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if col.null_count:
+        return np.stack(col.to_pylist()).astype(np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = np.asarray(col.flatten())
+        return flat.reshape(n, d).astype(np.float64)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    widths = np.diff(offs)
+    d = int(widths[0]) if widths.size else 0
+    if not (widths == d).all():
+        return np.stack(col.to_pylist()).astype(np.float64)  # ragged
+    flat = np.asarray(col.values)
+    return flat[offs[0] : offs[-1]].reshape(n, d).astype(np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

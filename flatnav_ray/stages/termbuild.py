@@ -307,18 +307,34 @@ def build_term_index(
     }
     import ray as _ray
 
-    heavy_ref = _ray.put(heavy)
+    # broadcast the heavy set as parallel arrays: the salt stage matches terms
+    # with ONE vectorized pc.index_in against the heavy-term array (Arrow hash
+    # table in C++) instead of a per-posting Python dict lookup — this runs on
+    # the engine's widest stream (every posting row)
+    heavy_terms_arr = pa.array(sorted(heavy), type=pa.string())
+    heavy_counts_arr = np.asarray(
+        [heavy[t] for t in sorted(heavy)], dtype=np.uint64
+    )
+    heavy_ref = _ray.put((heavy_terms_arr, heavy_counts_arr))
 
     def _salt(batch: pa.Table) -> pa.Table:
-        h = _ray.get(heavy_ref)
-        terms = batch.column("term").to_pylist()
-        docs = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = splitmix64(docs)
-        salts = np.zeros(len(terms), dtype=np.int32)
-        for i, t in enumerate(terms):
-            s = h.get(t)
-            if s:
-                salts[i] = int(mixed[i] % np.uint64(s))
+        import pyarrow.compute as pc
+
+        h_terms, h_counts = _ray.get(heavy_ref)
+        salts = np.zeros(len(batch), dtype=np.int32)
+        if len(h_terms):
+            idx = pc.fill_null(
+                pc.index_in(batch.column("term"), value_set=h_terms), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            hot = idx >= 0
+            if hot.any():
+                docs = (
+                    batch.column("doc_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                mixed = splitmix64(docs[hot])
+                salts[hot] = (mixed % h_counts[idx[hot]]).astype(np.int32)
         return batch.append_column("salt", pa.array(salts, type=pa.int32()))
 
     salted = postings.map_batches(_salt, batch_format="pyarrow", zero_copy_batch=True)
