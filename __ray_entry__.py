@@ -75,7 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": d.bm25_topk,
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
-        "bm25_topk_multi": d.bm25_topk_multi,     # rows-only (pytest holds oracle)
+        "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -131,6 +131,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored s JOIN dense d ON d.doc_id = s.doc_id) ",
     )
     assert dense_sql != bm25_sql
+    # multi-term queries: query i pairs top-df term rank i with rank i+10
+    # (pipelines/documents.py bm25_topk_multi); the per-doc score is the sum
+    # of the two single-term score streams — query_id % 10 folds them. A sum
+    # of two doubles is order-exact, so the hash compare holds bit-for-bit.
+    multi_sql = bm25_sql.replace(
+        "scored AS (SELECT qt.query_id, tf.doc_id, ",
+        "scored1 AS (SELECT qt.query_id, tf.doc_id, ",
+    ).replace(
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT query_id % 10 AS query_id, doc_id, sum(score) AS score "
+        "FROM scored1 GROUP BY 1, 2), ",
+    )
+    assert multi_sql != bm25_sql
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -255,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_sql,
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
+        "bm25_topk_multi": multi_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

@@ -471,8 +471,11 @@ def bm25_topk_dense(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
-    """Multi-term queries (WAND/MaxScore intersection path): pair consecutive
-    top terms. Rows-only driver check; pytest holds the rank-identity oracle."""
+    """Multi-term queries (WAND/MaxScore intersection path): pair top term
+    rank i with rank i+10 (i < 10) — derivable in SQL from the same df-ranked
+    term list, so the DuckDB oracle sums the two per-term score streams per
+    doc (exactly the engine's accumulation; a two-float sum is order-exact)
+    and checks rank identity like bm25_topk."""
     ix = build_documents_index(sf_dir)
     single = derived_queries(ix, n_queries=20)
     texts = single.column("text").to_pylist()
@@ -482,7 +485,9 @@ def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
             "text": pa.array([f"{texts[i]} {texts[i + 10]}" for i in range(10)], type=pa.string()),
         }
     )
-    return search_to_table(ix, multi, QueryConfig(k=k, method="maxscore"))
+    out = search_to_table(ix, multi, QueryConfig(k=k, method="maxscore"))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
 def bm25_topk_gorder(sf_dir: str, k: int = 10) -> pa.Table:
