@@ -36,6 +36,26 @@ def _round_extras(extras: dict) -> dict:
     return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()}
 
 
+def _bandwidth_probe_gbs() -> float:
+    """Fixed-work DRAM-bandwidth probe (~1s): best-of-3 memcpy of a 512 MiB
+    buffer. This sandbox is co-tenant and its effective memory throughput
+    swings >4x in minutes-long windows (BASELINE.md host-noise note); the
+    build phase is bandwidth-bound, so recording the probe next to every
+    throughput number lets a reader normalize across windows (the interleaved
+    A/B in BENCH/AB_r1_vs_r3.md maps probe level -> expected docs/s)."""
+    import numpy as np
+
+    src = np.ones(512 * 1024 * 1024 // 8, dtype=np.int64)
+    dst = np.empty_like(src)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return (src.nbytes * 2 / best) / 1e9
+
+
 def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     # Honest parallelism accounting: ray.init(num_cpus=N) only bounds task
     # scheduling — Arrow/BLAS pools would still use every physical core, which
@@ -90,8 +110,9 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
         # memory throughput swings ±2-4x between identical runs (host-level
         # contention, minutes-long phases); the fastest run is the better
         # estimate of the engine's capability
-        reps = int(os.environ.get("GRAFT_BUILD_REPS", "2"))
+        reps = int(os.environ.get("GRAFT_BUILD_REPS", "3"))
         secs = []
+        extras["bandwidth_probe_gbs"] = _bandwidth_probe_gbs()
         for _ in range(reps):
             shutil.rmtree(ix_dir, ignore_errors=True)
             t0 = time.perf_counter()
@@ -327,6 +348,13 @@ def _record(result: dict) -> None:
     hist.append(result)
     with open(path, "w") as f:
         json.dump(hist, f, indent=1)
+    try:  # plot sink (S10): regenerate BENCH/REPORT.md from the history
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
+        import plot as _plot
+
+        _plot.render()
+    except Exception:
+        pass
 
 
 def main() -> None:

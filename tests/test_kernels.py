@@ -235,3 +235,35 @@ class TestExtractBatchPath:
         # sliced batch (non-zero arrow offset)
         sl = extract_text_batch(pages.slice(50, 20))
         assert sl.column("text").to_pylist() == exp[50:70]
+
+    def test_vectorized_path_fuzz_and_sentinel_fallback(self):
+        """The RE2-kernel batch path (capture-free DFA passes) must be
+        byte-identical to the scalar spec on adversarial html — unclosed
+        tags, multiple bodies, empty docs, entities — and batches containing
+        the \x01 sentinel must take the scalar fallback with identical
+        output."""
+        import random
+
+        import pyarrow as pa
+
+        from flatnav_ray.functions.extract import extract_text_batch, extract_text_bytes
+
+        rng = random.Random(7)
+        docs = [
+            b"<html><body><p>hello &amp; bye</p><nav>skip<p>no</p></nav><h2>H</h2></body></html>",
+            b"<html><p>outside body</p></html>",  # no <body>
+            b"<body><p>first</p></body><body><p>second</p></body>",  # two bodies
+            b"<body><script>var x = '<p>fake</p>';</script><p>real</p>",  # unclosed body
+            b"",
+            b"<body><p>a</p><p></p><h6>z &lt;t&gt; &quot;q&quot; &#39;s&#39;</h6></body>",
+            "<body><p>unicode é中文</p></body>".encode(),
+            b"<body><p>nested <p>inner</p> tail</p></body>",
+        ]
+        alphabet = b"<>/pbodynavhs123 &amp;lt#39x\n"
+        for _ in range(500):
+            docs.append(bytes(rng.choice(alphabet) for _ in range(rng.randrange(0, 160))))
+        html = pa.array(docs + [b"<body>\x01<p>sentinel</p></body>"], type=pa.binary())
+        batch = pa.table({"url": pa.array([f"u{i}" for i in range(len(html))]), "html": html})
+        got = extract_text_batch(batch).column("text").to_pylist()
+        exp = [extract_text_bytes(h.as_py()) for h in html]
+        assert got == exp
