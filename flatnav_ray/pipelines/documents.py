@@ -416,18 +416,18 @@ def bm25_topk_compacted(sf_dir: str, k: int = 10) -> pa.Table:
 
 def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pa.Table:
     """Incremental ingest surface (reference `add`, Index.h:298-336 /
-    bindings.cpp:216-259, re-expressed as delta-build + compaction in
+    bindings.cpp:216-259, re-expressed as stacked delta generations in
     pipelines/ingest.py): build a base index from even-id docs, add_documents
-    the odd-id docs as a delta generation, query the swapped result — must be
-    rank-identical to the single-build bm25_topk, so it shares that oracle."""
-    from .ingest import add_documents
+    the odd-id docs as a STACKED delta (no compaction — O(delta) ingest),
+    serve [base, delta] through StackedSearchSession — must be rank-identical
+    to the single-build bm25_topk, so it shares that oracle."""
+    from ..stages.search import StackedSearchSession
+    from .ingest import add_documents, list_generations
 
     cfg = IndexConfig(num_partitions=8)
     base = _index_dir_for(sf_dir, cfg)
     ix = base + "-incremental"
-    if not os.path.exists(os.path.join(ix, "stats.json")) or not load_stats(ix).get(
-        "compacted_from"
-    ):
+    if len(list_generations(ix)) < 2:
         def _even(b: pa.Table) -> pa.Table:
             return b.filter(pc.equal(pc.bit_wise_and(b.column("ext_doc_id"), 1), 0))
 
@@ -437,9 +437,17 @@ def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pa.Table:
         shutil.rmtree(ix, ignore_errors=True)
         build_index(documents_as_pages(sf_dir).map_batches(_even, batch_format="pyarrow"),
                     ix, cfg, resume=False)
-        add_documents(ix, documents_as_pages(sf_dir).map_batches(_odd, batch_format="pyarrow"))
-    queries = derived_queries(ix)
-    out = search_to_table(ix, queries, QueryConfig(k=k))
+        add_documents(ix, documents_as_pages(sf_dir).map_batches(_odd, batch_format="pyarrow"),
+                      mode="stack")
+    # the reference query set derives from full-corpus df — the single-build
+    # index (shared with bm25_topk, so the oracle derives it identically);
+    # the stacked [base, delta] session must then reproduce the same ranks
+    queries = derived_queries(build_documents_index(sf_dir))
+    sess = StackedSearchSession(list_generations(ix), num_actors=8)
+    try:
+        out = sess.search(queries, QueryConfig(k=k))
+    finally:
+        sess.shutdown()
     out = out.select(["query_id", "rank", "doc_id"])
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 

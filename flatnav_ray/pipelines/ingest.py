@@ -1,19 +1,25 @@
-"""Incremental ingest: delta-segment build + compaction + generation swap.
+"""Incremental ingest: delta-segment build, generation stacking, compaction.
 
 The graft of the reference's single-point `add` surface
 (/root/reference/include/flatnav/index/Index.h:298-336 `add` /
 python-bindings/src/flatnav/bindings.cpp:216-259 batched `add`) re-expressed
-for a batch engine: new documents build a DELTA index with the base's exact
-config, then `merge_indexes([delta, base])` compacts them into a new
-generation (delta listed first, so a re-crawled url's new version wins —
-upsert semantics, matching the build's max-(warc_ts, text_hash) dedup
-direction). This is the Lucene soft-commit/merge design on Ray Data: ingest
-cost scales with the delta, not the corpus, and the base generation stays
-queryable until the atomic swap.
+for a batch engine, in two tiers (the Lucene soft-commit/merge design on
+Ray Data):
+
+* STACK (default): new documents build only a DELTA index (cost O(delta),
+  the reference's O(insert) analog) registered in `generations.json`;
+  `StackedSearchSession` serves [base, deltas...] with upsert resolution at
+  serve time, bit-identical to the compacted index. Compaction triggers when
+  the stack exceeds `compact_threshold`.
+* COMPACT: `merge_indexes([deltas newest-first..., base])` folds everything
+  into a new generation (newest listed first, so a re-crawled url's new
+  version wins — upsert semantics, matching the build's
+  max-(warc_ts, text_hash) dedup direction) and atomically swaps it in.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -23,6 +29,28 @@ import ray.data
 from ..config import IndexConfig
 from ..state.stats import load_stats
 from .build import build_index
+
+GENERATIONS_FILE = "generations.json"
+
+
+def list_generations(index_dir: str) -> list[str]:
+    """Generation directories oldest-first: the base index itself plus any
+    stacked deltas registered in generations.json."""
+    path = os.path.join(index_dir, GENERATIONS_FILE)
+    if not os.path.exists(path):
+        return [index_dir]
+    with open(path) as f:
+        stack = json.load(f)["stack"]
+    return [index_dir] + [os.path.join(index_dir, d) for d in stack]
+
+
+def _write_generations(index_dir: str, stack: list[str]) -> None:
+    """Atomic single-file manifest update (write-temp + rename)."""
+    path = os.path.join(index_dir, GENERATIONS_FILE)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"stack": stack}, f)
+    os.rename(tmp, path)
 
 
 def _cfg_from_stats(stats: dict) -> IndexConfig:
@@ -73,16 +101,25 @@ def add_documents(
     index_dir: str,
     pages: ray.data.Dataset,
     out_dir: str | None = None,
+    mode: str = "compact",
+    compact_threshold: int = 4,
 ) -> dict:
     """Add `pages` to an existing doc-layout index.
 
-    Builds a delta index (same config fingerprint as the base), compacts
-    [delta, base] into a new generation, and either writes it to `out_dir`
-    or swaps it into `index_dir`. The swap is two renames; a crash between
-    them leaves index_dir missing with the `.old-<tag>` dir beside it —
-    `recover_generation` (called here on open) detects that and rolls
-    forward/back, so the observable states are: old generation, new
-    generation, or recoverable-by-open. Returns the merged stats dict.
+    mode="stack": build ONLY the delta index (cost scales with the
+    delta, not the corpus — the reference's O(insert) `add`, Index.h:298-336)
+    as `_delta-<seq>-<tag>/` inside index_dir and register it atomically in
+    generations.json; serve with `StackedSearchSession(list_generations(d))`.
+    When the stack (base + deltas) would exceed `compact_threshold`
+    generations, everything compacts into a fresh single-generation index
+    first. Returns the newest generation's stats dict.
+
+    mode="compact" (default): fold [delta, base] into a new generation and
+    either write it to `out_dir` or swap it into `index_dir`. The swap is
+    two renames; a crash between them leaves index_dir missing with the
+    `.old-<tag>` dir beside it — `recover_generation` (called here on open)
+    detects that and rolls forward/back, so the observable states are: old
+    generation, new generation, or recoverable-by-open.
     """
     from ..stages.compact import merge_indexes
 
@@ -97,14 +134,36 @@ def add_documents(
         "collide across generations; compact with a full rebuild instead)"
     )
     cfg = _cfg_from_stats(stats)
-
     tag = uuid.uuid4().hex[:8]
+
+    if mode == "stack" and out_dir is None:
+        gens = list_generations(index_dir)
+        stack = [os.path.basename(g) for g in gens[1:]]
+        # crashed delta builds leave unregistered _delta-* dirs: sweep them
+        for n in os.listdir(index_dir):
+            if n.startswith("_delta-") and n not in stack:
+                shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
+        if len(gens) + 1 > compact_threshold:
+            _compact_stack(index_dir, cfg)
+            gens = [index_dir]
+            stack = []
+        name = f"_delta-{len(gens):04d}-{tag}"
+        delta_dir = os.path.join(index_dir, name)
+        try:
+            build_index(pages, delta_dir, cfg, resume=False)
+        except BaseException:
+            shutil.rmtree(delta_dir, ignore_errors=True)
+            raise
+        _write_generations(index_dir, stack + [name])
+        return load_stats(delta_dir)
+
     delta_dir = f"{index_dir}.delta-{tag}"
     gen_dir = out_dir or f"{index_dir}.gen-{tag}"
+    srcs_newest_first = list(reversed(list_generations(index_dir)))
     try:
         build_index(pages, delta_dir, cfg, resume=False)
         # delta FIRST: on doc_id collision the freshly added version wins
-        merged = merge_indexes([delta_dir, index_dir], gen_dir, cfg)
+        merged = merge_indexes([delta_dir] + srcs_newest_first, gen_dir, cfg)
     except BaseException:
         shutil.rmtree(delta_dir, ignore_errors=True)
         if out_dir is None:
@@ -116,4 +175,24 @@ def add_documents(
         os.rename(index_dir, old)
         os.rename(gen_dir, index_dir)
         shutil.rmtree(old, ignore_errors=True)
+    return merged
+
+
+def _compact_stack(index_dir: str, cfg: IndexConfig) -> dict:
+    """Fold the whole generation stack into a fresh single-generation index
+    and swap it in (newest generation listed first so its documents win)."""
+    from ..stages.compact import merge_indexes
+
+    tag = uuid.uuid4().hex[:8]
+    gen_dir = f"{index_dir}.gen-{tag}"
+    srcs = list(reversed(list_generations(index_dir)))
+    try:
+        merged = merge_indexes(srcs, gen_dir, cfg)
+    except BaseException:
+        shutil.rmtree(gen_dir, ignore_errors=True)
+        raise
+    old = f"{index_dir}.old-{tag}"
+    os.rename(index_dir, old)
+    os.rename(gen_dir, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return merged

@@ -81,10 +81,16 @@ def make_query_plan(
 
 
 class _ShardState:
-    """One partition's loaded segment + docmap + per-term score cache."""
+    """One partition's loaded segment + docmap + per-term score cache.
+
+    `dead_ids` (sorted int64) marks documents shadowed by a NEWER generation
+    in stacked serving (StackedSearchSession): their postings are dropped at
+    decode time, so scores, candidate sets and live-df counts see only live
+    documents — bit-identical to serving the fully compacted index."""
 
     def __init__(self, index_dir: str, partition: int, block_size: int,
-                 terms_filter: list[str] | None = None):
+                 terms_filter: list[str] | None = None,
+                 dead_ids: np.ndarray | None = None):
         self.block_size = block_size
         filters = [("term", "in", terms_filter)] if terms_filter is not None else None
         t = pq.read_table(segment_path(index_dir, partition), filters=filters).combine_chunks()
@@ -121,8 +127,19 @@ class _ShardState:
         self.docmap_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_lens = dm.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_urls = dm.column("url")
+        # stacked-serving shadow mask over docmap positions (None = all live)
+        self._dead_pos: np.ndarray | None = None
+        if dead_ids is not None and dead_ids.size:
+            pos = np.searchsorted(self.docmap_ids, dead_ids)
+            valid = pos < self.docmap_ids.size
+            valid[valid] = self.docmap_ids[pos[valid]] == dead_ids[valid]
+            if valid.any():
+                dead = np.zeros(self.docmap_ids.size, dtype=bool)
+                dead[pos[valid]] = True
+                self._dead_pos = dead
         # caches (query-independent once (scorer, stats) fixed)
         self._contrib: dict[str, tuple[np.ndarray, np.ndarray, int] | None] = {}
+        self._live_df: dict[str, int] = {}
         self._stats_key: tuple | None = None
         # reusable scratch (the VisitedSetPool analog, SURVEY.md T3)
         self._scores = np.zeros(self.docmap_ids.size, dtype=np.float64)
@@ -162,6 +179,9 @@ class _ShardState:
         pos, tfs = decode_postings(
             p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
         )
+        if self._dead_pos is not None:
+            keep = ~self._dead_pos[pos]
+            pos, tfs = pos[keep], tfs[keep]
         dls = self.docmap_lens[pos]
         contrib = scorer.term_scores(tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl)
         out = (pos, contrib, len(p["block_last_doc"]))
@@ -169,6 +189,34 @@ class _ShardState:
             self._contrib.clear()
         self._contrib[term] = out
         return out
+
+    def live_counts(self) -> tuple[int, int]:
+        """(n_live_docs, sum_live_doc_len) — the shard's contribution to the
+        stacked session's global n_docs / avgdl."""
+        if self._dead_pos is None:
+            return int(self.docmap_ids.size), int(self.docmap_lens.sum())
+        live = ~self._dead_pos
+        return int(live.sum()), int(self.docmap_lens[live].sum())
+
+    def live_term_df(self, term: str) -> int:
+        """Live-document df for one term (postings minus shadowed docs) —
+        exact global df across a generation stack sums these. Decoded once
+        per term and cached; no mask -> the stored df, no decode."""
+        i = self.term_row.get(term)
+        if i is None:
+            return 0
+        if self._dead_pos is None:
+            return int(self._df[i])
+        hit = self._live_df.get(term)
+        if hit is not None:
+            return hit
+        p = self._postings_row(term)
+        pos, _ = decode_postings(
+            p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
+        )
+        n = int((~self._dead_pos[pos]).sum())
+        self._live_df[term] = n
+        return n
 
     def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore",
                      approx_factor: float = 1.0) -> pa.Table:
@@ -314,6 +362,9 @@ class _ShardState:
             pos, tfs = decode_postings(
                 p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
             )
+            if self._dead_pos is not None:
+                keep = ~self._dead_pos[pos]
+                pos, tfs = pos[keep], tfs[keep]
             n_blocks += len(p["block_last_doc"])
             dls = self.docmap_lens[pos]
             scores[pos] += qtf * scorer.term_scores(
@@ -575,14 +626,42 @@ def _shard_actor_cls():
     @ray.remote
     class ShardActor:
         """Server-mode shard: loads its partitions' FULL segments once,
-        serves many query batches (the persistent query server, SURVEY.md T2)."""
+        serves many query batches (the persistent query server, SURVEY.md T2).
 
-        def __init__(self, index_dir: str, partitions: list[int], block_size: int):
-            self.states = {
-                p: _ShardState(index_dir, p, block_size)
-                for p in partitions
-                if os.path.exists(segment_path(index_dir, p))
-            }
+        `index_dirs` may be a single directory or a generation stack
+        (oldest-first): with a stack, each partition loads one _ShardState
+        per generation, and older generations mask documents shadowed by a
+        newer one (both generations hash doc_id with the same
+        num_partitions, so a collision always lands in the SAME partition —
+        the mask is computable shard-locally)."""
+
+        def __init__(self, index_dirs, partitions: list[int], block_size: int):
+            dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+            self.states: dict[tuple[int, int], _ShardState] = {}
+            for p in partitions:
+                seen: np.ndarray | None = None
+                for g in range(len(dirs) - 1, -1, -1):  # newest first
+                    if not os.path.exists(segment_path(dirs[g], p)):
+                        continue
+                    st = _ShardState(dirs[g], p, block_size, dead_ids=seen)
+                    self.states[(g, p)] = st
+                    if len(dirs) > 1:
+                        seen = (
+                            st.docmap_ids
+                            if seen is None
+                            else np.union1d(seen, st.docmap_ids)
+                        )
+
+        def live_counts(self) -> tuple[int, int]:
+            n, s = 0, 0
+            for st in self.states.values():
+                a, b = st.live_counts()
+                n += a
+                s += b
+            return n, s
+
+        def live_df(self, terms: list[str]) -> dict[str, int]:
+            return {t: sum(st.live_term_df(t) for st in self.states.values()) for t in terms}
 
         def search(self, plan: QueryPlan, scorer_name: str, method: str,
                    approx_factor: float = 1.0) -> pa.Table:
@@ -621,10 +700,17 @@ class SearchSession:
         self.actors = [
             cls.remote(index_dir, a, int(self.stats["block_size"])) for a in assign
         ]
+        self._n_docs = int(self.stats["n_docs"])
+        self._avgdl = float(self.stats["avgdl"])
         # per-session term->df cache: a serving process would otherwise re-read
         # the term_stats parquet on EVERY search call (dominates single-query
         # latency); misses are looked up per batch, absent terms cached as 0
         self._df_cache: dict[str, int] = {}
+
+    def _lookup_missing_df(self, missing: list[str]) -> dict[str, int]:
+        from ..state.stats import lookup_term_df
+
+        return lookup_term_df(self.index_dir, missing)
 
     # queries per broadcast plan: bounds the ray.put object and per-actor
     # accumulation for very large batches; chunks stream through the pool
@@ -632,8 +718,6 @@ class SearchSession:
 
     def search(self, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
         import ray
-
-        from ..state.stats import lookup_term_df
 
         query_cfg = query_cfg or QueryConfig()
         # collapse duplicate query texts: plan, broadcast, per-shard scoring
@@ -670,13 +754,12 @@ class SearchSession:
             distinct.update(tokenize_py(t))
         missing = sorted(distinct - self._df_cache.keys())
         if missing:
-            self._df_cache.update(lookup_term_df(self.index_dir, missing))
+            self._df_cache.update(self._lookup_missing_df(missing))
             for t in missing:  # absent terms -> df 0, cached too
                 self._df_cache.setdefault(t, 0)
         term_df = {t: self._df_cache[t] for t in distinct}
         plan = make_query_plan(
-            queries, term_df, int(self.stats["n_docs"]), float(self.stats["avgdl"]),
-            query_cfg.k,
+            queries, term_df, self._n_docs, self._avgdl, query_cfg.k,
         )
         plan_ref = ray.put(plan)
         futs = [
@@ -735,3 +818,63 @@ class SearchSession:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class StackedSearchSession(SearchSession):
+    """Serve a GENERATION STACK — [base, delta1, delta2, ...] oldest-first —
+    without compacting first, bit-identical to serving the compacted index.
+
+    The Lucene point-in-time-segments analog of the reference's O(insert)
+    `add` (Index.h:298-336): `add_documents(..., compact='stack')` only
+    builds the delta, and this session resolves upserts at serve time. Three
+    pieces make the results exactly equal the compacted index's:
+      * shadow masks — older generations drop postings of any doc_id present
+        in a newer generation (computed shard-locally; same num_partitions
+        means collisions share a partition);
+      * global stats — n_docs / avgdl sum the actors' live counts;
+      * live df — per-term df is the sum of live posting counts across the
+        stack (one RPC per cold term, cached per session).
+    """
+
+    def __init__(self, index_dirs: list[str], num_actors: int | None = None):
+        import ray
+
+        from ..state.stats import load_stats
+
+        assert index_dirs, "empty generation stack"
+        self.index_dir = index_dirs[-1]  # newest generation
+        self.index_dirs = list(index_dirs)
+        all_stats = [load_stats(d) for d in index_dirs]
+        self.stats = dict(all_stats[-1])
+        for st in all_stats:  # same config contract as compact.merge_indexes
+            for key in ("num_partitions", "block_size", "analyzer", "scorer", "k1", "b"):
+                assert st[key] == self.stats[key], (
+                    f"generation stack config mismatch on {key}"
+                )
+        parts = sorted({int(p) for st in all_stats for p in st["partitions"]})
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n = max(1, min(num_actors or ncpu, len(parts)))
+        cls = _shard_actor_cls()
+        assign: list[list[int]] = [[] for _ in range(n)]
+        for i, p in enumerate(parts):
+            assign[i % n].append(p)
+        self.actors = [
+            cls.remote(self.index_dirs, a, int(self.stats["block_size"]))
+            for a in assign
+        ]
+        counts = ray.get([a.live_counts.remote() for a in self.actors])
+        self._n_docs = int(sum(c[0] for c in counts))
+        sum_dl = sum(c[1] for c in counts)
+        self._avgdl = (sum_dl / self._n_docs) if self._n_docs else 0.0
+        self.stats["n_docs"] = self._n_docs
+        self.stats["avgdl"] = self._avgdl
+        self._df_cache: dict[str, int] = {}
+
+    def _lookup_missing_df(self, missing: list[str]) -> dict[str, int]:
+        import ray
+
+        out = {t: 0 for t in missing}
+        for part in ray.get([a.live_df.remote(missing) for a in self.actors]):
+            for t, n in part.items():
+                out[t] += int(n)
+        return out

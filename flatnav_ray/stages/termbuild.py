@@ -647,7 +647,96 @@ def _term_shard_actor_cls():
         def fetch(self, terms: list[str]):
             return self.state.fetch(terms)
 
+        def score_partial(self, qitems: list, n_ranges: int):
+            """Score the actor's OWNED terms against the query batch and
+            emit per-(query, doc) contribution triples partitioned by
+            doc % n_ranges — the term-partitioned -> doc-range exchange.
+            Postings never leave the actor; payload per range is bounded by
+            that range's hits, and the coordinator later sees only k-bounded
+            candidates from each range reducer."""
+            return _emit_partials(self.state, qitems, n_ranges)
+
     return TermShardActor
+
+
+def _emit_partials(state: "_TermShardState", qitems: list, n_ranges: int):
+    """(qidx, qterm_idx, doc, contrib) arrays per doc-range, for the terms
+    `state` owns. qterm_idx is the term's position in ITS query's
+    lexicographically-sorted term list — the global accumulation-order key."""
+    qi_parts, ti_parts, d_parts, c_parts = [], [], [], []
+    for qi, (_qid, qterms) in enumerate(qitems):
+        for ti, (term, qtf) in enumerate(qterms):
+            hit = state.term_contrib(term)
+            if hit is None:
+                continue
+            d, contrib = hit
+            if qtf != 1:
+                contrib = qtf * contrib  # same expression as _score_query_rows
+            qi_parts.append(np.full(d.size, qi, dtype=np.int32))
+            ti_parts.append(np.full(d.size, ti, dtype=np.int16))
+            d_parts.append(d)
+            c_parts.append(contrib)
+    if not d_parts:
+        e = np.empty(0)
+        return [
+            (e.astype(np.int32), e.astype(np.int16), e.astype(np.int64), e)
+            for _ in range(n_ranges)
+        ]
+    qis = np.concatenate(qi_parts)
+    tis = np.concatenate(ti_parts)
+    docs = np.concatenate(d_parts)
+    cs = np.concatenate(c_parts)
+    rng = (docs % n_ranges).astype(np.int64)
+    order = np.argsort(rng, kind="stable")
+    counts = np.bincount(rng, minlength=n_ranges)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    qis, tis, docs, cs = qis[order], tis[order], docs[order], cs[order]
+    return [
+        (qis[offs[r]: offs[r + 1]], tis[offs[r]: offs[r + 1]],
+         docs[offs[r]: offs[r + 1]], cs[offs[r]: offs[r + 1]])
+        for r in range(n_ranges)
+    ]
+
+
+def _reduce_range(k: int, *parts):
+    """Doc-range reducer: fold per-actor contribution triples into exact
+    per-(query, doc) scores and keep each query's top-k within the range.
+
+    Bit-exactness: contributions sort by (qidx, doc, qterm_idx) and fold
+    left-to-right per group via unbuffered np.add.at — the same float order
+    as the single-process accumulation, which applies terms in each query's
+    sorted term order. (np.add.reduceat is NOT usable here: its reduction
+    tree is not the sequential ((c1+c2)+c3), measured 1-ulp drift.)"""
+    qis = np.concatenate([p[0] for p in parts])
+    if qis.size == 0:
+        e = np.empty(0)
+        return e.astype(np.int32), e.astype(np.int64), e
+    tis = np.concatenate([p[1] for p in parts])
+    docs = np.concatenate([p[2] for p in parts])
+    cs = np.concatenate([p[3] for p in parts])
+    order = np.lexsort((tis, docs, qis))
+    qis, docs, cs = qis[order], docs[order], cs[order]
+    new_grp = np.concatenate(
+        ([True], (qis[1:] != qis[:-1]) | (docs[1:] != docs[:-1]))
+    )
+    starts = np.flatnonzero(new_grp)
+    g_q = qis[starts]
+    g_d = docs[starts]
+    g_s = np.zeros(starts.size, dtype=np.float64)
+    np.add.at(g_s, np.cumsum(new_grp) - 1, cs)
+    out_q, out_d, out_s = [], [], []
+    q_starts = np.flatnonzero(np.concatenate(([True], g_q[1:] != g_q[:-1])))
+    q_ends = np.concatenate((q_starts[1:], [g_q.size]))
+    from ..functions.bm25 import topk_select
+
+    for s, e in zip(q_starts, q_ends):
+        dd, ss = topk_select(g_s[s:e], g_d[s:e], k)
+        out_q.append(np.full(dd.size, g_q[s], dtype=np.int32))
+        out_d.append(dd)
+        out_s.append(ss)
+    return (
+        np.concatenate(out_q), np.concatenate(out_d), np.concatenate(out_s)
+    )
 
 
 class TermSearchSession:
@@ -657,15 +746,28 @@ class TermSearchSession:
     accumulates fetched postings in lexicographic term order — bit-identical
     scores to TermIndexSearcher.
 
-    Scale note: term-partitioned SERVING ships Σ df(query terms) postings per
-    distinct cold term to the coordinator (they are cached per actor across
-    batches, and fetched terms are cached coordinator-side per session); the
-    doc layout (search.SearchSession) keeps scoring shard-local and is the
-    default serving path — this session exists so the term layout is a
+    Two scoring modes, both bit-identical to TermIndexSearcher (pytest):
+
+    * mode="exchange" (default, the scale path): actors score their OWNED
+      terms and emit per-(query, doc) contribution partials partitioned by
+      doc range; range reducers fold them exactly (sorted by the query's
+      term order) and return each query's in-range top-k — so posting lists
+      NEVER leave their shard actor, reducer payload is bounded by its doc
+      range's hits, and the coordinator sees only n_ranges × k candidates
+      per query regardless of df.
+    * mode="fetch": the decoded (doc_ids, contribution) arrays of each cold
+      term ship to the coordinator once per session and are cached; scoring
+      fans out over query slices. Lower per-batch overhead for small warm
+      workloads, but a df=10^9 head term would ship its whole posting list —
+      kept as the comparison/latency mode.
+
+    The doc layout (search.SearchSession) keeps scoring shard-local and is
+    the default serving path — this session exists so the term layout is a
     first-class, pool-served index too (the reference serves both orderings
     through one search path, Index.h:412-427)."""
 
-    def __init__(self, index_dir: str, num_actors: int | None = None):
+    def __init__(self, index_dir: str, num_actors: int | None = None,
+                 mode: str = "exchange"):
         import ray
 
         from ..state.stats import load_stats
@@ -688,6 +790,7 @@ class TermSearchSession:
             float(self.stats["avgdl"]), float(self.stats["k1"]), float(self.stats["b"]),
         )
         self.actors = [cls.remote(a, *args) for a in assign]
+        self.mode = mode
         self._rows: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._rows_ref = None  # object-store copy shared by scoring tasks
         self._n_workers = max(1, n)
@@ -724,6 +827,8 @@ class TermSearchSession:
                 counts[tok] = counts.get(tok, 0) + 1
             qitems.append((int(qid), sorted(counts.items())))
             distinct.update(counts)
+        if self.mode == "exchange":
+            return self._search_exchange(qitems, k)
         needed = sorted(distinct - set(self._rows))
         if needed:
             futs = [a.fetch.remote(needed) for a in self.actors]
@@ -753,6 +858,69 @@ class TermSearchSession:
             out = pa.concat_tables(ray.get(futs))
         import pyarrow.compute as pc
 
+        return out.take(
+            pc.sort_indices(out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+        )
+
+    def _search_exchange(self, qitems: list[tuple[int, list]], k: int) -> pa.Table:
+        """Distributed term-partitioned scoring via the doc-range exchange
+        (see class docstring). Coordinator traffic: n_ranges × ≤k candidate
+        rows per query — independent of any term's df."""
+        import ray
+
+        import pyarrow.compute as pc
+
+        from ..functions.bm25 import topk_select
+
+        n_ranges = self._n_workers
+        qref = ray.put(qitems)
+        # actor r-th return object flows straight to reducer r — the
+        # coordinator never touches the contribution partials
+        per_actor = [
+            a.score_partial.options(num_returns=n_ranges).remote(qref, n_ranges)
+            for a in self.actors
+        ]
+        if n_ranges == 1:  # num_returns=1 yields a bare ref, not a list
+            per_actor = [[r] for r in per_actor]
+        reduce_task = ray.remote(num_cpus=1)(_reduce_range)
+        futs = [
+            reduce_task.remote(k, *[per_actor[a][r] for a in range(len(self.actors))])
+            for r in range(n_ranges)
+        ]
+        outs = ray.get(futs)
+        qis = np.concatenate([o[0] for o in outs])
+        if qis.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int32()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        docs = np.concatenate([o[1] for o in outs])
+        scores = np.concatenate([o[2] for o in outs])
+        # final exact top-k per query over the ranges' disjoint candidates
+        order = np.lexsort((docs, qis))
+        qis, docs, scores = qis[order], docs[order], scores[order]
+        starts = np.flatnonzero(np.concatenate(([True], qis[1:] != qis[:-1])))
+        ends = np.concatenate((starts[1:], [qis.size]))
+        out_q, out_r, out_d, out_s = [], [], [], []
+        qid_of = np.array([q for q, _ in qitems], dtype=np.int64)
+        for s, e in zip(starts, ends):
+            dd, ss = topk_select(scores[s:e], docs[s:e], k)
+            out_q.append(np.full(dd.size, qid_of[qis[s]], dtype=np.int64))
+            out_r.append(np.arange(dd.size, dtype=np.int32))
+            out_d.append(dd)
+            out_s.append(ss)
+        out = pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "rank": pa.array(np.concatenate(out_r), type=pa.int32()),
+                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
         return out.take(
             pc.sort_indices(out, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
         )

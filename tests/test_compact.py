@@ -89,6 +89,116 @@ def test_block_size_mismatch_rejected(ray_session, tmp_path):
         merge_indexes([ix_a, ix_b], str(tmp_path / "m"), IndexConfig(num_partitions=2, block_size=128))
 
 
+def test_stacked_generations_serve_bit_identical_to_union_build(ray_session, tmp_path):
+    """add_documents(mode='stack') builds only the delta; StackedSearchSession
+    over [base, delta] must return results bit-identical to a SearchSession
+    over the single union-built index — including an upsert collision (the
+    base's copy of a re-added url must be shadowed in postings AND in the
+    global n_docs/avgdl/df statistics)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from flatnav_ray.pipelines.ingest import add_documents, list_generations
+    from flatnav_ray.sources.synth import PagesGenerator, queries_table
+    from flatnav_ray.stages.search import SearchSession, StackedSearchSession
+
+    gen = PagesGenerator(seed=13, vocab_size=2000, mean_len=50, dup_rate=0.0)
+    a = gen.chunk(0, 1200)
+    b = gen.chunk(1, 80)
+    # upsert: delta re-adds an existing url with different text
+    row = a.slice(4, 1)
+    updated = row.set_column(
+        row.schema.get_field_index("html"),
+        "html",
+        pa.array([b"<html><body><p>zzzstacked replacement</p></body></html>"], pa.binary()),
+    )
+    delta = pa.concat_tables([b, updated])
+    cfg = IndexConfig(num_partitions=6)
+    ix = str(tmp_path / "stacked")
+    build_index(ray.data.from_arrow(a), ix, cfg)
+    base_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(ix) for f in fs
+    )
+    add_documents(ix, ray.data.from_arrow(delta), mode="stack")
+    gens = list_generations(ix)
+    assert len(gens) == 2
+    delta_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(gens[1]) for f in fs
+    )
+
+    # union equivalent: base docs with the upserted row's NEW text
+    union = pa.concat_tables([a.slice(0, 4), a.slice(5), b, updated])
+    ix_u = str(tmp_path / "union")
+    build_index(ray.data.from_arrow(union), ix_u, cfg)
+    union_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(ix_u) for f in fs
+    )
+    # O(delta) ingest: the stacked add wrote a fraction of a full rebuild
+    # (the remainder of delta_bytes is the per-partition parquet floor,
+    # O(num_partitions), not O(corpus)); mode="compact" writes union_bytes
+    assert delta_bytes < union_bytes / 2
+
+    q = queries_table(20, seed=5, vocab_size=2000)
+    q = pa.concat_tables(
+        [q, pa.table({"query_id": pa.array([100], pa.int64()),
+                      "text": pa.array(["zzzstacked"])})]
+    )
+    s_stack = StackedSearchSession(gens, num_actors=3)
+    s_union = SearchSession(ix_u, num_actors=3)
+    try:
+        rs = s_stack.search(q, QueryConfig(k=10))
+        ru = s_union.search(q, QueryConfig(k=10))
+        assert rs.equals(ru)  # doc ids AND float64 scores, bit-identical
+        # wand path over the stack stays exact too
+        rw = s_stack.search(q, QueryConfig(k=10, method="wand"))
+        assert rw.equals(ru)
+    finally:
+        s_stack.shutdown()
+        s_union.shutdown()
+
+
+def test_stack_compaction_threshold(ray_session, tmp_path):
+    """Once the stack would exceed compact_threshold generations, the next
+    add folds everything into one generation first; results are unchanged."""
+    import pyarrow as pa
+    import ray.data
+
+    from flatnav_ray.pipelines.ingest import add_documents, list_generations
+    from flatnav_ray.sources.synth import PagesGenerator, queries_table
+    from flatnav_ray.stages.search import SearchSession, StackedSearchSession
+
+    gen = PagesGenerator(seed=17, vocab_size=1500, mean_len=40, dup_rate=0.0)
+    chunks = [gen.chunk(i, 120) for i in range(4)]
+    cfg = IndexConfig(num_partitions=4)
+    ix = str(tmp_path / "thr")
+    build_index(ray.data.from_arrow(chunks[0]), ix, cfg)
+    for c in chunks[1:3]:
+        add_documents(ix, ray.data.from_arrow(c), mode="stack", compact_threshold=3)
+    assert len(list_generations(ix)) == 3
+    # 4th generation would exceed the threshold -> compact, then stack
+    add_documents(ix, ray.data.from_arrow(chunks[3]), mode="stack", compact_threshold=3)
+    gens = list_generations(ix)
+    assert len(gens) == 2  # compacted base + the fresh delta
+
+    ix_u = str(tmp_path / "u")
+    build_index(ray.data.from_arrow(pa.concat_tables(chunks)), ix_u, cfg)
+    q = queries_table(10, seed=9, vocab_size=1500)
+    sess = StackedSearchSession(gens, num_actors=2)
+    s_union = SearchSession(ix_u, num_actors=2)
+    try:
+        assert sess.search(q, QueryConfig(k=10)).equals(
+            s_union.search(q, QueryConfig(k=10))
+        )
+    finally:
+        sess.shutdown()
+        s_union.shutdown()
+
+
 def test_recover_generation_rolls_forward_and_back(ray_session, tmp_path):
     """Crash between the two swap renames leaves index_dir missing with
     .old-<tag> (and maybe a complete .gen-<tag>) beside it; opening the index

@@ -57,15 +57,16 @@ class TestTermLayout:
             a.column("score").to_numpy(), b.column("score").to_numpy(), rtol=0, atol=1e-9
         )
 
-    def test_term_session_bit_identical_to_searcher(self, both_indexes):
-        """Actor-pool term serving (posting-fetch) must return byte-identical
-        results to the single-process term searcher — same float fold order."""
+    def test_term_session_fetch_mode_bit_identical_to_searcher(self, both_indexes):
+        """Actor-pool term serving (posting-fetch mode) must return
+        byte-identical results to the single-process term searcher — same
+        float fold order."""
         from flatnav_ray.stages.termbuild import TermSearchSession
 
         _, term_ix, _, _, queries = both_indexes
         import pyarrow as pa
 
-        sess = TermSearchSession(term_ix, num_actors=3)
+        sess = TermSearchSession(term_ix, num_actors=3, mode="fetch")
         try:
             a = sess.search(queries, k=10)
             b = TermIndexSearcher(term_ix).search(queries, k=10)
@@ -94,6 +95,34 @@ class TestTermLayout:
             first = big_out.filter(
                 pa.compute.less(big_out.column("query_id"), 1000)
             )
+            assert first.equals(b)
+        finally:
+            sess.shutdown()
+
+    def test_term_session_exchange_mode_bit_identical_to_searcher(self, both_indexes):
+        """The doc-range-exchange scoring (default mode — postings never
+        leave their shard actor, coordinator sees only k-bounded candidates)
+        must be bit-identical to the single-process term searcher, including
+        repeat batches (actor contribution caches) and duplicate queries."""
+        import pyarrow as pa
+
+        from flatnav_ray.stages.termbuild import TermSearchSession
+
+        _, term_ix, _, _, queries = both_indexes
+        sess = TermSearchSession(term_ix, num_actors=3, mode="exchange")
+        try:
+            b = TermIndexSearcher(term_ix).search(queries, k=10)
+            a = sess.search(queries, k=10)
+            assert a.equals(b)
+            assert sess.search(queries, k=10).equals(b)  # warm actor caches
+            # duplicate query texts collapse then re-expand identically
+            dup = pa.concat_tables([queries, queries.set_column(
+                0, "query_id",
+                pa.array([q + 500 for q in queries.column("query_id").to_pylist()],
+                         type=pa.int64()),
+            )])
+            d = sess.search(dup, k=10)
+            first = d.filter(pa.compute.less(d.column("query_id"), 500))
             assert first.equals(b)
         finally:
             sess.shutdown()
