@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
         "bm25_topk_dense": d.bm25_topk_dense,     # dense_url docid reorder (O4)
         "bm25_topk_gorder": d.bm25_topk_gorder,   # Gorder docid reorder (O5, rows-only)
+        "bm25_topk_rcm": d.bm25_topk_rcm,         # gorder+rcm sequenced reorder (rows-only)
     }
 
 

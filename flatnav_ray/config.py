@@ -39,6 +39,11 @@ class IndexConfig:
     #                 graft) over the shared-term doc-similarity graph:
     #                 docs sharing rare terms get adjacent ids, shrinking
     #                 per-term posting deltas (stages/reorder.py)
+    #   "rcm"       — reverse Cuthill–McKee BFS ordering over the same graph
+    #                 (Reordering.h:120-200 graft): O(V+E) locality pass
+    #   "gorder+rcm" (etc.) — '+'-sequenced graph strategies, applied
+    #                 successively on the relabeled graph — the reference's
+    #                 reorder(strategies=[...]) list (bindings.cpp:285-295)
     docid_strategy: str = "hash"
 
     def fingerprint(self) -> str:

@@ -498,6 +498,32 @@ def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_rcm(sf_dir: str, k: int = 10) -> pa.Table:
+    """Sequenced graph reordering "gorder+rcm" (the reference's
+    reorder(strategies=["gorder","rcm"]) list, bindings.cpp:285-295 with
+    Reordering.h:120-200 rcmOrder): Gorder pass then reverse Cuthill–McKee on
+    the relabeled shared-term graph. Same rows-only rationale as gorder —
+    ids (tie-breaks) depend on the non-SQL-expressible construction; pytest
+    (tests/test_reorder.py) holds rank-identity-modulo-ties + compression."""
+    cfg = IndexConfig(num_partitions=8, docid_strategy="gorder+rcm")
+    ix = _index_dir_for(sf_dir, cfg)
+    if not os.path.exists(os.path.join(ix, "stats.json")):
+        build_index(documents_as_pages(sf_dir), ix, cfg, resume=True)
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k))
+    orig = pc.cast(
+        pc.struct_field(pc.extract_regex(out.column("url"), r"/(?P<id>[0-9]+)$"), "id"),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "query_id": out.column("query_id"),
+            "rank": out.column("rank").cast(pa.int64()),
+            "doc_id": orig,
+        }
+    )
+
+
 def bm25_topk_gorder(sf_dir: str, k: int = 10) -> pa.Table:
     """Gorder docid strategy (SURVEY.md O5 — the reference's gOrder
     sliding-window cache-locality ordering, Reordering.h:27-117, grafted as a

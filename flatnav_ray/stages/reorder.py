@@ -169,3 +169,79 @@ def gorder_rank_of(
     (old docmap position -> new interleaved-id rank)."""
     indptr, indices = doc_similarity_graph(positions, term_codes, n_docs)
     return gorder_rank(indptr, indices, n_docs)
+
+
+def rcm_rank(
+    indptr: np.ndarray, indices: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """Reverse Cuthill–McKee ordering over the doc-similarity graph — the
+    graft of the reference's second reordering strategy
+    (Reordering.h:120-200 `rcmOrder`, exposed with gorder through
+    `reorder(strategies=[...])`, bindings.cpp:285-295).
+
+    Classic RCM: repeatedly seed a BFS at the unvisited node of minimum
+    degree, enqueue each node's unvisited neighbors in ascending-degree
+    order, then REVERSE the discovery order (bandwidth reduction — shared-
+    term docs land close, like gorder but O(V+E) instead of greedy argmax).
+    Deterministic: all ties break toward the lower old position.
+
+    Returns rank_of[old_position] -> new rank (the `Pinv` analog)."""
+    deg = np.diff(indptr)
+    visited = np.zeros(n_docs, dtype=bool)
+    order = np.empty(n_docs, dtype=np.int64)  # BFS discovery sequence
+    queue = np.empty(n_docs, dtype=np.int64)
+    seed_seq = np.lexsort((np.arange(n_docs), deg))  # (degree, position) asc
+    si = 0
+    out = 0
+    while out < n_docs:
+        while visited[seed_seq[si]]:
+            si += 1
+        s = seed_seq[si]
+        visited[s] = True
+        queue[0] = s
+        head, tail = 0, 1
+        while head < tail:
+            v = queue[head]
+            head += 1
+            order[out] = v
+            out += 1
+            nb = indices[indptr[v]: indptr[v + 1]]
+            nb = nb[~visited[nb]]
+            if nb.size:
+                nb = nb[np.lexsort((nb, deg[nb]))]
+                visited[nb] = True
+                queue[tail: tail + nb.size] = nb
+                tail += nb.size
+    rank_of = np.empty(n_docs, dtype=np.int64)
+    rank_of[order] = np.arange(n_docs - 1, -1, -1, dtype=np.int64)
+    return rank_of
+
+
+# graph-based strategies composable via "a+b" sequencing (the reference's
+# reorder(strategies=["gorder","rcm"]) list, bindings.cpp:285-295)
+GRAPH_STRATEGIES = {"gorder", "rcm"}
+
+
+def is_graph_strategy(strategy: str) -> bool:
+    """True iff `strategy` is a single graph reorder or a '+'-sequence of
+    them ("gorder", "rcm", "gorder+rcm", ...)."""
+    parts = strategy.split("+")
+    return all(p in GRAPH_STRATEGIES for p in parts)
+
+
+def rank_of_for(
+    strategy: str, positions: np.ndarray, term_codes: np.ndarray, n_docs: int
+) -> np.ndarray:
+    """Composed rank_of for a '+'-sequenced graph strategy string: each stage
+    reorders the graph RELABELED by the previous stage's permutation (exactly
+    the reference's successive in-place permutations in reorder()). Final
+    rank of old position p after stages r1, r2 is r2[r1[p]]."""
+    rank = np.arange(n_docs, dtype=np.int64)
+    for i, name in enumerate(strategy.split("+")):
+        pos = positions if i == 0 else rank[positions]
+        indptr, indices = doc_similarity_graph(pos, term_codes, n_docs)
+        r = gorder_rank(indptr, indices, n_docs) if name == "gorder" else rcm_rank(
+            indptr, indices, n_docs
+        )
+        rank = r[rank]
+    return rank

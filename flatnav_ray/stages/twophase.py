@@ -324,9 +324,15 @@ def _merge_one_partition(
         url_order = pa.compute.sort_indices(win_urls_tmp).to_numpy(zero_copy_only=False)
         rank_of = np.empty(url_order.size, dtype=np.int64)
         rank_of[url_order] = np.arange(url_order.size)
-    elif cfg.docid_strategy == "gorder":
+    elif cfg.docid_strategy != "hash":
+        from .reorder import is_graph_strategy
+
+        assert is_graph_strategy(cfg.docid_strategy), (
+            f"unknown docid_strategy {cfg.docid_strategy!r}"
+        )
         # identity placeholder (empty-postings partitions keep dense ids);
-        # replaced by the real Gorder permutation once postings are winnowed
+        # replaced by the real graph permutation (gorder / rcm / a
+        # '+'-sequence of them) once postings are winnowed
         rank_of = np.arange(win_sorted.size, dtype=np.int64)
 
     # 2. postings: keep only rows whose (doc_id, partial) is the winner.
@@ -381,10 +387,10 @@ def _merge_one_partition(
         m_pos = np.concatenate(pos_parts)
         m_tfs = np.concatenate(tf_parts)
         m_dls = np.concatenate(dl_parts)
-        if cfg.docid_strategy == "gorder":
-            from .reorder import gorder_rank_of
+        if rank_of is not None and cfg.docid_strategy != "dense_url":
+            from .reorder import rank_of_for
 
-            rank_of = gorder_rank_of(m_pos, m_codes, win_sorted.size)
+            rank_of = rank_of_for(cfg.docid_strategy, m_pos, m_codes, win_sorted.size)
         # posting blobs store partition-LOCAL dense positions (row index into
         # the final docmap), not raw 63-bit hash ids: per-term deltas become
         # ~n_docs/df instead of ~2^63/df, so varints drop from ~9 bytes to

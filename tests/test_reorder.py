@@ -84,6 +84,73 @@ class TestGorderKernels:
         assert sorted(rank.tolist()) == list(range(n))
 
 
+class TestRcmKernels:
+    def test_clusters_get_contiguous_ranks(self):
+        # each cluster is one BFS component -> its docs occupy a contiguous
+        # rank range (reversal preserves per-component contiguity)
+        from flatnav_ray.stages.reorder import rank_of_for
+
+        pos, codes, n = _clustered_postings()
+        rank = rank_of_for("rcm", pos, codes, n)
+        assert sorted(rank.tolist()) == list(range(n))
+        for c in range(5):
+            docs = [c + 5 * i for i in range(6)]
+            rs = sorted(int(rank[d]) for d in docs)
+            assert rs == list(range(rs[0], rs[0] + 6)), (c, rs)
+
+    def test_deterministic_and_permutation(self):
+        from flatnav_ray.stages.reorder import rcm_rank
+
+        pos, codes, n = _clustered_postings(n_clusters=8, docs_per=9)
+        indptr, idx = doc_similarity_graph(pos, codes, n)
+        a = rcm_rank(indptr, idx, n)
+        b = rcm_rank(indptr, idx, n)
+        np.testing.assert_array_equal(a, b)
+        assert sorted(a.tolist()) == list(range(n))
+
+    def test_reverse_property(self):
+        # a path graph 0-1-2-3 seeded at a degree-1 end: BFS discovers the
+        # path in order, RCM REVERSES it (the defining Cuthill-McKee flip)
+        from flatnav_ray.stages.reorder import rcm_rank
+
+        indptr = np.array([0, 1, 3, 5, 6], dtype=np.int64)
+        indices = np.array([1, 0, 2, 1, 3, 2], dtype=np.int64)
+        rank = rcm_rank(indptr, indices, 4)
+        np.testing.assert_array_equal(rank, [3, 2, 1, 0])
+
+    def test_isolated_docs_covered(self):
+        from flatnav_ray.stages.reorder import rank_of_for
+
+        # doc 7 has no postings at all; still gets a unique rank
+        pos = np.array([0, 1, 0, 1], dtype=np.int64)
+        codes = np.array([5, 5, 6, 6], dtype=np.int64)
+        rank = rank_of_for("rcm", pos, codes, 8)
+        assert sorted(rank.tolist()) == list(range(8))
+
+
+class TestStrategySequencing:
+    def test_composition_matches_manual_two_pass(self):
+        """rank_of_for('gorder+rcm') must equal running gorder, relabeling
+        the postings, then running rcm — r2[r1[p]] (the reference applies
+        reorder(strategies=[...]) as successive permutations)."""
+        from flatnav_ray.stages.reorder import gorder_rank_of, rank_of_for, rcm_rank
+
+        pos, codes, n = _clustered_postings(n_clusters=7, docs_per=8)
+        r1 = gorder_rank_of(pos, codes, n)
+        indptr, idx = doc_similarity_graph(r1[pos], codes, n)
+        r2 = rcm_rank(indptr, idx, n)
+        np.testing.assert_array_equal(rank_of_for("gorder+rcm", pos, codes, n), r2[r1])
+
+    def test_unknown_strategy_rejected(self):
+        from flatnav_ray.stages.reorder import is_graph_strategy
+
+        assert is_graph_strategy("gorder+rcm")
+        assert is_graph_strategy("rcm")
+        assert not is_graph_strategy("bogus")
+        assert not is_graph_strategy("gorder+bogus")
+        assert not is_graph_strategy("dense_url+gorder")
+
+
 def _topic_corpus(n_docs=4000, n_topics=200, seed=11):
     """Pages whose text = hot filler (high df, no graph signal) + rare
     topic-specific words; doc order carries no topic locality (that is the
@@ -125,8 +192,8 @@ def gorder_vs_hash(ray_session, tmp_path_factory):
     pages = _topic_corpus()
     base = tmp_path_factory.mktemp("gorder")
     dirs = {}
-    for strat in ("hash", "gorder"):
-        d = str(base / strat)
+    for strat in ("hash", "gorder", "rcm", "gorder+rcm"):
+        d = str(base / strat.replace("+", "_"))
         build_index(
             ray.data.from_arrow(pages), d,
             IndexConfig(num_partitions=2, docid_strategy=strat), resume=False,
@@ -136,10 +203,10 @@ def gorder_vs_hash(ray_session, tmp_path_factory):
 
 
 class TestGorderEndToEnd:
-    def test_rank_identical_modulo_ties(self, gorder_vs_hash):
+    @pytest.mark.parametrize("strat", ["gorder", "rcm", "gorder+rcm"])
+    def test_rank_identical_modulo_ties(self, gorder_vs_hash, strat):
         from flatnav_ray.config import QueryConfig
         from flatnav_ray.pipelines.query import search_to_table
-        from flatnav_ray.sources.synth import queries_table
 
         queries = pa.table(
             {
@@ -148,7 +215,7 @@ class TestGorderEndToEnd:
             }
         )
         a = search_to_table(gorder_vs_hash["hash"], queries, QueryConfig(k=10))
-        b = search_to_table(gorder_vs_hash["gorder"], queries, QueryConfig(k=10))
+        b = search_to_table(gorder_vs_hash[strat], queries, QueryConfig(k=10))
         assert len(a) == len(b) > 0
         sa = a.column("score").to_numpy()
         sb = b.column("score").to_numpy()
@@ -169,3 +236,6 @@ class TestGorderEndToEnd:
         s_hash = index_size_bytes(gorder_vs_hash["hash"])["segments"]
         s_gord = index_size_bytes(gorder_vs_hash["gorder"])["segments"]
         assert s_gord < s_hash * 0.97, (s_gord, s_hash)
+        # rcm clusters the same graph (O(V+E) BFS instead of greedy argmax)
+        s_rcm = index_size_bytes(gorder_vs_hash["rcm"])["segments"]
+        assert s_rcm < s_hash * 0.97, (s_rcm, s_hash)
