@@ -29,11 +29,14 @@ _CONT = np.uint8(0x80)
 
 
 def varint_byte_lens(values: np.ndarray) -> np.ndarray:
-    """Bytes needed per value — branch-free comparison adds, one pass per
-    byte level actually present (searchsorted's per-element binary search was
-    ~10x slower on the posting streams, which are 1-3 bytes wide)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    nb = np.ones(v.size, dtype=np.int64)
+    """Bytes needed per value (uint8 array) — branch-free comparison adds,
+    one pass per byte level actually present (searchsorted's per-element
+    binary search was ~10x slower on the posting streams, 1-3 bytes wide).
+    Values must be non-negative. uint8 return: the merge is DRAM-bound, the
+    lens array is pure intermediate traffic (cumsum callers pass an output
+    dtype)."""
+    v = np.asarray(values)
+    nb = np.ones(v.size, dtype=np.uint8)
     if v.size == 0:
         return nb
     mx = int(v.max())
@@ -41,40 +44,47 @@ def varint_byte_lens(values: np.ndarray) -> np.ndarray:
         thr = 1 << (7 * k)
         if mx < thr:
             break
-        nb += v >= np.uint64(thr)
+        nb += v >= v.dtype.type(thr)
     return nb
 
 
 def encode_varint_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
-    """LEB128-style varint encoding of a uint64 array, vectorized.
+    """LEB128-style varint encoding of a non-negative int array, vectorized.
 
-    Returns (blob, per-value byte lengths) — callers that need offsets
-    (segment encoding) reuse the lengths instead of recomputing them."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    n = v.size
+    Returns (blob, per-value byte lengths as uint8) — callers that need
+    offsets (segment encoding) reuse the lengths instead of recomputing them.
+    The whole pipeline stays in the narrowest width that fits (uint32 for
+    position-encoded doc streams and tf streams): the merge phase is
+    DRAM-bandwidth-bound, so every avoided 8-byte intermediate is wall time
+    (BASELINE.md scaling notes)."""
+    v0 = np.asarray(values)
+    n = v0.size
     if n == 0:
-        return b"", np.empty(0, dtype=np.int64)
-    nbytes = varint_byte_lens(v)
-    maxb = int(nbytes.max())
-    if maxb == 1:  # all values < 128 (most tf streams, dense-position deltas)
-        return v.astype(np.uint8).tobytes(), nbytes
+        return b"", np.empty(0, dtype=np.uint8)
+    mx = int(v0.max())
+    if mx < 0x80:  # all 1-byte (most tf streams, dense-position deltas)
+        return v0.astype(np.uint8).tobytes(), np.ones(n, dtype=np.uint8)
+    maxb = 1
+    while mx >= (1 << (7 * maxb)):
+        maxb += 1
+    if maxb <= 4:  # maxb <= 4 implies v < 2^28 < 2^32
+        v = v0.astype(np.uint32, copy=False)
+        dt = np.uint32
+    else:
+        v = v0.astype(np.uint64, copy=False)
+        dt = np.uint64
+    nbytes = np.ones(n, dtype=np.uint8)
+    for k in range(1, maxb):
+        nbytes += v >= dt(1 << (7 * k))
     # (n, maxb) byte matrix + boolean compress: sequential writes/reads beat
     # the scatter-store formulation ~6x on wide (multi-byte) values.
-    # Work in uint32 when every value fits (position-encoded doc streams and
-    # tf streams always do) — halves the shift-loop's memory traffic.
     B = np.empty((n, maxb), dtype=np.uint8)
-    if maxb <= 4:  # nbytes <= 4 implies v < 2^28 < 2^32
-        shifted = v.astype(np.uint32)
-        low7, seven = np.uint32(0x7F), np.uint32(7)
-    else:
-        shifted = v.copy()
-        low7, seven = _LOW7, _SEVEN
-    mask = np.arange(maxb)[None, :] < nbytes[:, None]
+    low7 = dt(0x7F)
     for k in range(maxb):
-        B[:, k] = (shifted & low7).astype(np.uint8)
-        shifted >>= seven
+        B[:, k] = ((v >> dt(7 * k)) & low7).astype(np.uint8)
+    mask = np.arange(maxb, dtype=np.uint8)[None, :] < nbytes[:, None]
     # continuation bit on byte k iff byte k+1 is kept — no arange fancy-index
-    B[:, :-1] |= mask[:, 1:].astype(np.uint8) << np.uint8(7)
+    B[:, :-1] |= mask[:, 1:].view(np.uint8) << np.uint8(7)
     return B[mask].tobytes(), nbytes
 
 
@@ -217,24 +227,35 @@ def encode_segment_table(
     block_starts = tb[term_of_block] + within * block_size
     block_ends = np.minimum(block_starts + block_size, te[term_of_block])
 
-    # deltas: doc - prev doc within term; absolute at block starts
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[1:] = (p_docs[1:] - p_docs[:-1]).astype(np.uint64)
-    deltas[block_starts] = p_docs[block_starts].astype(np.uint64)
+    # deltas: doc - prev doc within term; absolute at block starts. Narrowest
+    # width that fits (uint32 for docmap-position streams — the merge is
+    # DRAM-bound, 8-byte intermediates for 4-byte data were ~half its traffic)
+    ddt = np.uint32 if p_docs.dtype.itemsize <= 4 or int(p_docs.max()) < (1 << 31) else np.uint64
+    deltas = np.empty(n, dtype=ddt)
+    # cross-term diffs may be negative: every term start is a block start, so
+    # they are overwritten by the absolute value before encoding (the wrap in
+    # the narrow dtype is never observed)
+    deltas[1:] = (p_docs[1:] - p_docs[:-1]).astype(ddt)
+    deltas[block_starts] = p_docs[block_starts].astype(ddt)
 
     doc_blob_all, doc_lens_b = encode_varint_with_lens(deltas)
-    doc_off = np.zeros(n + 1, dtype=np.int64)
+    assert int(doc_lens_b.sum(dtype=np.int64)) < 2**31, (
+        "partition blob exceeds 2GB — lower docs per partition"
+    )
+    doc_off = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(doc_lens_b, out=doc_off[1:])
 
     tf_blob_all, tf_lens_b = encode_varint_with_lens(p_tfs)
-    tf_off = np.zeros(n + 1, dtype=np.int64)
+    assert int(tf_lens_b.sum(dtype=np.int64)) < 2**31, (
+        "partition blob exceeds 2GB — lower docs per partition"
+    )
+    tf_off = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(tf_lens_b, out=tf_off[1:])
 
     # per-term binary slices as Arrow BinaryArray built from offset buffers
     def _bin_from_offsets(blob: bytes, global_off: np.ndarray) -> pa.Array:
         offs = global_off[np.append(tb, n)]
-        assert offs[-1] < 2**31, "partition blob exceeds 2GB — lower docs per partition"
-        off_buf = pa.py_buffer(offs.astype(np.int32).tobytes())
+        off_buf = pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32).tobytes())
         return pa.BinaryArray.from_buffers(
             pa.binary(), nterms, [None, off_buf, pa.py_buffer(blob)]
         )

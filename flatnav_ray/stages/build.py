@@ -174,7 +174,7 @@ def build_partition(
         # posting blobs store partition-local docmap positions, not raw ids
         # (small deltas -> 1-2 byte varints; see twophase._merge_one_partition)
         cols, tb, _te = encode_segment_table(
-            p_terms, pos.astype(np.int64), p_tfs, p_dls, block_size=cfg.block_size
+            p_terms, pos, p_tfs, p_dls, block_size=cfg.block_size
         )
         terms_arr = pa.array(p_terms[tb], type=pa.string())
         hasher.update(cols["doc_blob"].buffers()[2])  # shared values buffer

@@ -113,7 +113,7 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
         m_codes, m_pos, m_tfs, m_dls = m_codes[srt], m_pos[srt], m_tfs[srt], m_dls[srt]
         # encode docmap POSITIONS in the merged index (same format as build)
         cols, tb, _ = encode_segment_table(
-            m_codes, m_pos.astype(np.int64), m_tfs, m_dls, block_size=cfg.block_size
+            m_codes, m_pos, m_tfs, m_dls, block_size=cfg.block_size
         )
         hasher.update(cols["doc_blob"].buffers()[2])
         segment = pa.table(
