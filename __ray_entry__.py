@@ -26,6 +26,213 @@ _LANG_PROFILES_SQL = {
     "zh": "['的','一','是','在','不','了','有','和','人','这','中','大','为','上','个','国','我','以','要','他']",
 }
 
+# ---- exact-hash SQL kernels (fingerprint oracle) -------------------------
+# DuckDB replication of functions/hashes.py: splitmix64 + word-wise FNV-1a,
+# bit-for-bit (tokens are pure [a-z0-9] ASCII, so ascii(substr(..)) == byte).
+# All mod-2^64 arithmetic runs in HUGEINT; 64x64 multiplies by the big
+# splitmix constants use the split formulation a0*b + ((a1*b_lo mod 2^32)<<32)
+# because the full product overflows INT128 and DuckDB's << is
+# signed-range-checked even on UBIGINT.
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _mulm_small_sql(a: str, b: int) -> str:
+    # b < 2^63: the INT128 product fits directly
+    return f"((({a})::HUGEINT * {b}::HUGEINT % {_M64})::UBIGINT)"
+
+
+def _mulm_big_sql(avar: str, b: int) -> str:
+    b_lo = b & 0xFFFFFFFF
+    return (
+        f"((((({avar} & 4294967295)::HUGEINT * {b}::HUGEINT) + "
+        f"(({avar} >> 32) * {b_lo}::UBIGINT & 4294967295)::HUGEINT * 4294967296::HUGEINT) "
+        f"% {_M64})::UBIGINT)"
+    )
+
+
+def _sm_sql(x: str) -> str:
+    """splitmix64(x) — single-element list_transform lambdas as let-bindings
+    (keeps each intermediate evaluated once; no textual blowup)."""
+    z1 = f"(((z::HUGEINT + 11400714819323198485::HUGEINT) % {_M64})::UBIGINT)"
+    z2 = _mulm_big_sql("zx1", 0xBF58476D1CE4E5B9)
+    z3 = _mulm_big_sql("zx2", 0x94D049BB133111EB)
+    return (
+        f"list_transform([{x}], z -> "
+        f"list_transform([{z1}], z1 -> "
+        f"list_transform([xor(z1, z1 >> 30)], zx1 -> "
+        f"list_transform([{z2}], z2 -> "
+        f"list_transform([xor(z2, z2 >> 27)], zx2 -> "
+        f"list_transform([{z3}], z3 -> xor(z3, z3 >> 31))[1])[1])[1])[1])[1])[1]"
+    )
+
+
+def _hash64_sql() -> str:
+    """stable_hash64 of token column `t` (hashes.py:47-57): fold 8-byte LE
+    words with FNV-1a, then splitmix64(h ^ len)."""
+    word = (
+        "list_reduce(list_transform(range(8), k -> "
+        "CASE WHEN 8*j + k < length(t) THEN ascii(substr(t, 8*j + k + 1, 1))::UBIGINT << (8*k) "
+        "ELSE 0::UBIGINT END), (a, b) -> xor(a, b))"
+    )
+    words = f"list_transform(range((length(t) + 7) // 8), j -> {word})"
+    fnv = (
+        f"list_reduce(list_prepend(14695981039346656037::UBIGINT, {words}), "
+        f"(h, w) -> {_mulm_small_sql('xor(h, w)', 1099511628211)})"
+    )
+    return _sm_sql(f"xor({fnv}, length(t)::UBIGINT)")
+
+
+def _sm_cols_sql(z: str, out: str, sfx: str) -> str:
+    """splitmix64 as a lateral-alias column chain (each intermediate computed
+    once, fully vectorized — no per-row list allocation). `sfx` must be unique
+    per call site: CTE output columns leak into downstream CTEs and DuckDB
+    resolves a name to the input column over the lateral alias."""
+    return (
+        f"((({z})::HUGEINT + 11400714819323198485::HUGEINT) % {_M64})::UBIGINT AS z1{sfx}, "
+        f"xor(z1{sfx}, z1{sfx} >> 30) AS zx1{sfx}, "
+        f"{_mulm_big_sql('zx1' + sfx, 0xBF58476D1CE4E5B9)} AS z2{sfx}, "
+        f"xor(z2{sfx}, z2{sfx} >> 27) AS zx2{sfx}, "
+        f"{_mulm_big_sql('zx2' + sfx, 0x94D049BB133111EB)} AS z3{sfx}, "
+        f"xor(z3{sfx}, z3{sfx} >> 31) AS {out}"
+    )
+
+
+def _minhash_sql() -> str:
+    """Oracle for stages/dedup.minhash_lsh_clusters (num_perm=64, bands=16,
+    shingle_n=3): token hashes over distinct tokens, rolling 3-gram shingles
+    via lead(), 64 splitmix permutation minima, 4-row band xor -> bucket,
+    star pairs capped at the 64 smallest ids per bucket, connected components
+    as a recursive transitive closure with min-id labels (matches union-find
+    on an undirected graph)."""
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, u.i, u.t
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d,
+  LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS i) u
+), dth AS (
+  SELECT t, {_hash64_sql()} AS h FROM (SELECT DISTINCT t FROM tok)
+), th AS (
+  SELECT doc_id, i, h FROM tok JOIN dth USING (t)
+), led AS (
+  SELECT doc_id, h, lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2
+  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), s1 AS (
+  SELECT doc_id, h1, h2, {_sm_cols_sql('h', 'smh', 'a')},
+    xor(smh, coalesce(h1, 0::UBIGINT)) AS x1
+  FROM led
+), s2 AS (
+  SELECT doc_id, h2, {_sm_cols_sql('x1', 'smx1', 'b')}, xor(smx1, h2) AS sh
+  FROM s1 WHERE h2 IS NOT NULL
+), dsh AS (
+  SELECT DISTINCT doc_id, sh FROM s2
+), mix AS (
+  SELECT doc_id, p, {_sm_cols_sql("xor(sh, (1 + p * 2654435769)::UBIGINT)", 'm', 'c')}
+  FROM dsh CROSS JOIN range(64) pr(p)
+), sig0 AS (
+  SELECT doc_id, p, min(m) AS s FROM mix GROUP BY doc_id, p
+), sigall AS (
+  SELECT d.doc_id, pr.p, coalesce(sig0.s, 18446744073709551615::UBIGINT) AS s
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(64) pr(p)
+  LEFT JOIN sig0 ON sig0.doc_id = d.doc_id AND sig0.p = pr.p
+), bandx AS (
+  SELECT doc_id, p // 4 AS b, bit_xor(s) AS xb FROM sigall GROUP BY doc_id, p // 4
+), buck AS (
+  SELECT doc_id, {_sm_cols_sql("xor(xb, (b + 1)::UBIGINT)", 'bk', 'd')},
+    (bk & 4611686018427387903::UBIGINT)::BIGINT AS bucket
+  FROM bandx
+), ranked AS (
+  SELECT bucket, doc_id,
+    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn,
+    min(doc_id) OVER (PARTITION BY bucket) AS mn
+  FROM buck
+), pairs AS (
+  SELECT mn AS a, doc_id AS b FROM ranked WHERE rn <= 64 AND doc_id > mn
+), ed AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM (SELECT DISTINCT doc_id FROM documents)
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN ed e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    """Oracle for stages/dedup.simhash_clusters (hamming_threshold=3): per-bit
+    majority votes over token-hash instances, sign-pack to a 64-bit signature,
+    4x16-bit band buckets, all-pairs Hamming<=3 verify within each bucket
+    capped at the 256 smallest ids, same recursive-closure clustering."""
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, u.t
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d,
+  LATERAL (SELECT unnest(toks) AS t) u
+), dth AS (
+  SELECT t, {_hash64_sql()} AS h FROM (SELECT DISTINCT t FROM tok)
+), th AS (
+  SELECT doc_id, h FROM tok JOIN dth USING (t)
+), cnt AS (
+  SELECT doc_id, j, sum(((h >> j) & 1::UBIGINT)::BIGINT) AS c, count(*) AS n
+  FROM th CROSS JOIN range(64) jr(j) GROUP BY doc_id, j
+), sig0 AS (
+  SELECT doc_id,
+    (sum(CASE WHEN 2 * c > n THEN 1::HUGEINT << j ELSE 0::HUGEINT END))::UBIGINT AS sig
+  FROM cnt GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, coalesce(sig0.sig, 0::UBIGINT) AS sig
+  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sig0 USING (doc_id)
+), memb AS (
+  SELECT ((sig >> (band * 16)) & 65535::UBIGINT)::BIGINT * 4 + band AS bucket, doc_id, sig
+  FROM sig CROSS JOIN range(4) br(band)
+), ranked AS (
+  SELECT bucket, doc_id, sig,
+    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM memb
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM ranked x JOIN ranked y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.rn <= 256 AND y.rn <= 256 AND bit_count(xor(x.sig, y.sig)) <= 3
+), ed AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM (SELECT DISTINCT doc_id FROM documents)
+  UNION
+  SELECT r.src, e.b AS dst FROM reach r JOIN ed e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def _fingerprint_sql() -> str:
+    """Oracle for textstats.fingerprint_docs (window=4): rolling shingle
+    hashes via lead() and the sequential sm/xor recurrence, xor-folded per doc
+    with bit_xor, masked to 63 bits."""
+    s1 = f"CASE WHEN h1 IS NULL THEN s0 ELSE xor({_sm_sql('s0')}, h1) END"
+    s2 = f"CASE WHEN h2 IS NULL THEN s1v ELSE xor({_sm_sql('s1v')}, h2) END"
+    s3 = f"CASE WHEN h3 IS NULL THEN s2v ELSE xor({_sm_sql('s2v')}, h3) END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, u.i, u.t
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) d,
+  LATERAL (SELECT unnest(toks) AS t, generate_subscripts(toks, 1) AS i) u
+), th AS (
+  SELECT doc_id, i, {_hash64_sql()} AS h FROM tok
+), led AS (
+  SELECT doc_id, i, h AS s0,
+    lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2, lead(h, 3) OVER w AS h3
+  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+), r1 AS (SELECT doc_id, {s1} AS s1v, h2, h3 FROM led),
+r2 AS (SELECT doc_id, {s2} AS s2v, h3 FROM r1),
+r3 AS (SELECT doc_id, {s3} AS s3v FROM r2),
+fp AS (SELECT doc_id, bit_xor({_sm_sql('s3v')}) AS f FROM r3 GROUP BY doc_id)
+SELECT d.doc_id,
+  (coalesce(fp.f, 0::UBIGINT) & 9223372036854775807::UBIGINT)::BIGINT AS fingerprint
+FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN fp USING (doc_id)
+ORDER BY doc_id
+"""
+
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001: adapt documents -> pages, build the
@@ -61,9 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
         "jaccard_pairs": d.jaccard_pairs,
-        "minhash_clusters": d.minhash_clusters,   # rows-only
-        "simhash_dups": d.simhash_dups,           # rows-only
-        "fingerprints": d.fingerprints,           # rows-only
+        "minhash_clusters": d.minhash_clusters,
+        "simhash_dups": d.simhash_dups,
+        "fingerprints": d.fingerprints,
         # embeddings / similarity search
         "knn_cosine": d.knn_cosine,
         "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
@@ -235,6 +442,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred "
             "FROM scores ORDER BY doc_id"
         ),
+        "fingerprints": _fingerprint_sql(),
+        "minhash_clusters": _minhash_sql(),
+        "simhash_dups": _simhash_sql(),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),
