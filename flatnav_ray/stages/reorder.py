@@ -20,12 +20,13 @@ Documented deviations from the reference algorithm:
   time — so the greedy itself only needs 1-hop updates on the symmetric,
   degree-capped adjacency. (The reference's own comment at Reordering.h:96
   notes the exact update rule barely moves the result.)
-- The priority queue is a flat numpy array + argmax instead of the bucketed
-  GorderPriorityQueue. argmax is O(n) per step, so the greedy is run over
-  contiguous chunks of GORDER_CHUNK docs: O(chunk) per step, locality is a
-  within-chunk property anyway (deltas only shrink between near-adjacent
-  ranks), and a partition at 100 TB scale would otherwise need the full
-  bucket structure. Chunking keeps the cost linear in partition size.
+- The priority queue is two engines with bit-identical output: a flat numpy
+  argmax scan for chunks <= 2^16 (vectorized O(chunk) per step beats Python
+  constants there) and a lazy int-keyed heap — the GorderPriorityQueue
+  analog — above (O((V+E) log), no quadratic cliff). The greedy still runs
+  over contiguous chunks of GORDER_CHUNK docs: locality is a within-chunk
+  property (deltas only shrink between near-adjacent ranks), and chunking
+  keeps per-task cost linear in partition size.
 
 Scale notes: everything here runs INSIDE one partition's merge task — no
 extra shuffle. Graph build is vectorized (one argsort + windowed pair
@@ -140,26 +141,91 @@ def gorder_rank(
     reference seeds node 0 the same way (Reordering.h:68-69).
     """
     rank_of = np.empty(n_docs, dtype=np.int64)
-    NEG = np.int64(-(1 << 62))
     for lo in range(0, n_docs, chunk):
         hi = min(lo + chunk, n_docs)
         m = hi - lo
-        pri = np.zeros(m, dtype=np.int64)
-        placed = np.empty(m, dtype=np.int64)
-        for i in range(m):
-            v = int(np.argmax(pri))
-            placed[i] = v
-            pri[v] = NEG
-            nb = indices[indptr[lo + v] : indptr[lo + v + 1]] - lo
-            nb = nb[(nb >= 0) & (nb < m)]
-            pri[nb] += 1
-            if i >= window:
-                u = placed[i - window]
-                nbu = indices[indptr[lo + u] : indptr[lo + u + 1]] - lo
-                nbu = nbu[(nbu >= 0) & (nbu < m)]
-                pri[nbu] -= 1
+        if m <= _ARGMAX_MAX_CHUNK:
+            placed = _greedy_argmax(indptr, indices, lo, m, window)
+        else:
+            placed = _greedy_heap(indptr, indices, lo, m, window)
         rank_of[placed + lo] = np.arange(lo, hi)
     return rank_of
+
+
+# Crossover between the two greedy engines (identical output, pytest-pinned):
+# the vectorized argmax scan costs O(m) per placed doc (~0.8 ns/element) and
+# wins below ~2^17 docs; the lazy heap costs O((1+2*deg) log) Python-level ops
+# per placed doc (~6 us/op) and wins above. Together the documented
+# O(chunk^2) blowup for large chunks is gone — users can raise GORDER_CHUNK
+# to widen locality reach without the quadratic cliff.
+_ARGMAX_MAX_CHUNK = 1 << 16
+
+
+def _greedy_argmax(
+    indptr: np.ndarray, indices: np.ndarray, lo: int, m: int, window: int
+) -> np.ndarray:
+    """O(m) argmax scan per placement — fastest for small chunks."""
+    pri = np.zeros(m, dtype=np.int64)
+    placed = np.empty(m, dtype=np.int64)
+    NEG = np.int64(-(1 << 62))
+    for i in range(m):
+        v = int(np.argmax(pri))
+        placed[i] = v
+        pri[v] = NEG
+        nb = indices[indptr[lo + v] : indptr[lo + v + 1]] - lo
+        nb = nb[(nb >= 0) & (nb < m)]
+        pri[nb] += 1
+        if i >= window:
+            u = placed[i - window]
+            nbu = indices[indptr[lo + u] : indptr[lo + u + 1]] - lo
+            nbu = nbu[(nbu >= 0) & (nbu < m)]
+            pri[nbu] -= 1
+    return placed
+
+
+def _greedy_heap(
+    indptr: np.ndarray, indices: np.ndarray, lo: int, m: int, window: int
+) -> np.ndarray:
+    """Lazy max-heap — the GorderPriorityQueue graft
+    (GorderPriorityQueue.h:13-109's O(1) bucket increment/decrement): every
+    increment pushes a fresh entry; pops discard entries whose recorded
+    priority no longer matches. Lazy decrements are safe because an entry
+    with priority BELOW a vertex's current one can never reach the heap top
+    while the current (smaller-keyed) entry is live — so when a vertex is
+    decremented, its entry at the lower priority is always still present.
+    One int key (priority flipped into the high bits, old position in the
+    low bits) keeps entries allocation-light and makes the pop order
+    (max priority, then LOWEST old position) match `_greedy_argmax`'s
+    first-hit tie-break bit-for-bit (equivalence pytest-pinned)."""
+    import heapq
+
+    SHIFT = max(22, m.bit_length() + 1)  # low bits: vertex id
+    BASE = 1 << 21  # > any priority (bounded by window + 1)
+    pri = np.zeros(m, dtype=np.int64)
+    placed = np.empty(m, dtype=np.int64)
+    heap = [(BASE << SHIFT) | v for v in range(m)]  # ascending == valid heap
+    done = np.zeros(m, dtype=bool)
+    pop, push = heapq.heappop, heapq.heappush
+    for i in range(m):
+        while True:
+            key = pop(heap)
+            v = key & ((1 << SHIFT) - 1)
+            if not done[v] and (BASE - int(pri[v])) << SHIFT | v == key:
+                break
+        placed[i] = v
+        done[v] = True
+        nb = indices[indptr[lo + v] : indptr[lo + v + 1]] - lo
+        nb = nb[(nb >= 0) & (nb < m)]
+        nb = nb[~done[nb]]
+        pri[nb] += 1
+        for key in (((BASE - pri[nb]) << SHIFT) | nb).tolist():
+            push(heap, key)
+        if i >= window:
+            u = placed[i - window]
+            nbu = indices[indptr[lo + u] : indptr[lo + u + 1]] - lo
+            nbu = nbu[(nbu >= 0) & (nbu < m)]
+            pri[nbu[~done[nbu]]] -= 1  # lazy: stale higher entries skipped at pop
+    return placed
 
 
 def gorder_rank_of(

@@ -239,3 +239,24 @@ class TestGorderEndToEnd:
         # rcm clusters the same graph (O(V+E) BFS instead of greedy argmax)
         s_rcm = index_size_bytes(gorder_vs_hash["rcm"])["segments"]
         assert s_rcm < s_hash * 0.97, (s_rcm, s_hash)
+
+
+class TestGreedyEngineEquivalence:
+    def test_heap_matches_argmax(self):
+        # the two greedy engines (argmax scan vs lazy heap) must produce the
+        # SAME permutation — the crossover dispatch must be invisible
+        from flatnav_ray.stages.reorder import _greedy_argmax, _greedy_heap
+
+        rng = np.random.Generator(np.random.PCG64(11))
+        for n, nterm, df in [(257, 400, 5), (1500, 2500, 7)]:
+            pos, codes = [], []
+            for t in range(nterm):
+                docs = rng.choice(n, size=df, replace=False)
+                pos.extend(docs.tolist())
+                codes.extend([t] * df)
+            indptr, idx = doc_similarity_graph(
+                np.array(pos, dtype=np.int64), np.array(codes, dtype=np.int64), n
+            )
+            a = _greedy_argmax(indptr, idx, 0, n, 8)
+            b = _greedy_heap(indptr, idx, 0, n, 8)
+            np.testing.assert_array_equal(a, b)
