@@ -746,28 +746,43 @@ class TermSearchSession:
     accumulates fetched postings in lexicographic term order — bit-identical
     scores to TermIndexSearcher.
 
-    Two scoring modes, both bit-identical to TermIndexSearcher (pytest):
+    Two scoring modes, both bit-identical to TermIndexSearcher (pytest),
+    picked by a size cutoff under the default mode="auto" (the same
+    planner-cutoff shape as the dedup semi-join's broadcast-vs-hash-join
+    switch, stages/dedup.py):
 
-    * mode="exchange" (default, the scale path): actors score their OWNED
-      terms and emit per-(query, doc) contribution partials partitioned by
-      doc range; range reducers fold them exactly (sorted by the query's
-      term order) and return each query's in-range top-k — so posting lists
-      NEVER leave their shard actor, reducer payload is bounded by its doc
-      range's hits, and the coordinator sees only n_ranges × k candidates
-      per query regardless of df.
-    * mode="fetch": the decoded (doc_ids, contribution) arrays of each cold
-      term ship to the coordinator once per session and are cached; scoring
-      fans out over query slices. Lower per-batch overhead for small warm
-      workloads, but a df=10^9 head term would ship its whole posting list —
-      kept as the comparison/latency mode.
+    * mode="fetch" (auto below EXCHANGE_MIN_DOCS): the decoded (doc_ids,
+      contribution) arrays of each cold term ship to the coordinator once
+      per session and are cached; scoring fans out over query slices.
+      Postings ship ONCE PER DISTINCT TERM, so per-batch cost is the pure
+      accumulation work — the right constant factors whenever the largest
+      posting list (≤ n_docs rows ≈ 16 bytes each) is cheap to ship.
+    * mode="exchange" (auto at or above EXCHANGE_MIN_DOCS, the scale path):
+      actors score their OWNED terms and emit per-(query, doc) contribution
+      partials partitioned by doc range; range reducers fold them exactly
+      (sorted by the query's term order) and return each query's in-range
+      top-k — posting lists NEVER reach the coordinator, which sees only
+      n_ranges × k candidates per query regardless of df. The partials are
+      materialized per (query, term), so per-batch volume is
+      Σ df(term) × queries_containing(term): only worth paying when a head
+      term's full posting list is too large to ship to one process at all
+      (df ≈ 10⁹ at the 100 TB corpus → 16 GB; EXCHANGE_MIN_DOCS keeps the
+      small-corpus bench on fetch, measured 35× faster at 93k docs).
 
     The doc layout (search.SearchSession) keeps scoring shard-local and is
     the default serving path — this session exists so the term layout is a
     first-class, pool-served index too (the reference serves both orderings
     through one search path, Index.h:412-427)."""
 
+    # auto-mode cutover: below this corpus size any single posting list
+    # (df ≤ n_docs, ~16 B/row decoded) ships to the coordinator in < ~1 GB
+    # and fetch's once-per-distinct-term shipping wins; above it a head
+    # term's posting list alone is too large for one process and the
+    # doc-range exchange is the only shape that scales.
+    EXCHANGE_MIN_DOCS = 64_000_000
+
     def __init__(self, index_dir: str, num_actors: int | None = None,
-                 mode: str = "exchange"):
+                 mode: str = "auto"):
         import ray
 
         from ..state.stats import load_stats
@@ -790,6 +805,12 @@ class TermSearchSession:
             float(self.stats["avgdl"]), float(self.stats["k1"]), float(self.stats["b"]),
         )
         self.actors = [cls.remote(a, *args) for a in assign]
+        if mode == "auto":
+            mode = (
+                "exchange"
+                if int(self.stats["n_docs"]) >= self.EXCHANGE_MIN_DOCS
+                else "fetch"
+            )
         self.mode = mode
         self._rows: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._rows_ref = None  # object-store copy shared by scoring tasks
