@@ -647,96 +647,131 @@ def _term_shard_actor_cls():
         def fetch(self, terms: list[str]):
             return self.state.fetch(terms)
 
-        def score_partial(self, qitems: list, n_ranges: int):
-            """Score the actor's OWNED terms against the query batch and
-            emit per-(query, doc) contribution triples partitioned by
-            doc % n_ranges — the term-partitioned -> doc-range exchange.
-            Postings never leave the actor; payload per range is bounded by
-            that range's hits, and the coordinator later sees only k-bounded
-            candidates from each range reducer."""
-            return _emit_partials(self.state, qitems, n_ranges)
+        def post_ranges(self, terms_sorted: list, n_ranges: int):
+            """Ship each OWNED query term's decoded in-range postings ONCE:
+            per doc-range (tid, doc, contrib) triples, tid-ascending within
+            every range — the term-partitioned -> doc-range exchange.
+            Payload is Σ df(owned query terms), independent of how many
+            queries share a term; the coordinator never touches it (actor
+            output objects flow straight to the range reducers)."""
+            return _emit_term_ranges(self.state, terms_sorted, n_ranges)
 
     return TermShardActor
 
 
-def _emit_partials(state: "_TermShardState", qitems: list, n_ranges: int):
-    """(qidx, qterm_idx, doc, contrib) arrays per doc-range, for the terms
-    `state` owns. qterm_idx is the term's position in ITS query's
-    lexicographically-sorted term list — the global accumulation-order key."""
-    qi_parts, ti_parts, d_parts, c_parts = [], [], [], []
-    for qi, (_qid, qterms) in enumerate(qitems):
-        for ti, (term, qtf) in enumerate(qterms):
-            hit = state.term_contrib(term)
-            if hit is None:
-                continue
-            d, contrib = hit
-            if qtf != 1:
-                contrib = qtf * contrib  # same expression as _score_query_rows
-            qi_parts.append(np.full(d.size, qi, dtype=np.int32))
-            ti_parts.append(np.full(d.size, ti, dtype=np.int16))
-            d_parts.append(d)
-            c_parts.append(contrib)
+def _emit_term_ranges(state: "_TermShardState", terms_sorted: list, n_ranges: int):
+    """(tid, doc, contrib) arrays per doc-range for the query terms `state`
+    owns, each term's postings emitted exactly once. tid is the term's index
+    in the globally-sorted distinct query-term list — which is also every
+    query's own lexicographic term order, i.e. the accumulation-order key.
+    The stable split of a tid-ordered concatenation keeps every range's rows
+    tid-ascending, so reducers need no re-sort beyond a cheap stable merge."""
+    tid_parts, d_parts, c_parts = [], [], []
+    for tid, term in enumerate(terms_sorted):
+        hit = state.term_contrib(term)
+        if hit is None:
+            continue
+        d, contrib = hit
+        tid_parts.append(np.full(d.size, tid, dtype=np.int32))
+        d_parts.append(d)
+        c_parts.append(contrib)
     if not d_parts:
         e = np.empty(0)
         return [
-            (e.astype(np.int32), e.astype(np.int16), e.astype(np.int64), e)
-            for _ in range(n_ranges)
+            (e.astype(np.int32), e.astype(np.int64), e) for _ in range(n_ranges)
         ]
-    qis = np.concatenate(qi_parts)
-    tis = np.concatenate(ti_parts)
+    tids = np.concatenate(tid_parts)
     docs = np.concatenate(d_parts)
     cs = np.concatenate(c_parts)
     rng = (docs % n_ranges).astype(np.int64)
     order = np.argsort(rng, kind="stable")
     counts = np.bincount(rng, minlength=n_ranges)
     offs = np.concatenate(([0], np.cumsum(counts)))
-    qis, tis, docs, cs = qis[order], tis[order], docs[order], cs[order]
+    tids, docs, cs = tids[order], docs[order], cs[order]
     return [
-        (qis[offs[r]: offs[r + 1]], tis[offs[r]: offs[r + 1]],
-         docs[offs[r]: offs[r + 1]], cs[offs[r]: offs[r + 1]])
+        (tids[offs[r]: offs[r + 1]], docs[offs[r]: offs[r + 1]],
+         cs[offs[r]: offs[r + 1]])
         for r in range(n_ranges)
     ]
 
 
-def _reduce_range(k: int, *parts):
-    """Doc-range reducer: fold per-actor contribution triples into exact
-    per-(query, doc) scores and keep each query's top-k within the range.
+def _reduce_range(k: int, qinc, *parts):
+    """Doc-range reducer: dense per-(query, in-range doc) accumulation from
+    once-per-term posting triples + the query<-term incidence lists, then
+    each query's exact in-range top-k.
 
-    Bit-exactness: contributions sort by (qidx, doc, qterm_idx) and fold
-    left-to-right per group via unbuffered np.add.at — the same float order
-    as the single-process accumulation, which applies terms in each query's
-    sorted term order. (np.add.reduceat is NOT usable here: its reduction
-    tree is not the sequential ((c1+c2)+c3), measured 1-ulp drift.)"""
-    qis = np.concatenate([p[0] for p in parts])
-    if qis.size == 0:
+    Bit-exactness: terms apply in ascending tid order, and global tid order
+    IS each query's lexicographically-sorted term order, so per (query, doc)
+    the fold is the same sequential ((c1+c2)+c3) from 0.0 as the
+    single-process searcher (equality pytest vs TermIndexSearcher). A term's
+    posting list has unique docs, so the vectorized `row[cols] += vals`
+    scatter has no duplicate indices and needs no unbuffered np.add.at.
+    Scratch is chunked to ≤32 MiB regardless of batch size."""
+    inc_offs, inc_qi, inc_qtf, n_queries = qinc
+    tids = np.concatenate([p[0] for p in parts])
+    if tids.size == 0:
         e = np.empty(0)
         return e.astype(np.int32), e.astype(np.int64), e
-    tis = np.concatenate([p[1] for p in parts])
-    docs = np.concatenate([p[2] for p in parts])
-    cs = np.concatenate([p[3] for p in parts])
-    order = np.lexsort((tis, docs, qis))
-    qis, docs, cs = qis[order], docs[order], cs[order]
-    new_grp = np.concatenate(
-        ([True], (qis[1:] != qis[:-1]) | (docs[1:] != docs[:-1]))
-    )
-    starts = np.flatnonzero(new_grp)
-    g_q = qis[starts]
-    g_d = docs[starts]
-    g_s = np.zeros(starts.size, dtype=np.float64)
-    np.add.at(g_s, np.cumsum(new_grp) - 1, cs)
-    out_q, out_d, out_s = [], [], []
-    q_starts = np.flatnonzero(np.concatenate(([True], g_q[1:] != g_q[:-1])))
-    q_ends = np.concatenate((q_starts[1:], [g_q.size]))
+    docs = np.concatenate([p[1] for p in parts])
+    cs = np.concatenate([p[2] for p in parts])
+    # per-actor parts are already tid-ascending; a stable sort merges them
+    order = np.argsort(tids, kind="stable")
+    tids, docs, cs = tids[order], docs[order], cs[order]
+    uniq, inv = np.unique(docs, return_inverse=True)
+    n_uniq = uniq.size
+    t_starts = np.flatnonzero(np.concatenate(([True], tids[1:] != tids[:-1])))
+    t_ends = np.concatenate((t_starts[1:], [tids.size]))
+    t_ids = tids[t_starts]
     from ..functions.bm25 import topk_select
 
-    for s, e in zip(q_starts, q_ends):
-        dd, ss = topk_select(g_s[s:e], g_d[s:e], k)
-        out_q.append(np.full(dd.size, g_q[s], dtype=np.int32))
-        out_d.append(dd)
-        out_s.append(ss)
+    out_q, out_d, out_s = [], [], []
+    chunk = max(1, min(n_queries, (1 << 22) // max(1, n_uniq)))
+    for q0 in range(0, n_queries, chunk):
+        q1 = min(n_queries, q0 + chunk)
+        scratch = np.zeros((q1 - q0, n_uniq), dtype=np.float64)
+        touched = np.zeros((q1 - q0, n_uniq), dtype=bool)
+        for t, s, e in zip(t_ids, t_starts, t_ends):
+            cols = inv[s:e]
+            vals = cs[s:e]
+            for j in range(inc_offs[t], inc_offs[t + 1]):
+                qi = inc_qi[j]
+                if qi < q0 or qi >= q1:
+                    continue
+                qtf = inc_qtf[j]
+                row = scratch[qi - q0]
+                if qtf != 1:
+                    row[cols] += qtf * vals  # same expression as _score_query_rows
+                else:
+                    row[cols] += vals
+                touched[qi - q0, cols] = True
+        for qi in range(q0, q1):
+            sel = np.flatnonzero(touched[qi - q0])
+            if sel.size == 0:
+                continue
+            dd, ss = topk_select(scratch[qi - q0, sel], uniq[sel], k)
+            out_q.append(np.full(dd.size, qi, dtype=np.int32))
+            out_d.append(dd)
+            out_s.append(ss)
+    if not out_q:
+        e = np.empty(0)
+        return e.astype(np.int32), e.astype(np.int64), e
     return (
         np.concatenate(out_q), np.concatenate(out_d), np.concatenate(out_s)
     )
+
+
+_REDUCE_REMOTE = None
+
+
+def _reduce_remote():
+    """Module-cached Ray remote wrapper of _reduce_range (a per-call
+    ray.remote() re-exports the function to the cluster every batch)."""
+    global _REDUCE_REMOTE
+    if _REDUCE_REMOTE is None:
+        import ray
+
+        _REDUCE_REMOTE = ray.remote(num_cpus=1)(_reduce_range)
+    return _REDUCE_REMOTE
 
 
 class TermSearchSession:
@@ -758,16 +793,20 @@ class TermSearchSession:
       accumulation work — the right constant factors whenever the largest
       posting list (≤ n_docs rows ≈ 16 bytes each) is cheap to ship.
     * mode="exchange" (auto at or above EXCHANGE_MIN_DOCS, the scale path):
-      actors score their OWNED terms and emit per-(query, doc) contribution
-      partials partitioned by doc range; range reducers fold them exactly
-      (sorted by the query's term order) and return each query's in-range
-      top-k — posting lists NEVER reach the coordinator, which sees only
-      n_ranges × k candidates per query regardless of df. The partials are
-      materialized per (query, term), so per-batch volume is
-      Σ df(term) × queries_containing(term): only worth paying when a head
-      term's full posting list is too large to ship to one process at all
-      (df ≈ 10⁹ at the 100 TB corpus → 16 GB; EXCHANGE_MIN_DOCS keeps the
-      small-corpus bench on fetch, measured 35× faster at 93k docs).
+      actors emit each OWNED query term's decoded postings ONCE,
+      range-partitioned by doc hash straight to range reducers, which do the
+      dense per-(query, in-range doc) accumulation and return each query's
+      in-range top-k — posting lists NEVER reach the coordinator, which
+      sees only n_ranges × k candidates per query regardless of df.
+      Per-batch posting volume equals fetch's (Σ df over distinct query
+      terms) but is spread actor->reducer instead of funneled into one
+      process, so it stays the only shape that works once a head term's
+      posting list (df ≈ 10⁹ at the 100 TB corpus → 16 GB decoded) cannot
+      live in the coordinator. Below that scale fetch wins on constants:
+      its coordinator cache persists decoded terms across batches, while
+      exchange re-ships postings and pays the per-batch task fan-out
+      (measured ~5× warm at 93k docs / 4k queries — EXCHANGE_MIN_DOCS keeps
+      the small-corpus regime on fetch).
 
     The doc layout (search.SearchSession) keeps scoring shard-local and is
     the default serving path — this session exists so the term layout is a
@@ -885,8 +924,10 @@ class TermSearchSession:
 
     def _search_exchange(self, qitems: list[tuple[int, list]], k: int) -> pa.Table:
         """Distributed term-partitioned scoring via the doc-range exchange
-        (see class docstring). Coordinator traffic: n_ranges × ≤k candidate
-        rows per query — independent of any term's df."""
+        (see class docstring). Posting volume: each distinct query term's
+        decoded postings move ONCE, range-partitioned actor->reducer;
+        coordinator traffic: n_ranges × ≤k candidate rows per query —
+        independent of any term's df."""
         import ray
 
         import pyarrow.compute as pc
@@ -894,18 +935,41 @@ class TermSearchSession:
         from ..functions.bm25 import topk_select
 
         n_ranges = self._n_workers
-        qref = ray.put(qitems)
+        # global tid order == every query's lexicographically-sorted term
+        # order (qterms are sorted), so tid-ascending application in the
+        # reducers reproduces the single-process per-query fold exactly
+        terms_sorted = sorted({t for _, qterms in qitems for t, _ in qterms})
+        tid_of = {t: i for i, t in enumerate(terms_sorted)}
+        n_terms = len(terms_sorted)
+        inc_t = np.fromiter(
+            (tid_of[t] for _, qterms in qitems for t, _ in qterms), dtype=np.int64
+        )
+        inc_q = np.fromiter(
+            (qi for qi, (_qid, qterms) in enumerate(qitems) for _ in qterms),
+            dtype=np.int32,
+        )
+        inc_f = np.fromiter(
+            (float(qtf) for _, qterms in qitems for _, qtf in qterms),
+            dtype=np.float64,
+        )
+        order = np.argsort(inc_t, kind="stable")
+        inc_t, inc_q, inc_f = inc_t[order], inc_q[order], inc_f[order]
+        inc_offs = np.searchsorted(inc_t, np.arange(n_terms + 1))
+        qinc_ref = ray.put((inc_offs, inc_q, inc_f, len(qitems)))
+        terms_ref = ray.put(terms_sorted)
         # actor r-th return object flows straight to reducer r — the
-        # coordinator never touches the contribution partials
+        # coordinator never touches the posting partials
         per_actor = [
-            a.score_partial.options(num_returns=n_ranges).remote(qref, n_ranges)
+            a.post_ranges.options(num_returns=n_ranges).remote(terms_ref, n_ranges)
             for a in self.actors
         ]
         if n_ranges == 1:  # num_returns=1 yields a bare ref, not a list
             per_actor = [[r] for r in per_actor]
-        reduce_task = ray.remote(num_cpus=1)(_reduce_range)
+        reduce_task = _reduce_remote()
         futs = [
-            reduce_task.remote(k, *[per_actor[a][r] for a in range(len(self.actors))])
+            reduce_task.remote(
+                k, qinc_ref, *[per_actor[a][r] for a in range(len(self.actors))]
+            )
             for r in range(n_ranges)
         ]
         outs = ray.get(futs)
