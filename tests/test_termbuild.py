@@ -99,9 +99,31 @@ class TestTermLayout:
         finally:
             sess.shutdown()
 
+    def test_term_session_auto_mode_cutover(self, both_indexes, monkeypatch):
+        """mode='auto' (the default) resolves by corpus size: fetch below
+        EXCHANGE_MIN_DOCS (posting lists cheaply shippable to the
+        coordinator), exchange at/above it (a head term's posting list
+        cannot live in one process) — the planner-cutoff shape shared with
+        the dedup semi-join's broadcast-vs-hash switch."""
+        from flatnav_ray.stages.termbuild import TermSearchSession
+
+        _, term_ix, _, _, _ = both_indexes
+        sess = TermSearchSession(term_ix, num_actors=2)
+        try:
+            assert sess.mode == "fetch"  # tiny corpus resolves below cutoff
+        finally:
+            sess.shutdown()
+        monkeypatch.setattr(TermSearchSession, "EXCHANGE_MIN_DOCS", 1)
+        sess = TermSearchSession(term_ix, num_actors=2)
+        try:
+            assert sess.mode == "exchange"
+        finally:
+            sess.shutdown()
+
     def test_term_session_exchange_mode_bit_identical_to_searcher(self, both_indexes):
-        """The doc-range-exchange scoring (default mode — postings never
-        leave their shard actor, coordinator sees only k-bounded candidates)
+        """The doc-range-exchange scoring (the at-scale serving mode —
+        each distinct term's postings ship once, range-partitioned straight
+        to range reducers; the coordinator sees only k-bounded candidates)
         must be bit-identical to the single-process term searcher, including
         repeat batches (actor contribution caches) and duplicate queries."""
         import pyarrow as pa
