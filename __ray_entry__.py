@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": d.fingerprints,
         # embeddings / similarity search
         "knn_cosine": d.knn_cosine,
+        "knn_l2": d.knn_l2,
+        "knn_ip": d.knn_ip,
         "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
         "knn_ivfpq": d.knn_ivfpq,                 # rows-only (compressed ANN)
         "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
@@ -470,6 +472,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM q CROSS JOIN embeddings e), "
             "r AS (SELECT query_id, vec_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) - 1 AS rank FROM s) "
+            "SELECT query_id, rank, vec_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+        "knn_l2": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, e.vec_id, list_distance(q.qe, e.embedding) AS l2 "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY l2 ASC, vec_id ASC) - 1 AS rank FROM s) "
+            "SELECT query_id, rank, vec_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+        "knn_ip": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, e.vec_id, list_inner_product(q.qe, e.embedding) AS ip "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC) - 1 AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
         ),
         "embedding_dups": (

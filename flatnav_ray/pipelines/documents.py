@@ -227,6 +227,42 @@ def knn_cosine(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def _knn_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    qt = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id < {n_queries}")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    qv = np.stack(qt.column("embedding").to_pylist())
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return qv, qids
+
+
+def knn_l2(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
+    """Brute-force Euclidean (L2) top-k — the reference's distance_type='l2'
+    surface (bindings.cpp:430-460, distances/SquaredL2Distance.h) under the
+    same partial-top-k/merge shape as knn_cosine."""
+    from ..stages.knn import brute_force_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qv, qids = _knn_queries(sf_dir, n_queries)
+    out = brute_force_knn(emb, qv, k=k, query_ids=qids, metric="l2")
+    out = out.select(["query_id", "rank", "vec_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def knn_ip(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
+    """Brute-force inner-product top-k — the reference's
+    distance_type='ip' surface (distances/InnerProductDistance.h)."""
+    from ..stages.knn import brute_force_knn
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qv, qids = _knn_queries(sf_dir, n_queries)
+    out = brute_force_knn(emb, qv, k=k, query_ids=qids, metric="ip")
+    out = out.select(["query_id", "rank", "vec_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 10, nprobe: int = 4) -> pa.Table:
     """IVF ANN variant (recall<1 scale path) — rows-only check."""
     from ..stages.knn import IvfIndex

@@ -46,11 +46,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_topk_partial(
-    sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int, id_col: str
+    sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int, id_col: str,
+    score_col: str = "cosine",
 ) -> pa.Table:
-    """Per-batch partial top-k over a (Q, B) similarity matrix; -inf entries
-    (masked out, e.g. unprobed IVF lists) never emit. Ties (cosine desc,
-    vec_id asc)."""
+    """Per-batch partial top-k over a (Q, B) similarity matrix (bigger =
+    better; metrics where smaller is better are negated by the caller);
+    -inf entries (masked out, e.g. unprobed IVF lists) never emit. Ties
+    (score desc, vec_id asc)."""
     out_q, out_id, out_s = [], [], []
     for qi in range(sims.shape[0]):
         row = sims[qi]
@@ -72,23 +74,24 @@ def _batch_topk_partial(
             {
                 "query_id": pa.array([], type=pa.int64()),
                 id_col: pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
+                score_col: pa.array([], type=pa.float64()),
             }
         )
     return pa.table(
         {
             "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
             id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
-            "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+            score_col: pa.array(np.concatenate(out_s), type=pa.float64()),
         }
     )
 
 
-def _merge_query_topk(group: pa.Table, k: int, id_col: str) -> pa.Table:
+def _merge_query_topk(group: pa.Table, k: int, id_col: str,
+                      score_col: str = "cosine") -> pa.Table:
     import pyarrow.compute as pc
 
     order = pc.sort_indices(
-        group, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+        group, sort_keys=[(score_col, "descending"), (id_col, "ascending")]
     )
     top = group.take(order[:k])
     return pa.table(
@@ -96,14 +99,16 @@ def _merge_query_topk(group: pa.Table, k: int, id_col: str) -> pa.Table:
             "query_id": top.column("query_id"),
             "rank": pa.array(np.arange(len(top), dtype=np.int32)),
             id_col: top.column(id_col),
-            "cosine": top.column("cosine"),
+            score_col: top.column(score_col),
         }
     )
 
 
-def _merge_partials(partials: ray.data.Dataset, k: int, id_col: str) -> pa.Table:
+def _merge_partials(partials: ray.data.Dataset, k: int, id_col: str,
+                    score_col: str = "cosine") -> pa.Table:
     merged = partials.groupby("query_id").map_groups(
-        _merge_query_topk, batch_format="pyarrow", fn_kwargs={"k": k, "id_col": id_col}
+        _merge_query_topk, batch_format="pyarrow",
+        fn_kwargs={"k": k, "id_col": id_col, "score_col": score_col},
     )
     batches = list(merged.iter_batches(batch_format="pyarrow"))
     t = (
@@ -114,7 +119,7 @@ def _merge_partials(partials: ray.data.Dataset, k: int, id_col: str) -> pa.Table
                 "query_id": pa.array([], type=pa.int64()),
                 "rank": pa.array([], type=pa.int32()),
                 id_col: pa.array([], type=pa.int64()),
-                "cosine": pa.array([], type=pa.float64()),
+                score_col: pa.array([], type=pa.float64()),
             }
         )
     )
@@ -130,11 +135,25 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_ids: np.ndarray | None = None,
+    metric: str = "cosine",
 ) -> pa.Table:
-    """Exact cosine top-k: per-batch matmul against the broadcast query matrix,
-    emit per-batch top-k partials, merge per query. Deterministic ties:
-    (cosine desc, vec_id asc). Returns (query_id, rank, vec_id, cosine)."""
-    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    """Exact top-k under a pluggable metric — the graft of the reference's
+    distance_type surface (`flatnav.index.create(distance_type='angular'|
+    'l2'|...)`, python-bindings/src/flatnav/bindings.cpp:430-460 and
+    include/flatnav/distances/): metric='cosine' (angular), 'ip' (raw inner
+    product) or 'l2' (Euclidean, smaller is better).
+
+    Per-batch matmul against the broadcast query matrix (the L2 expansion
+    ||q-x||^2 = ||q||^2 - 2 q.x + ||x||^2 keeps it one GEMM), per-batch
+    top-k partials, per-query merge. Deterministic ties: (score best-first,
+    vec_id asc) where best = highest cosine/ip, lowest l2. Returns
+    (query_id, rank, vec_id, <metric>) — the score column carries the
+    metric's natural value (l2 = the Euclidean distance)."""
+    if metric not in ("cosine", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}; one of cosine|ip|l2")
+    q = np.asarray(query_vectors, dtype=np.float64)
+    if metric == "cosine":
+        q = _normalize(q)
     qids = (
         np.asarray(query_ids, dtype=np.int64)
         if query_ids is not None
@@ -145,11 +164,22 @@ def brute_force_knn(
     def _partial(batch: pa.Table) -> pa.Table:
         qids_, q_ = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(_to_matrix(batch.column(vec_col)))
-        return _batch_topk_partial(q_ @ m.T, ids, qids_, k, id_col)
+        m = _to_matrix(batch.column(vec_col))
+        if metric == "cosine":
+            m = _normalize(m)
+        sims = q_ @ m.T
+        if metric == "l2":  # similarity = -squared distance (bigger = nearer)
+            sims = 2.0 * sims
+            sims -= (q_ * q_).sum(axis=1)[:, None]
+            sims -= (m * m).sum(axis=1)[None, :]
+        return _batch_topk_partial(sims, ids, qids_, k, id_col, score_col=metric)
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-    return _merge_partials(partials, k, id_col)
+    out = _merge_partials(partials, k, id_col, score_col=metric)
+    if metric == "l2":  # internal -dist^2 -> the actual Euclidean distance
+        d = np.sqrt(np.maximum(-out.column("l2").to_numpy(zero_copy_only=False), 0.0))
+        out = out.set_column(out.schema.get_field_index("l2"), "l2", pa.array(d))
+    return out
 
 
 class IvfIndex:

@@ -138,6 +138,30 @@ class TestKnn:
             got = out.filter(pa.compute.equal(out.column("query_id"), qi)).column("vec_id").to_pylist()
             assert got == exp.tolist()
 
+    def test_brute_force_l2_and_ip_vs_numpy(self, emb_ds):
+        """metric='l2'/'ip' (the reference's distance_type surface) must be
+        rank-identical to the numpy oracle under each metric's ordering."""
+        from flatnav_ray.stages.knn import brute_force_knn
+
+        ds, mat = emb_ds
+        q = mat[:5].astype(np.float32).astype(np.float64)  # parquet stores f32
+        m = mat.astype(np.float32).astype(np.float64)
+        out_l2 = brute_force_knn(ds, q, k=10, metric="l2")
+        out_ip = brute_force_knn(ds, q, k=10, metric="ip")
+        d2 = ((q[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        ips = q @ m.T
+        for qi in range(5):
+            exp_l2 = np.lexsort((np.arange(200), d2[qi]))[:10]
+            got = out_l2.filter(pa.compute.equal(out_l2.column("query_id"), qi))
+            assert got.column("vec_id").to_pylist() == exp_l2.tolist()
+            # reported score is the actual Euclidean distance
+            np.testing.assert_allclose(
+                got.column("l2").to_numpy(), np.sqrt(d2[qi][exp_l2]), rtol=1e-9
+            )
+            exp_ip = np.lexsort((np.arange(200), -ips[qi]))[:10]
+            got_ip = out_ip.filter(pa.compute.equal(out_ip.column("query_id"), qi))
+            assert got_ip.column("vec_id").to_pylist() == exp_ip.tolist()
+
     def test_ivf_recall_reasonable(self, emb_ds):
         from flatnav_ray.stages.knn import IvfIndex, brute_force_knn
 
