@@ -53,12 +53,15 @@ NSW_SCHEMA = pa.schema(
 
 
 def _select_neighbors(
-    cand: np.ndarray, cand_sims: np.ndarray, vecs: np.ndarray, m: int
+    cand: np.ndarray, cand_sims: np.ndarray, simfn, m: int
 ) -> np.ndarray:
     """Diversification prune (selectNeighbors semantics, Index.h:714-763):
     scanning candidates best-first, keep c only if sim(c, new) >= sim(c, kept)
     for every already-kept neighbor — i.e. c is closer to the new node than to
-    the kept set, so the kept edges spread over distinct directions."""
+    the kept set, so the kept edges spread over distinct directions. `simfn`
+    is the graph's metric surrogate (bigger = nearer) between STORED nodes —
+    the prune rule is metric-generic, exactly as the reference's templated
+    DistanceInterface makes it."""
     order = np.argsort(-cand_sims, kind="stable")
     kept: list[int] = []
     for idx in order:
@@ -66,7 +69,7 @@ def _select_neighbors(
         if len(kept) >= m:
             break
         if kept:
-            to_kept = vecs[kept] @ vecs[c]
+            to_kept = simfn(np.asarray(kept, dtype=np.int64), c)
             if (to_kept > cand_sims[idx]).any():
                 continue
         kept.append(c)
@@ -90,22 +93,43 @@ class _ShardGraph:
     behavior), beam-search insert and query."""
 
     def __init__(self, vecs: np.ndarray, m: int = 16, ef_construction: int = 64,
-                 num_initializations: int = 32):
-        self.vecs = vecs  # normalized float32, shape (n, d)
+                 num_initializations: int = 32, metric: str = "cosine"):
+        self.vecs = vecs  # float32 (n, d); pre-normalized iff metric=cosine
         self.m = m
         self.efc = ef_construction
         self.num_init = num_initializations
+        self.metric = metric
+        # similarity surrogate, bigger = nearer (the reference's templated
+        # DistanceInterface role): cosine/ip = dot; l2 = -squared distance
+        # via the norm expansion (one GEMV + precomputed row norms)
+        self._norms2 = (
+            (vecs.astype(np.float64) ** 2).sum(axis=1) if metric == "l2" else None
+        )
         n = vecs.shape[0]
         self.adj = np.full((n, 2 * m), -1, dtype=np.int32)
         self.deg = np.zeros(n, dtype=np.int32)
         self._visited = np.zeros(n, dtype=np.int64)  # epoch-marked visited set
         self._epoch = 0
 
+    def _sims_q(self, idx: np.ndarray, q: np.ndarray, q2: float) -> np.ndarray:
+        """Similarity of stored nodes `idx` to an external query vector."""
+        dots = self.vecs[idx] @ q
+        if self.metric == "l2":
+            return 2.0 * dots - self._norms2[idx] - q2
+        return dots
+
+    def _sims_node(self, idx: np.ndarray, node: int) -> np.ndarray:
+        """Similarity of stored nodes `idx` to stored node `node`."""
+        return self._sims_q(
+            idx, self.vecs[node],
+            self._norms2[node] if self._norms2 is not None else 0.0,
+        )
+
     # -- construction ------------------------------------------------------
     def build(self) -> None:
         for i in range(1, self.vecs.shape[0]):
             cand, sims = self._beam(self.vecs[i], self.efc, limit=i)
-            nbrs = _select_neighbors(cand, sims, self.vecs, self.m)
+            nbrs = _select_neighbors(cand, sims, self._sims_node, self.m)
             self.adj[i, : nbrs.size] = nbrs
             self.deg[i] = nbrs.size
             for nb in nbrs:
@@ -118,21 +142,21 @@ class _ShardGraph:
 
     def _reprune(self, node: int) -> None:
         nbrs = self.adj[node, : self.deg[node]]
-        sims = self.vecs[nbrs] @ self.vecs[node]
-        kept = _select_neighbors(nbrs.astype(np.int64), sims, self.vecs, self.m)
+        sims = self._sims_node(nbrs.astype(np.int64), node)
+        kept = _select_neighbors(nbrs.astype(np.int64), sims, self._sims_node, self.m)
         self.adj[node, :] = -1
         self.adj[node, : kept.size] = kept
         self.deg[node] = kept.size
 
     # -- search ------------------------------------------------------------
-    def _entry(self, q: np.ndarray, limit: int) -> int:
+    def _entry(self, q: np.ndarray, q2: float, limit: int) -> int:
         """Strided entry-point sampling (initializeSearch, Index.h:845-870):
         probe every limit/num_initializations-th node, start from the best
         (the reference exposes num_initializations as a search knob,
         bindings.cpp:484-504)."""
         step = max(1, limit // self.num_init)
         probes = np.arange(0, limit, step)
-        return int(probes[np.argmax(self.vecs[probes] @ q)])
+        return int(probes[np.argmax(self._sims_q(probes, q, q2))])
 
     def _beam(
         self, q: np.ndarray, ef: int, limit: int | None = None
@@ -145,8 +169,9 @@ class _ShardGraph:
             return np.empty(0, dtype=np.int64), np.empty(0)
         self._epoch += 1
         vis = self._visited
-        ep = self._entry(q, n)
-        s0 = float(self.vecs[ep] @ q)
+        q2 = float((q.astype(np.float64) ** 2).sum()) if self.metric == "l2" else 0.0
+        ep = self._entry(q, q2, n)
+        s0 = float(self._sims_q(np.asarray([ep]), q, q2)[0])
         vis[ep] = self._epoch
         # frontier: max-heap by sim (python heapq is a min-heap -> negate);
         # result: min-heap of (sim, -id) keeping the ef best
@@ -164,7 +189,7 @@ class _ShardGraph:
             if fresh.size == 0:
                 continue
             vis[fresh] = self._epoch
-            sims = self.vecs[fresh] @ q
+            sims = self._sims_q(fresh, q, q2)
             worst = result[0][0] if len(result) >= ef else -np.inf
             for s, nb in zip(sims.tolist(), fresh.tolist()):
                 if len(result) < ef:
@@ -219,12 +244,17 @@ def build_nsw_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_initializations: int = 32,
+    metric: str = "cosine",
 ) -> int:
     """Shard-parallel NSW build: hash-shard the embeddings, build one graph
     per shard inside its map_groups task, persist (vec_id, vector, neighbors)
     parquet per shard plus an nsw_stats.json completion marker (written last;
-    records m/ef_construction so search reconstructs graphs with the right
-    adjacency width). Returns total vectors indexed."""
+    records m/ef_construction/metric so search reconstructs graphs with the
+    right adjacency width and distance). metric='cosine'|'ip'|'l2' — the
+    reference's distance_type build knob (bindings.cpp create()). Returns
+    total vectors indexed."""
+    if metric not in ("cosine", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}; one of cosine|ip|l2")
     os.makedirs(index_dir, exist_ok=True)
 
     def _with_shard(batch: pa.Table) -> pa.Table:
@@ -242,9 +272,12 @@ def build_nsw_index(
         ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids)  # deterministic insert order
         ids = ids[order]
-        vecs = _normalize(_to_matrix(group.column(vec_col)))[order].astype(np.float32)
+        vecs = _to_matrix(group.column(vec_col))
+        if metric == "cosine":
+            vecs = _normalize(vecs)
+        vecs = vecs[order].astype(np.float32)
         g = _ShardGraph(vecs, m=m, ef_construction=ef_construction,
-                        num_initializations=num_initializations)
+                        num_initializations=num_initializations, metric=metric)
         g.build()
         nbr_ids = [g.adj[i, : g.deg[i]].tolist() for i in range(len(ids))]
         t = pa.table(
@@ -285,6 +318,7 @@ def build_nsw_index(
                 "m": m,
                 "ef_construction": ef_construction,
                 "num_initializations": num_initializations,
+                "metric": metric,
             },
             f,
         )
@@ -301,21 +335,27 @@ def search_nsw_index(
     num_initializations: int | None = None,
 ) -> pa.Table:
     """Distributed query: broadcast queries once, one beam-search task per
-    shard, deterministic (cosine desc, vec_id asc) merge. Returns
-    (query_id, rank, vec_id, cosine) like brute_force_knn.
+    shard, deterministic (score best-first, vec_id asc) merge. Returns
+    (query_id, rank, vec_id, <metric>) like brute_force_knn — the score
+    column carries the metric's natural value (l2 = Euclidean distance).
 
-    Graph params (m — hence adjacency width — and the num_initializations
-    default) come from the index's nsw_stats.json marker, so an index built
-    with m != 16 reconstructs correctly."""
-    q = _normalize(np.asarray(query_vectors, dtype=np.float64)).astype(np.float32)
+    Graph params (m — hence adjacency width — the metric, and the
+    num_initializations default) come from the index's nsw_stats.json
+    marker, so an index built with m != 16 or a non-cosine distance
+    reconstructs correctly."""
+    st = load_nsw_stats(index_dir) or {}
+    m = int(st.get("m", 16))
+    metric = str(st.get("metric", "cosine"))
+    q = np.asarray(query_vectors, dtype=np.float64)
+    if metric == "cosine":
+        q = _normalize(q)
+    q = q.astype(np.float32)
     qids = (
         np.asarray(query_ids, dtype=np.int64)
         if query_ids is not None
         else np.arange(q.shape[0], dtype=np.int64)
     )
     bref = ray.put((qids, q))
-    st = load_nsw_stats(index_dir) or {}
-    m = int(st.get("m", 16))
     num_init = int(
         num_initializations
         if num_initializations is not None
@@ -344,7 +384,8 @@ def search_nsw_index(
         widths = np.diff(offs)
         # adjacency width: persisted 2m, grown if any row overflowed it
         width = max(2 * m, int(widths.max()) if widths.size else 0)
-        g = _ShardGraph(vecs, m=max(1, (width + 1) // 2), num_initializations=num_init)
+        g = _ShardGraph(vecs, m=max(1, (width + 1) // 2),
+                        num_initializations=num_init, metric=metric)
         if widths.size and widths.sum():
             rows_idx = np.repeat(np.arange(len(ids)), widths)
             cols_idx = np.arange(offs[0], offs[-1]) - np.repeat(offs[:-1], widths)
@@ -366,18 +407,22 @@ def search_nsw_index(
                 {
                     "query_id": pa.array([], type=pa.int64()),
                     "vec_id": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
+                    metric: pa.array([], type=pa.float64()),
                 }
             )
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+                metric: pa.array(np.concatenate(out_s), type=pa.float64()),
             }
         )
 
     partials = pa.concat_tables(ray.get([_shard_search.remote(p) for p in shards]))
-    # cosine recomputed in float32 graph space; recompute exact float64 rank
-    # keys at merge time is unnecessary — ties resolve by (cosine, vec_id)
-    return _merge_partials(ray.data.from_arrow(partials), k, "vec_id")
+    # scores recomputed in float32 graph space; recompute exact float64 rank
+    # keys at merge time is unnecessary — ties resolve by (score, vec_id)
+    out = _merge_partials(ray.data.from_arrow(partials), k, "vec_id", score_col=metric)
+    if metric == "l2":  # internal -dist^2 surrogate -> actual Euclidean distance
+        d = np.sqrt(np.maximum(-out.column("l2").to_numpy(zero_copy_only=False), 0.0))
+        out = out.set_column(out.schema.get_field_index("l2"), "l2", pa.array(d))
+    return out

@@ -37,7 +37,7 @@ class TestSelectNeighbors:
         q /= np.linalg.norm(q)
         cand = np.arange(4, dtype=np.int64)
         sims = (vecs @ q).astype(np.float64)
-        kept = _select_neighbors(cand, sims, vecs, 2)
+        kept = _select_neighbors(cand, sims, lambda kp, c: vecs[kp] @ vecs[c], 2)
         assert 3 in kept.tolist()
 
     def test_backfill_keeps_degree_near_m(self):
@@ -45,7 +45,7 @@ class TestSelectNeighbors:
         vecs = np.tile(np.array([[1.0, 0.0]], dtype=np.float32), (5, 1))
         cand = np.arange(5, dtype=np.int64)
         sims = np.full(5, 0.9)
-        kept = _select_neighbors(cand, sims, vecs, 3)
+        kept = _select_neighbors(cand, sims, lambda kp, c: vecs[kp] @ vecs[c], 3)
         assert kept.size == 3
 
 
@@ -100,6 +100,36 @@ class TestNswEndToEnd:
         r_lo = _recall(search_nsw_index(nsw_index, qv, k=10, ef_search=10), exact, 10)
         assert r_hi >= 0.9, r_hi  # reference floor shape (test_index.py:62)
         assert r_hi >= r_lo
+
+    @pytest.mark.parametrize("metric", ["l2", "ip"])
+    def test_metric_recall(self, ray_session, tmp_path, metric):
+        """distance_type parity (reference bindings.cpp create(): l2/ip next
+        to angular): an NSW index built under each metric must reach the
+        same recall floor vs the brute-force oracle UNDER THAT METRIC, and
+        its score column must carry the metric's natural value."""
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from flatnav_ray.stages.knn import brute_force_knn
+
+        d = str(tmp_path / f"ix_{metric}")
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = build_nsw_index(ds, d, n_shards=2, m=16, ef_construction=64,
+                            metric=metric)
+        assert n == 500
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        qv = np.stack(t.column("embedding").to_pylist()[:20])
+        exact = brute_force_knn(
+            ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+            qv, k=10, metric=metric,
+        )
+        got = search_nsw_index(d, qv, k=10, ef_search=128)
+        assert got.schema.names == ["query_id", "rank", "vec_id", metric]
+        assert _recall(got, exact, 10) >= 0.9
+        if metric == "l2":  # natural value: distances ascend with rank
+            for q in (0, 1, 2):
+                vals = [r["l2"] for r in got.to_pylist() if r["query_id"] == q]
+                assert vals == sorted(vals) and vals[0] >= 0.0
 
     def test_deterministic(self, nsw_index):
         import pyarrow.parquet as pq
