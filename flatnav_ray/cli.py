@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -87,6 +88,83 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def _vectors_dataset(path: str):
+    """Parquet dir/file or packed vector file -> Dataset(vec_id, embedding)."""
+    import ray.data
+
+    if path.endswith(".parquet") or os.path.isdir(path):
+        return ray.data.read_parquet(path)
+    from .sources.vectors import read_vectors
+
+    return read_vectors(path)
+
+
+def _vectors_matrix(path: str):
+    """Small-side load (queries / gtruth): file -> (ids, ndarray)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _vectors_dataset(path)
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).sort_by("vec_id")
+    from .stages.knn import _to_matrix
+
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, _to_matrix(t.column("embedding"))
+
+
+def cmd_ann_build(args) -> int:
+    """construct_npy graft (tools/construct_npy.cpp:90-135): packed vector
+    file (or embeddings parquet) -> sharded NSW graph index on disk."""
+    from .stages.nsw import build_nsw_index
+
+    _ray_init()
+    t0 = time.perf_counter()
+    n = build_nsw_index(
+        _vectors_dataset(args.vectors), args.out, n_shards=args.shards,
+        m=args.m, ef_construction=args.ef_construction, metric=args.metric,
+    )
+    dt = time.perf_counter() - t0
+    print(json.dumps({"stage": "ann-build", "n_vectors": n, "shards": args.shards,
+                      "m": args.m, "metric": args.metric, "sec": round(dt, 2),
+                      "vecs_per_sec": round(n / dt, 1), "index": args.out}))
+    return 0
+
+
+def cmd_ann_query(args) -> int:
+    """query_npy graft (tools/query_npy.cpp:71-160): query the NSW index,
+    write (query_id, rank, vec_id, score) parquet; with --gtruth (ivecs/ibin
+    or parquet of true neighbor id lists) also report recall@k — the
+    reference CLI's headline output."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .stages.nsw import search_nsw_index
+
+    _ray_init()
+    qids, qv = _vectors_matrix(args.queries)
+    t0 = time.perf_counter()
+    out = search_nsw_index(args.index, qv, k=args.k, ef_search=args.ef_search,
+                           query_ids=qids)
+    dt = time.perf_counter() - t0
+    pq.write_table(out, args.out)
+    rep = {"stage": "ann-query", "n_queries": len(qids), "k": args.k,
+           "ef_search": args.ef_search, "sec": round(dt, 3),
+           "qps": round(len(qids) / dt, 1), "out": args.out}
+    if args.gtruth:
+        _, gt = _vectors_matrix(args.gtruth)  # row i = true neighbor ids of query i
+        got: dict[int, list[int]] = {}
+        for r in out.to_pylist():
+            got.setdefault(r["query_id"], []).append(r["vec_id"])
+        rec = [
+            len(set(got.get(int(qid), [])) & set(gt[i][: args.k].astype(np.int64).tolist()))
+            / args.k
+            for i, qid in enumerate(qids)
+        ]
+        rep["recall"] = round(float(np.mean(rec)), 4)
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .sources.synth import pages_dataset
 
@@ -121,6 +199,27 @@ def main(argv=None) -> int:
     c.add_argument("--src", nargs="+", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    ab = sub.add_parser("ann-build")
+    ab.add_argument("--vectors", required=True,
+                    help="packed vector file (.fvecs/.bvecs/.fbin/...) or embeddings parquet")
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--shards", type=int, default=8)
+    ab.add_argument("--m", type=int, default=16)
+    ab.add_argument("--ef-construction", type=int, default=64)
+    ab.add_argument("--metric", choices=["cosine", "l2", "ip"], default="cosine")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    aq = sub.add_parser("ann-query")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--queries", required=True,
+                    help="packed vector file or embeddings parquet")
+    aq.add_argument("--out", required=True)
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--ef-search", type=int, default=64)
+    aq.add_argument("--gtruth", default=None,
+                    help="true-neighbor id lists (.ivecs/.ibin or parquet) -> report recall@k")
+    aq.set_defaults(fn=cmd_ann_query)
 
     s = sub.add_parser("synth")
     s.add_argument("--rows", type=int, required=True)

@@ -104,3 +104,41 @@ def test_converter_feeds_knn(ray_session, tmp_path):
     # rank-0 neighbor of query i is vector i itself (cosine similarity 1)
     top = out.to_pandas().sort_values(["query_id", "rank"]).groupby("query_id").first()
     assert top["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_ann_cli_lifecycle(ray_session, tmp_path):
+    """construct_npy -> query_npy lifecycle parity (SURVEY §3.2,
+    tools/construct_npy.cpp:90-135, query_npy.cpp:71-160): packed base file
+    -> CLI ann-build -> CLI ann-query with an .ivecs gtruth -> recall
+    reported and high."""
+    import json
+
+    from flatnav_ray.cli import main
+
+    rng = np.random.Generator(np.random.PCG64(12))
+    base = rng.normal(size=(300, 12)).astype(np.float32)
+    qs = base[:6] + rng.normal(scale=0.01, size=(6, 12)).astype(np.float32)
+    _write_xvecs(str(tmp_path / "base.fvecs"), base, np.float32)
+    _write_xvecs(str(tmp_path / "q.fvecs"), qs, np.float32)
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    gt = np.argsort(-(qn @ bn.T), axis=1, kind="stable")[:, :10].astype(np.int32)
+    _write_xvecs(str(tmp_path / "gt.ivecs"), gt, np.int32)
+    ix = str(tmp_path / "ix")
+    out = str(tmp_path / "res.parquet")
+    assert main(["ann-build", "--vectors", str(tmp_path / "base.fvecs"),
+                 "--out", ix, "--shards", "2", "--m", "12"]) == 0
+    assert main(["ann-query", "--index", ix, "--queries", str(tmp_path / "q.fvecs"),
+                 "--out", out, "--k", "10", "--ef-search", "96",
+                 "--gtruth", str(tmp_path / "gt.ivecs")]) == 0
+    import pyarrow.parquet as pq
+
+    res = pq.read_table(out)
+    assert res.schema.names == ["query_id", "rank", "vec_id", "cosine"]
+    assert len(res) == 60
+    # recompute recall the way the CLI does; high ef on 300 vecs -> >= 0.9
+    got = {}
+    for r in res.to_pylist():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = np.mean([len(got[i] & set(gt[i].tolist())) / 10 for i in range(6)])
+    assert rec >= 0.9
