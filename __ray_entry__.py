@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
+        "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -355,6 +356,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2), ",
     )
     assert multi_sql != bm25_sql
+    # conjunctive AND: same 2-term matrix, but a doc must match BOTH terms —
+    # the per-(query, doc) fold sees exactly one row per matched term, so
+    # HAVING count(*) = 2 is the intersection predicate.
+    and_sql = multi_sql.replace(
+        "FROM scored1 GROUP BY 1, 2), ",
+        "FROM scored1 GROUP BY 1, 2 HAVING count(*) = 2), ",
+    )
+    assert and_sql != multi_sql
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -499,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,
+        "bm25_topk_and": and_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

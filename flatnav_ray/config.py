@@ -59,7 +59,8 @@ class IndexConfig:
 @dataclass(frozen=True)
 class QueryConfig:
     k: int = 10
-    # "taat"/"maxscore": cached exact; "wand": block-max pruned exact
+    # "taat"/"maxscore": cached exact; "wand": block-max pruned exact;
+    # "and": conjunctive posting-list intersection (match ALL terms)
     method: str = "maxscore"
     concurrency: int = 8
     scorer: str = "bm25"

@@ -534,6 +534,26 @@ def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
+    """Conjunctive-AND retrieval (SURVEY.md §2.7 — posting-list intersection):
+    the same 2-term query matrix as bm25_topk_multi, but a doc must contain
+    BOTH terms to qualify. The oracle is the multi-term SQL with
+    HAVING count(*) = n_terms; scores and tie order are otherwise identical,
+    so the hash compare holds bit-for-bit."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=20)
+    texts = single.column("text").to_pylist()
+    multi = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array([f"{texts[i]} {texts[i + 10]}" for i in range(10)], type=pa.string()),
+        }
+    )
+    out = search_to_table(ix, multi, QueryConfig(k=k, method="and"))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_rcm(sf_dir: str, k: int = 10) -> pa.Table:
     """Sequenced graph reordering "gorder+rcm" (the reference's
     reorder(strategies=["gorder","rcm"]) list, bindings.cpp:285-295 with

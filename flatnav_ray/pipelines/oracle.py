@@ -25,9 +25,14 @@ def brute_force_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    conjunctive: bool = False,
 ) -> pa.Table:
     """docs: (doc_id, text[, url]); queries: (query_id, text) ->
-    (query_id, rank, doc_id, score) with ties (score desc, doc_id asc)."""
+    (query_id, rank, doc_id, score) with ties (score desc, doc_id asc).
+
+    conjunctive=True: only documents containing EVERY distinct query term
+    qualify (a query with a corpus-absent term matches nothing) — the
+    ground truth for the engine's method="and" intersection path."""
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     tfs: dict[int, Counter] = {}
@@ -57,6 +62,14 @@ def brute_force_topk(
                 if tf:
                     s = w * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls[d] / avgdl))
                     scores[d] = scores.get(d, 0.0) + qtf * s
+        if conjunctive:
+            if any(df.get(t, 0) == 0 for t in qc):
+                scores = {}
+            else:
+                scores = {
+                    d: s for d, s in scores.items()
+                    if all(tfs[d].get(t, 0) > 0 for t in qc)
+                }
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         for r, (d, s) in enumerate(ranked):
             out_q.append(qid)

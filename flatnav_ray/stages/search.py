@@ -228,7 +228,9 @@ class _ShardState:
         + scored once per term, reused across the whole batch) — optimal for
         batched serving. method="wand": block-max pruned evaluation that
         decodes only blocks that can affect the top-k (no cache) — the scale
-        path for long posting lists / ad-hoc queries. All exact."""
+        path for long posting lists / ad-hoc queries. method="and":
+        conjunctive posting-list intersection (docs must match EVERY query
+        term; SURVEY.md §2.7 — the grafted set-intersect). All exact."""
         q_out: list[np.ndarray] = []
         d_out: list[np.ndarray] = []
         s_out: list[np.ndarray] = []
@@ -240,6 +242,8 @@ class _ShardState:
                 docs, ssc, n_cand, n_blocks = self.search_one_pruned(
                     plan, qi, scorer, approx_factor
                 )
+            elif method == "and":
+                docs, ssc, n_cand, n_blocks = self.search_one_and(plan, qi, scorer)
             else:
                 entries = []
                 n_blocks = 0
@@ -305,6 +309,56 @@ class _ShardState:
             }
         )
 
+
+    # ---- conjunctive intersection path (method="and") ----
+
+    def search_one_and(self, plan: QueryPlan, qi: int, scorer):
+        """Conjunctive top-k: only documents containing EVERY query term
+        qualify — the grafted posting-list intersection (SURVEY.md §2.7; the
+        reference's only set op is the per-search visited set,
+        VisitedSetPool.h:16-89, but an FT engine's AND mode is the classic
+        sorted-list intersect).
+
+        Postings are sorted docmap positions, so the intersection is a
+        smallest-first searchsorted sweep (the vectorized form of a galloping
+        merge: every probe of the larger list is a binary search). Scores for
+        surviving docs re-accumulate in lexicographic term order — the exact
+        float-op order of the TAAT path, so conjunctive scores are
+        bit-identical to the same doc's disjunctive score."""
+        empty = np.empty(0, dtype=np.int64)
+        entries: list[tuple[int, np.ndarray, np.ndarray]] = []
+        n_blocks = 0
+        for term, qtf in plan.query_terms[qi]:
+            if plan.term_idf.get(term, 0.0) <= 0.0:
+                # a term absent from the whole corpus: no doc can match ALL
+                return empty, empty.astype(np.float64), 0, 0
+            hit = self.term_contrib(term, plan, scorer)
+            if hit is None:
+                # term absent from THIS shard: no conjunctive match here
+                return empty, empty.astype(np.float64), 0, n_blocks
+            entries.append((qtf, hit[0], hit[1]))
+            n_blocks += hit[2]
+        if not entries:
+            return empty, empty.astype(np.float64), 0, 0
+        # intersect smallest list first: each pass costs O(|isect| log df)
+        order = sorted(range(len(entries)), key=lambda i: entries[i][1].size)
+        isect = entries[order[0]][1]
+        for i in order[1:]:
+            if isect.size == 0:
+                break
+            pos = entries[i][1]
+            j = np.searchsorted(pos, isect)
+            valid = j < pos.size
+            valid[valid] = pos[j[valid]] == isect[valid]
+            isect = isect[valid]
+        if isect.size == 0:
+            return empty, empty.astype(np.float64), 0, n_blocks
+        out = np.zeros(isect.size, dtype=np.float64)
+        for qtf, pos, contrib in entries:  # lexicographic (plan order kept)
+            idx = np.searchsorted(pos, isect)
+            out += contrib[idx] if qtf == 1 else qtf * contrib[idx]
+        docs, ssc = topk_select(out, self.docmap_ids[isect], plan.k)
+        return docs, ssc, int(isect.size), n_blocks
 
     # ---- block-max pruned path (method="wand") ----
 

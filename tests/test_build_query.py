@@ -89,6 +89,41 @@ class TestRankIdentity:
         )
         assert exact.equals(exact2)
 
+    def test_and_conjunctive_matches_oracle(self, built_index):
+        """method='and' (posting-list intersection): rank-identical to the
+        conjunctive brute-force oracle over the full 1-5-term query matrix
+        (single-term, multi-term, and corpus-absent-term queries), and every
+        surviving doc keeps its EXACT disjunctive score (the intersection
+        filters candidates, never perturbs accumulation order)."""
+        ix, _, pages, queries = built_index
+        out = search_to_table(ix, queries, QueryConfig(k=10, method="and"))
+        deduped = dedup_latest(prepare_batch(pages, 8, None))
+        gt = brute_force_topk(
+            deduped.select(["doc_id", "text"]), queries, k=10, conjunctive=True
+        )
+        assert out.column("query_id").to_pylist() == gt.column("query_id").to_pylist()
+        assert out.column("doc_id").to_pylist() == gt.column("doc_id").to_pylist()
+        np.testing.assert_allclose(
+            out.column("score").to_numpy(), gt.column("score").to_numpy(), rtol=0, atol=1e-9
+        )
+        # conjunctive ⊆ disjunctive with identical per-doc scores (bit-exact)
+        taat = search_to_table(ix, queries, QueryConfig(k=10, method="taat"))
+        full = {
+            (q, d): s
+            for q, d, s in zip(
+                taat.column("query_id").to_pylist(),
+                taat.column("doc_id").to_pylist(),
+                taat.column("score").to_pylist(),
+            )
+        }
+        for q, d, s in zip(
+            out.column("query_id").to_pylist(),
+            out.column("doc_id").to_pylist(),
+            out.column("score").to_pylist(),
+        ):
+            if (q, d) in full:  # doc also in the disjunctive top-k
+                assert s == full[(q, d)]
+
     def test_search_session_equals_dataset_path(self, built_index):
         """Server mode (persistent shard actors) returns identical results to
         the Dataset pipeline — the serialization/load-once round-trip."""

@@ -2,7 +2,7 @@
 queries() entry at a given sf and compare with oracle_sql() via DuckDB
 (row count + column names + order-insensitive value comparison).
 
-Usage: python tools/check_driver.py [sf_dir]
+Usage: python tools/check_driver.py [sf_dir] [only_name ...]
 """
 
 from __future__ import annotations
@@ -47,6 +47,9 @@ def main() -> int:
         )
 
     qs = e.queries()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2:])
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
