@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
+        "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -364,6 +365,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2 HAVING count(*) = 2), ",
     )
     assert and_sql != multi_sql
+    # minimum_should_match: 3-term queries (df ranks i, i+10, i+20), doc
+    # qualifies with >= 2 matched terms. A 3-double sum is order-SENSITIVE,
+    # so the fold is the ordered aggregate sum(score ORDER BY term) — DuckDB
+    # folds sequentially in that order, bit-identical to the engine's pinned
+    # lexicographic accumulation.
+    msm_sql = bm25_sql.replace(
+        "WHERE query_id < 20), ",
+        "WHERE query_id < 30), ",
+    ).replace(
+        "scored AS (SELECT qt.query_id, tf.doc_id, ",
+        "scored1 AS (SELECT qt.query_id, tf.doc_id, qt.term, ",
+    ).replace(
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT query_id % 10 AS query_id, doc_id, "
+        "sum(score ORDER BY term) AS score "
+        "FROM scored1 GROUP BY 1, 2 HAVING count(*) >= 2), ",
+    )
+    assert msm_sql != bm25_sql
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -509,6 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,
         "bm25_topk_and": and_sql,
+        "bm25_topk_msm": msm_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

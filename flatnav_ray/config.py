@@ -62,6 +62,10 @@ class QueryConfig:
     # "taat"/"maxscore": cached exact; "wand": block-max pruned exact;
     # "and": conjunctive posting-list intersection (match ALL terms)
     method: str = "maxscore"
+    # >0: a doc must match at least this many distinct query terms
+    # (Lucene minimum_should_match analog; n_terms == conjunctive AND,
+    # 1 == plain disjunction). Ignored by method="and"/"wand".
+    min_should_match: int = 0
     concurrency: int = 8
     scorer: str = "bm25"
     # quality/speed knob — the ef_search graft (reference: bindings.cpp:432-473,

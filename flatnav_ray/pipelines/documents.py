@@ -554,6 +554,30 @@ def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_msm(sf_dir: str, k: int = 10) -> pa.Table:
+    """minimum_should_match retrieval (Lucene msm analog; the threshold
+    midpoint between disjunction and the AND intersect): 3-term queries
+    (df ranks i, i+10, i+20), a doc qualifies with >= 2 of the 3 terms.
+    Oracle: the 3-stream SQL fold with HAVING count(*) >= 2 and an ORDERED
+    sum (sum(score ORDER BY term) — DuckDB folds left-to-right, matching the
+    engine's pinned lexicographic accumulation bit-for-bit)."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=30)
+    texts = single.column("text").to_pylist()
+    triple = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array(
+                [f"{texts[i]} {texts[i + 10]} {texts[i + 20]}" for i in range(10)],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = search_to_table(ix, triple, QueryConfig(k=k, min_should_match=2))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_rcm(sf_dir: str, k: int = 10) -> pa.Table:
     """Sequenced graph reordering "gorder+rcm" (the reference's
     reorder(strategies=["gorder","rcm"]) list, bindings.cpp:285-295 with

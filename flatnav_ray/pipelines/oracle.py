@@ -26,13 +26,18 @@ def brute_force_topk(
     k1: float = 1.2,
     b: float = 0.75,
     conjunctive: bool = False,
+    min_should_match: int = 0,
 ) -> pa.Table:
     """docs: (doc_id, text[, url]); queries: (query_id, text) ->
     (query_id, rank, doc_id, score) with ties (score desc, doc_id asc).
 
     conjunctive=True: only documents containing EVERY distinct query term
     qualify (a query with a corpus-absent term matches nothing) — the
-    ground truth for the engine's method="and" intersection path."""
+    ground truth for the engine's method="and" intersection path.
+
+    min_should_match=m (>0): only documents containing at least m distinct
+    query terms qualify (corpus-absent terms can never match) — the ground
+    truth for QueryConfig.min_should_match."""
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     tfs: dict[int, Counter] = {}
@@ -70,6 +75,11 @@ def brute_force_topk(
                     d: s for d, s in scores.items()
                     if all(tfs[d].get(t, 0) > 0 for t in qc)
                 }
+        elif min_should_match > 0:
+            scores = {
+                d: s for d, s in scores.items()
+                if sum(1 for t in qc if tfs[d].get(t, 0) > 0) >= min_should_match
+            }
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         for r, (d, s) in enumerate(ranked):
             out_q.append(qid)

@@ -219,7 +219,7 @@ class _ShardState:
         return n
 
     def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore",
-                     approx_factor: float = 1.0) -> pa.Table:
+                     approx_factor: float = 1.0, msm: int = 0) -> pa.Table:
         """Score every query in the plan against this shard; return partial
         top-k rows. Accumulation order per query: lexicographic terms (pinned
         float order).
@@ -244,6 +244,8 @@ class _ShardState:
                 )
             elif method == "and":
                 docs, ssc, n_cand, n_blocks = self.search_one_and(plan, qi, scorer)
+            elif msm > 0:
+                docs, ssc, n_cand, n_blocks = self.search_one_msm(plan, qi, scorer, msm)
             else:
                 entries = []
                 n_blocks = 0
@@ -359,6 +361,50 @@ class _ShardState:
             out += contrib[idx] if qtf == 1 else qtf * contrib[idx]
         docs, ssc = topk_select(out, self.docmap_ids[isect], plan.k)
         return docs, ssc, int(isect.size), n_blocks
+
+    # ---- minimum_should_match path (msm > 0) ----
+
+    def search_one_msm(self, plan: QueryPlan, qi: int, scorer, msm: int):
+        """Threshold disjunction (Lucene minimum_should_match analog): a doc
+        qualifies iff it contains >= msm DISTINCT query terms. msm == n_terms
+        degenerates to conjunctive AND, msm == 1 to plain disjunction.
+
+        Per-shard counting is exact because documents are hash-partitioned
+        disjointly across shards: a doc's full term-match count is visible to
+        exactly one shard. Candidate counts come from one np.unique over the
+        concatenated per-term position lists (each term's postings hold a doc
+        at most once, so multiplicity == matched-term count); survivors
+        re-accumulate in the pinned lexicographic term order, so msm scores
+        are bit-identical to the same doc's TAAT score."""
+        empty = np.empty(0, dtype=np.int64)
+        entries: list[tuple[int, np.ndarray, np.ndarray]] = []
+        n_blocks = 0
+        for term, qtf in plan.query_terms[qi]:
+            if plan.term_idf.get(term, 0.0) <= 0.0:
+                continue  # corpus-absent term can never match (lowers the
+                # achievable count; it still counts toward n_terms semantics)
+            hit = self.term_contrib(term, plan, scorer)
+            if hit is None:
+                continue  # absent from this shard: no local doc matches it
+            entries.append((qtf, hit[0], hit[1]))
+            n_blocks += hit[2]
+        if len(entries) < msm:
+            return empty, empty.astype(np.float64), 0, n_blocks
+        cand, counts = np.unique(
+            np.concatenate([e[1] for e in entries]), return_counts=True
+        )
+        keep = cand[counts >= msm]
+        if keep.size == 0:
+            return empty, empty.astype(np.float64), 0, n_blocks
+        out = np.zeros(keep.size, dtype=np.float64)
+        for qtf, pos, contrib in entries:  # lexicographic (plan order kept)
+            j = np.searchsorted(pos, keep)
+            valid = j < pos.size
+            valid[valid] = pos[j[valid]] == keep[valid]
+            sel = contrib[j[valid]]
+            out[valid] += sel if qtf == 1 else qtf * sel
+        docs, ssc = topk_select(out, self.docmap_ids[keep], plan.k)
+        return docs, ssc, int(keep.size), n_blocks
 
     # ---- block-max pruned path (method="wand") ----
 
@@ -537,6 +583,7 @@ class ShardSearcher:
                 self._state(part).search_batch(
                     self.plan, self.scorer, self.cfg.method,
                     getattr(self.cfg, "approx_factor", 1.0),
+                    getattr(self.cfg, "min_should_match", 0),
                 )
             )
         if not outs:
@@ -718,10 +765,10 @@ def _shard_actor_cls():
             return {t: sum(st.live_term_df(t) for st in self.states.values()) for t in terms}
 
         def search(self, plan: QueryPlan, scorer_name: str, method: str,
-                   approx_factor: float = 1.0) -> pa.Table:
+                   approx_factor: float = 1.0, msm: int = 0) -> pa.Table:
             scorer = SCORERS[scorer_name]
             outs = [
-                st.search_batch(plan, scorer, method, approx_factor)
+                st.search_batch(plan, scorer, method, approx_factor, msm)
                 for st in self.states.values()
             ]
             return pa.concat_tables(outs) if outs else None
@@ -820,6 +867,7 @@ class SearchSession:
             a.search.remote(
                 plan_ref, query_cfg.scorer, query_cfg.method,
                 getattr(query_cfg, "approx_factor", 1.0),
+                getattr(query_cfg, "min_should_match", 0),
             )
             for a in self.actors
         ]

@@ -124,6 +124,24 @@ class TestRankIdentity:
             if (q, d) in full:  # doc also in the disjunctive top-k
                 assert s == full[(q, d)]
 
+    def test_min_should_match_matches_oracle(self, built_index):
+        """min_should_match=2 (threshold disjunction): rank-identical to the
+        msm brute-force oracle; msm=1 degenerates to the plain disjunction."""
+        ix, _, pages, queries = built_index
+        deduped = dedup_latest(prepare_batch(pages, 8, None))
+        out = search_to_table(ix, queries, QueryConfig(k=10, min_should_match=2))
+        gt = brute_force_topk(
+            deduped.select(["doc_id", "text"]), queries, k=10, min_should_match=2
+        )
+        assert out.column("query_id").to_pylist() == gt.column("query_id").to_pylist()
+        assert out.column("doc_id").to_pylist() == gt.column("doc_id").to_pylist()
+        np.testing.assert_allclose(
+            out.column("score").to_numpy(), gt.column("score").to_numpy(), rtol=0, atol=1e-9
+        )
+        taat = search_to_table(ix, queries, QueryConfig(k=10, method="taat"))
+        msm1 = search_to_table(ix, queries, QueryConfig(k=10, min_should_match=1))
+        assert taat.equals(msm1)
+
     def test_search_session_equals_dataset_path(self, built_index):
         """Server mode (persistent shard actors) returns identical results to
         the Dataset pipeline — the serialization/load-once round-trip."""
