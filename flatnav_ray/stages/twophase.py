@@ -362,77 +362,119 @@ def _merge_one_partition(
     # never concatenate: downstream only partition-local docmap positions
     # (int32) flow, which halves the merge's concat/sort/gather traffic
     # (the merge is DRAM-bound; see BASELINE.md scaling notes)
+    # Sort-word layout (code | pos | tf packed into one uint64): keys are
+    # unique per (term, doc) post-winnow, so the word order IS the
+    # (code, pos) order, stability is vacuous, and an in-place VALUES-ONLY
+    # introsort (no index permutation, no mergesort working copy — measured
+    # 8.8x faster than kind="stable" on random uint64 at this size) gives
+    # byte-identical output. When the docid permutation is known up-front
+    # (hash / dense_url — i.e. not a graph strategy that needs the winnowed
+    # postings first) the word is packed PER PARTIAL inside the winnow loop:
+    # the three int32 streams then never concatenate, saving ~24B/posting of
+    # traffic on the engine's hottest (DRAM-bound) phase. bits_tf uses the
+    # pre-winnow tf bound (>= winnowed max) — only the layout widens, the
+    # unpacked arrays are identical.
+    bits_pos = max(1, int(win_sorted.size - 1).bit_length()) if win_sorted.size > 1 else 1
+    bits_code = max(1, int(len(global_vocab_arr) - 1).bit_length()) if len(global_vocab_arr) > 1 else 1
+    tf_bound = 1
+    for v in v_p_tfs:
+        if v.size:
+            tf_bound = max(tf_bound, int(v.view(np.int32).max()))
+    bits_tf = max(1, tf_bound.bit_length())
+    fused = (
+        cfg.docid_strategy in ("hash", "dense_url")
+        and bits_code + bits_pos + bits_tf <= 64
+    )
+    sh_pos, sh_code = np.uint64(bits_tf), np.uint64(bits_tf + bits_pos)
     code_parts, pos_parts, tf_parts = [], [], []
+    word_parts: list[np.ndarray] = []
     for i in range(n_partials):
         p_docs = v_p_docs[i].view(np.int64)
         if p_docs.size == 0:
             continue
         p_tfs = v_p_tfs[i].view(np.int32)
         codes = v_p_codes[i].view(np.int32)
-        remap = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.int32)
         pos = np.searchsorted(win_sorted, p_docs)
         keep = win_partial_lookup[pos] == i
         if not keep.any():
             continue
-        code_parts.append(remap[codes[keep]])
-        pos_parts.append(pos[keep].astype(np.int32))
-        tf_parts.append(p_tfs[keep])
+        if fused:
+            pos_k = pos[keep]
+            if rank_of is not None:  # dense_url: remap before packing
+                pos_k = rank_of[pos_k]
+            # pre-shifted remap table: the gather emits shifted codes directly
+            remap_w = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.uint64) << sh_code
+            word_parts.append(
+                remap_w[codes[keep]]
+                | (pos_k.astype(np.uint64) << sh_pos)
+                | p_tfs[keep].astype(np.uint64)
+            )
+        else:
+            remap = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.int32)
+            code_parts.append(remap[codes[keep]])
+            pos_parts.append(pos[keep].astype(np.int32))
+            tf_parts.append(p_tfs[keep])
 
     _lap("winnow")
     hasher = hashlib.blake2b(digest_size=16)
-    if code_parts:
-        m_codes = np.concatenate(code_parts)
-        m_pos = np.concatenate(pos_parts)
-        m_tfs = np.concatenate(tf_parts)
-        if rank_of is not None and cfg.docid_strategy != "dense_url":
-            from .reorder import rank_of_for
-
-            rank_of = rank_of_for(cfg.docid_strategy, m_pos, m_codes, win_sorted.size)
-        # posting blobs store partition-LOCAL dense positions (row index into
-        # the final docmap), not raw 63-bit hash ids: per-term deltas become
-        # ~n_docs/df instead of ~2^63/df, so varints drop from ~9 bytes to
-        # 1-2 bytes per posting — less encode/decode memory traffic and the
-        # query path indexes the docmap directly
-        if rank_of is not None:
-            # reordered: final docmap is sorted by the NEW interleaved ids,
-            # so a doc's docmap row = its rank within the partition
-            m_pos = rank_of[m_pos].astype(np.int32)
-        # doc lengths indexed by FINAL position: a 4*n_docs-byte table gathered
-        # AFTER the sort, so dl never rides through the winnow/concat/sort
-        if rank_of is not None:
-            lens_final = np.empty_like(win_lens_lookup)
-            lens_final[rank_of] = win_lens_lookup
-        else:
-            lens_final = win_lens_lookup
-        # single packed stable sort on (code, position): VALUES-ONLY radix on
-        # one word with tf carried in the low bits — no index permutation (an
-        # argsort moves an int64 index payload through every radix pass plus
-        # two random gathers after; measured ~40% slower under the 16-way
-        # concurrent-merge DRAM contention this stage runs at). Keys are
-        # unique per (term, doc), so the word order IS the (code, pos) order.
-        bits_pos = max(1, int(win_sorted.size - 1).bit_length()) if win_sorted.size > 1 else 1
-        bits_code = max(1, int(len(global_vocab_arr) - 1).bit_length()) if len(global_vocab_arr) > 1 else 1
-        bits_tf = max(1, int(m_tfs.max()).bit_length())
-        if bits_code + bits_pos + bits_tf <= 64:
-            sh_pos, sh_code = np.uint64(bits_tf), np.uint64(bits_tf + bits_pos)
-            word = (
-                (m_codes.astype(np.uint64) << sh_code)
-                | (m_pos.astype(np.uint64) << sh_pos)
-                | m_tfs.astype(np.uint64)
-            )
-            word.sort(kind="stable")
+    if word_parts or code_parts:
+        if fused:
+            word = word_parts[0] if len(word_parts) == 1 else np.concatenate(word_parts)
+            del word_parts
+            word.sort()
             m_codes = (word >> sh_code).astype(np.int32)
             m_pos = ((word >> sh_pos) & np.uint64((1 << bits_pos) - 1)).astype(np.int32)
             m_tfs = (word & np.uint64((1 << bits_tf) - 1)).astype(np.int32)
             del word
-        else:  # >64-bit key space: fall back to argsort + gathers
-            key = (m_codes.astype(np.int64) << np.int64(32)) | m_pos.astype(np.int64)
-            order = np.argsort(key, kind="stable")
-            key = key[order]
-            m_codes = (key >> np.int64(32)).astype(np.int32)
-            m_pos = (key & np.int64(0xFFFFFFFF)).astype(np.int32)
-            m_tfs = m_tfs[order]
-            del key, order
+            # doc lengths indexed by FINAL position: a 4*n_docs-byte table
+            # gathered AFTER the sort, so dl never rides through the
+            # winnow/concat/sort. posting blobs store partition-LOCAL dense
+            # positions (row index into the final docmap), not raw 63-bit
+            # hash ids: per-term deltas become ~n_docs/df instead of
+            # ~2^63/df, so varints drop from ~9 bytes to 1-2 per posting.
+            if rank_of is not None:
+                lens_final = np.empty_like(win_lens_lookup)
+                lens_final[rank_of] = win_lens_lookup
+            else:
+                lens_final = win_lens_lookup
+        else:
+            m_codes = np.concatenate(code_parts)
+            m_pos = np.concatenate(pos_parts)
+            m_tfs = np.concatenate(tf_parts)
+            if rank_of is not None and cfg.docid_strategy != "dense_url":
+                from .reorder import rank_of_for
+
+                rank_of = rank_of_for(cfg.docid_strategy, m_pos, m_codes, win_sorted.size)
+            if rank_of is not None:
+                # reordered: final docmap is sorted by the NEW interleaved
+                # ids, so a doc's docmap row = its rank within the partition
+                m_pos = rank_of[m_pos].astype(np.int32)
+            if rank_of is not None:
+                lens_final = np.empty_like(win_lens_lookup)
+                lens_final[rank_of] = win_lens_lookup
+            else:
+                lens_final = win_lens_lookup
+            bits_tf_x = max(1, int(m_tfs.max()).bit_length())
+            if bits_code + bits_pos + bits_tf_x <= 64:
+                sh_pos_x, sh_code_x = np.uint64(bits_tf_x), np.uint64(bits_tf_x + bits_pos)
+                word = (
+                    (m_codes.astype(np.uint64) << sh_code_x)
+                    | (m_pos.astype(np.uint64) << sh_pos_x)
+                    | m_tfs.astype(np.uint64)
+                )
+                word.sort()
+                m_codes = (word >> sh_code_x).astype(np.int32)
+                m_pos = ((word >> sh_pos_x) & np.uint64((1 << bits_pos) - 1)).astype(np.int32)
+                m_tfs = (word & np.uint64((1 << bits_tf_x) - 1)).astype(np.int32)
+                del word
+            else:  # >64-bit key space: fall back to argsort + gathers
+                key = (m_codes.astype(np.int64) << np.int64(32)) | m_pos.astype(np.int64)
+                order = np.argsort(key)  # keys unique => stability vacuous
+                key = key[order]
+                m_codes = (key >> np.int64(32)).astype(np.int32)
+                m_pos = (key & np.int64(0xFFFFFFFF)).astype(np.int32)
+                m_tfs = m_tfs[order]
+                del key, order
         m_dls = lens_final[m_pos]
         _lap("sort")
         cols, tb, _ = encode_segment_table(m_codes, m_pos, m_tfs, m_dls, block_size=cfg.block_size)
