@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
+        "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -384,6 +385,37 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2 HAVING count(*) >= 2), ",
     )
     assert msm_sql != bm25_sql
+    # exact phrase: queries = first-two-token phrases of the 10 smallest-
+    # doc_id docs (>= 2 tokens, distinct first two); a doc qualifies iff the
+    # phrase occurs as ADJACENT tokens — checked via substring containment on
+    # the space-joined token sequence (exactly the engine's positional
+    # adjacency: both observe the post-filter token sequence). Scores: the
+    # 2-term ordered BM25 fold, as multi/msm.
+    phrase_sql = (
+        f"WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "pq AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS query_id, "
+        "toks[1] AS t1, toks[2] AS t2 FROM tok "
+        "WHERE len(toks) >= 2 AND toks[1] <> toks[2] ORDER BY doc_id LIMIT 10), "
+        f"tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT query_id, t1 AS term FROM pq UNION ALL SELECT query_id, t2 FROM pq), "
+        "hits AS (SELECT p.query_id, t.doc_id FROM pq p JOIN tok t ON "
+        "contains(' ' || array_to_string(t.toks, ' ') || ' ', "
+        "' ' || p.t1 || ' ' || p.t2 || ' ')), "
+        "scored1 AS (SELECT qt.query_id, tf.doc_id, qt.term, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT s1.query_id, s1.doc_id, sum(score ORDER BY term) AS score "
+        "FROM scored1 s1 JOIN hits h ON h.query_id = s1.query_id AND h.doc_id = s1.doc_id "
+        "GROUP BY 1, 2), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -530,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_multi": multi_sql,
         "bm25_topk_and": and_sql,
         "bm25_topk_msm": msm_sql,
+        "bm25_topk_phrase": phrase_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

@@ -60,7 +60,9 @@ class IndexConfig:
 class QueryConfig:
     k: int = 10
     # "taat"/"maxscore": cached exact; "wand": block-max pruned exact;
-    # "and": conjunctive posting-list intersection (match ALL terms)
+    # "and": conjunctive posting-list intersection (match ALL terms);
+    # "phrase": exact phrase (adjacent tokens, positional sidecar required —
+    # stages/positions.py build_position_sidecar)
     method: str = "maxscore"
     # >0: a doc must match at least this many distinct query terms
     # (Lucene minimum_should_match analog; n_terms == conjunctive AND,

@@ -50,6 +50,32 @@ def explode_tokens(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, pa.Ar
     return parents.to_numpy(zero_copy_only=False).astype(np.int64), flat
 
 
+def token_positions(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """Vectorized tokenize+explode WITH token positions:
+    texts -> (row_index per token, token, position-within-row per token).
+
+    Position = index in the row's post-filter token sequence (0-based) — the
+    coordinate system of phrase adjacency (`positions.py` sidecar). Same
+    analyzer as explode_tokens; positions are what DuckDB's
+    array_to_string-join adjacency check observes.
+    """
+    parents, flat = explode_tokens(texts)
+    if parents.size == 0:
+        return parents, flat, np.empty(0, dtype=np.int64)
+    # parents are non-decreasing (list_parent_indices order): position =
+    # global token index minus the first global index of the parent row
+    starts = np.empty(parents.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = parents[1:] != parents[:-1]
+    first_idx = np.maximum.accumulate(
+        np.where(starts, np.arange(parents.size, dtype=np.int64), np.int64(0))
+    )
+    pos = np.arange(parents.size, dtype=np.int64) - first_idx
+    return parents, flat, pos
+
+
 def doc_token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Per-row token count (doc length in tokens), vectorized."""
     n = len(texts)

@@ -578,6 +578,51 @@ def bm25_topk_msm(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pa.Table:
+    """Exact phrase retrieval (method="phrase") over the positional sidecar
+    (stages/positions.py — the positional-postings extension; the reference
+    has no phrase capability, its payload is opaque vectors).
+
+    Queries: the first-two-token phrase of each of the 10 smallest-doc_id
+    documents with >= 2 tokens and distinct first two tokens — derivable
+    identically in SQL (row_number over doc_id). Oracle: phrase containment
+    via contains(' '||array_to_string(toks,' ')||' ', ' t1 t2 ') plus the
+    2-term ordered-sum BM25 fold (sum(score ORDER BY term) — the engine's
+    pinned lexicographic accumulation)."""
+    from ..functions.tokenize import tokenize_py
+    from ..stages.positions import build_position_sidecar
+
+    from ..stages.positions import positions_path
+
+    cfg = IndexConfig(num_partitions=8)
+    ix = build_documents_index(sf_dir)
+    st = load_stats(ix)
+    if not all(
+        os.path.exists(positions_path(ix, int(p))) for p in st["partitions"]
+    ):
+        build_position_sidecar(documents_as_pages(sf_dir), ix, cfg)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    texts: list[str] = []
+    for txt in t.column("text").to_pylist():
+        toks = tokenize_py(txt)
+        if len(toks) >= 2 and toks[0] != toks[1]:
+            texts.append(f"{toks[0]} {toks[1]}")
+            if len(texts) == 10:
+                break
+    queries = pa.table(
+        {
+            "query_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = search_to_table(ix, queries, QueryConfig(k=k, method="phrase"))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_rcm(sf_dir: str, k: int = 10) -> pa.Table:
     """Sequenced graph reordering "gorder+rcm" (the reference's
     reorder(strategies=["gorder","rcm"]) list, bindings.cpp:285-295 with

@@ -27,6 +27,7 @@ def brute_force_topk(
     b: float = 0.75,
     conjunctive: bool = False,
     min_should_match: int = 0,
+    phrase: bool = False,
 ) -> pa.Table:
     """docs: (doc_id, text[, url]); queries: (query_id, text) ->
     (query_id, rank, doc_id, score) with ties (score desc, doc_id asc).
@@ -37,17 +38,23 @@ def brute_force_topk(
 
     min_should_match=m (>0): only documents containing at least m distinct
     query terms qualify (corpus-absent terms can never match) — the ground
-    truth for QueryConfig.min_should_match."""
+    truth for QueryConfig.min_should_match.
+
+    phrase=True: only documents containing the query's token sequence as a
+    CONTIGUOUS subsequence qualify — the ground truth for method="phrase"."""
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     tfs: dict[int, Counter] = {}
     dls: dict[int, int] = {}
+    dseqs: dict[int, list[str]] = {}
     df: Counter = Counter()
     for d, t in zip(doc_ids, texts):
         toks = tokenize_py(t)
         c = Counter(toks)
         tfs[d] = c
         dls[d] = len(toks)
+        if phrase:
+            dseqs[d] = toks
         df.update(c.keys())
     n = len(doc_ids)
     avgdl = sum(dls.values()) / n if n else 0.0
@@ -79,6 +86,16 @@ def brute_force_topk(
             scores = {
                 d: s for d, s in scores.items()
                 if sum(1 for t in qc if tfs[d].get(t, 0) > 0) >= min_should_match
+            }
+        elif phrase:
+            seq = tokenize_py(qtext)
+            L = len(seq)
+            scores = {
+                d: s for d, s in scores.items()
+                if any(
+                    dseqs[d][i: i + L] == seq
+                    for i in range(len(dseqs[d]) - L + 1)
+                )
             }
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         for r, (d, s) in enumerate(ranked):

@@ -54,6 +54,9 @@ class QueryPlan:
     n_docs: int
     avgdl: float
     k: int
+    # ordered token sequence per query (duplicates kept) — what phrase
+    # adjacency matches against (method="phrase"); None on old pickles
+    query_seqs: list[list[str]] | None = None
 
 
 def make_query_plan(
@@ -65,18 +68,21 @@ def make_query_plan(
     qids = queries.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = queries.column("text").to_pylist()
     qterms: list[list[tuple[str, int]]] = []
+    qseqs: list[list[str]] = []
     distinct: set[str] = set()
     for t in texts:
+        toks = tokenize_py(t)
         counts: dict[str, int] = {}
-        for tok in tokenize_py(t):
+        for tok in toks:
             counts[tok] = counts.get(tok, 0) + 1
         qterms.append(sorted(counts.items()))
+        qseqs.append(toks)
         distinct.update(counts)
     tdf = {t: int(term_df.get(t, 0)) for t in distinct}
     tidf = {t: float(idf_fn(df, n_docs)) if df > 0 else 0.0 for t, df in tdf.items()}
     return QueryPlan(
         query_ids=qids, query_terms=qterms, term_idf=tidf, term_df=tdf,
-        n_docs=n_docs, avgdl=avgdl, k=k,
+        n_docs=n_docs, avgdl=avgdl, k=k, query_seqs=qseqs,
     )
 
 
@@ -92,6 +98,11 @@ class _ShardState:
                  terms_filter: list[str] | None = None,
                  dead_ids: np.ndarray | None = None):
         self.block_size = block_size
+        self.index_dir = index_dir
+        self.partition = partition
+        self._terms_filter = terms_filter
+        # positional sidecar (phrase path) — loaded lazily on first phrase query
+        self._pos_row: dict[str, int] | None = None
         filters = [("term", "in", terms_filter)] if terms_filter is not None else None
         t = pq.read_table(segment_path(index_dir, partition), filters=filters).combine_chunks()
         self.term_row = {term: i for i, term in enumerate(t.column("term").to_pylist())}
@@ -244,6 +255,8 @@ class _ShardState:
                 )
             elif method == "and":
                 docs, ssc, n_cand, n_blocks = self.search_one_and(plan, qi, scorer)
+            elif method == "phrase":
+                docs, ssc, n_cand, n_blocks = self.search_one_phrase(plan, qi, scorer)
             elif msm > 0:
                 docs, ssc, n_cand, n_blocks = self.search_one_msm(plan, qi, scorer, msm)
             else:
@@ -403,6 +416,132 @@ class _ShardState:
             valid[valid] = pos[j[valid]] == keep[valid]
             sel = contrib[j[valid]]
             out[valid] += sel if qtf == 1 else qtf * sel
+        docs, ssc = topk_select(out, self.docmap_ids[keep], plan.k)
+        return docs, ssc, int(keep.size), n_blocks
+
+    # ---- exact phrase path (method="phrase") ----
+
+    def _load_positions(self) -> None:
+        """Lazy-load the positional sidecar (stages/positions.py) — phrase
+        queries only; workloads without phrases never read it."""
+        if self._pos_row is not None:
+            return
+        from .positions import positions_path
+
+        p = positions_path(self.index_dir, self.partition)
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                "phrase search needs the positional sidecar; run "
+                f"build_position_sidecar over the build corpus (missing {p})"
+            )
+        filters = (
+            [("term", "in", self._terms_filter)]
+            if self._terms_filter is not None
+            else None
+        )
+        t = pq.read_table(p, filters=filters).combine_chunks()
+        self._pos_row = {term: i for i, term in enumerate(t.column("term").to_pylist())}
+
+        def _lv(col):
+            arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+            return np.asarray(arr.offsets), np.asarray(arr.values).astype(np.int64)
+
+        self._poffs_off, self._poffs_vals = _lv(t.column("pos_offs"))
+        self._pflat_off, self._pflat_vals = _lv(t.column("pos_flat"))
+
+    def _term_positions(self, term: str):
+        """(pos_offs df+1, pos_flat) views for one term, aligned row-for-row
+        with the term's posting order in the main segment (docmap-position
+        ascending over the identical winner set — positions.py invariant)."""
+        i = self._pos_row.get(term)
+        if i is None:
+            return None
+        return (
+            self._poffs_vals[self._poffs_off[i]: self._poffs_off[i + 1]],
+            self._pflat_vals[self._pflat_off[i]: self._pflat_off[i + 1]],
+        )
+
+    def search_one_phrase(self, plan: QueryPlan, qi: int, scorer):
+        """Exact phrase retrieval: conjunctive posting-list intersection over
+        the phrase's distinct terms, then positional adjacency verification
+        against the sidecar, fully vectorized — candidate position sets are
+        packed (candidate_rank << 32 | token_position) and each phrase step
+        is one searchsorted membership probe of (start + step).
+
+        Survivor docs score exactly like the disjunctive path (pinned
+        lexicographic accumulation over the phrase's distinct terms with
+        phrase term counts as qtf), so phrase scores are bit-identical to the
+        same doc's TAAT score for the bag-of-words query."""
+        if self._dead_pos is not None:
+            raise NotImplementedError(
+                "phrase search over a generation stack is not supported; "
+                "compact the stack first"
+            )
+        empty = np.empty(0, dtype=np.int64)
+        seq = plan.query_seqs[qi] if plan.query_seqs else []
+        if not seq:
+            return empty, empty.astype(np.float64), 0, 0
+        entries: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+        n_blocks = 0
+        for term, _qtf in plan.query_terms[qi]:
+            if plan.term_idf.get(term, 0.0) <= 0.0:
+                return empty, empty.astype(np.float64), 0, 0
+            hit = self.term_contrib(term, plan, scorer)
+            if hit is None:
+                return empty, empty.astype(np.float64), 0, n_blocks
+            entries[term] = hit
+            n_blocks += hit[2]
+        # conjunctive intersect, smallest list first (as search_one_and)
+        by_size = sorted(entries, key=lambda t: entries[t][0].size)
+        isect = entries[by_size[0]][0]
+        for t in by_size[1:]:
+            if isect.size == 0:
+                break
+            pos = entries[t][0]
+            j = np.searchsorted(pos, isect)
+            valid = j < pos.size
+            valid[valid] = pos[j[valid]] == isect[valid]
+            isect = isect[valid]
+        if isect.size == 0:
+            return empty, empty.astype(np.float64), 0, n_blocks
+        self._load_positions()
+
+        def packed(term: str) -> np.ndarray:
+            tp = self._term_positions(term)
+            if tp is None:
+                return np.empty(0, dtype=np.int64)
+            offs, flat = tp
+            j = np.searchsorted(entries[term][0], isect)  # candidate -> row
+            starts, ends = offs[j], offs[j + 1]
+            lens = (ends - starts).astype(np.int64)
+            tot = int(lens.sum())
+            if tot == 0:
+                return np.empty(0, dtype=np.int64)
+            doc_rep = np.repeat(np.arange(isect.size, dtype=np.int64), lens)
+            base = np.repeat(starts, lens)
+            run = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            return (doc_rep << np.int64(32)) | flat[base + run]
+
+        starts_packed = packed(seq[0])
+        for s in range(1, len(seq)):
+            if starts_packed.size == 0:
+                break
+            step = packed(seq[s])
+            probe = starts_packed + np.int64(s)  # (rank, p0+s); p fits 31 bits
+            j = np.searchsorted(step, probe)
+            valid = j < step.size
+            valid[valid] = step[j[valid]] == probe[valid]
+            starts_packed = starts_packed[valid]
+        if starts_packed.size == 0:
+            return empty, empty.astype(np.float64), 0, n_blocks
+        keep = isect[np.unique(starts_packed >> np.int64(32))]
+        out = np.zeros(keep.size, dtype=np.float64)
+        for term, qtf in plan.query_terms[qi]:  # lexicographic (pinned order)
+            pos, contrib = entries[term][0], entries[term][1]
+            idx = np.searchsorted(pos, keep)
+            out += contrib[idx] if qtf == 1 else qtf * contrib[idx]
         docs, ssc = topk_select(out, self.docmap_ids[keep], plan.k)
         return docs, ssc, int(keep.size), n_blocks
 
