@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
+        "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
+        "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -416,6 +418,25 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
         "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
     )
+    # faceted search / total hits: per 2-term query, the FULL match set
+    # (union of the two terms' postings — DISTINCT (query, doc)), counted by
+    # documents.lang / in total. Exact integers: no float fragility.
+    facets_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "matches AS (SELECT DISTINCT qt.query_id % 10 AS query_id, tf.doc_id "
+        "FROM qt JOIN tf ON tf.term = qt.term) "
+        "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+        "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    hits_sql = facets_sql.replace(
+        "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+        "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
+        "SELECT m.query_id, count(*) AS n_docs FROM matches m GROUP BY 1 ORDER BY 1",
+    )
+    assert hits_sql != facets_sql
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -563,6 +584,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": and_sql,
         "bm25_topk_msm": msm_sql,
         "bm25_topk_phrase": phrase_sql,
+        "bm25_facets": facets_sql,
+        "bm25_hit_counts": hits_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

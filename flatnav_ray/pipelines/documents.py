@@ -578,6 +578,45 @@ def bm25_topk_msm(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def _multi_term_queries(ix: str) -> pa.Table:
+    """The 2-term query matrix (df rank i paired with rank i+10, i < 10) —
+    shared by bm25_topk_multi / _and and the facet/hit-count entries."""
+    single = derived_queries(ix, n_queries=20)
+    texts = single.column("text").to_pylist()
+    return pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array(
+                [f"{texts[i]} {texts[i + 10]}" for i in range(10)], type=pa.string()
+            ),
+        }
+    )
+
+
+def bm25_facets(sf_dir: str) -> pa.Table:
+    """Faceted search: per 2-term query, matching-doc counts per language
+    over the FULL match set (the aggregations surface of a fulltext engine).
+    Oracle: DISTINCT (query, doc) matches joined to documents.lang, grouped."""
+    from .query import facet_counts
+
+    ix = build_documents_index(sf_dir)
+    return facet_counts(ix, _multi_term_queries(ix), facet="lang")
+
+
+def bm25_hit_counts(sf_dir: str) -> pa.Table:
+    """Total-hits per query (count of matching docs, not top-k) — the
+    `total_hits` surface. Derived from the same per-shard disjoint counts."""
+    from .query import facet_counts
+
+    ix = build_documents_index(sf_dir)
+    f = facet_counts(ix, _multi_term_queries(ix), facet="lang")
+    g = f.group_by(["query_id"]).aggregate([("n_docs", "sum")])
+    out = pa.table(
+        {"query_id": g.column("query_id"), "n_docs": g.column("n_docs_sum")}
+    )
+    return out.sort_by("query_id")
+
+
 def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pa.Table:
     """Exact phrase retrieval (method="phrase") over the positional sidecar
     (stages/positions.py — the positional-postings extension; the reference

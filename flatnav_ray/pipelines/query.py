@@ -101,6 +101,57 @@ _EMPTY_RESULT = pa.table(
 )
 
 
+def facet_counts(
+    index_dir: str, queries: pa.Table, facet: str = "lang", concurrency: int = 8
+) -> pa.Table:
+    """Per-query facet counts over the FULL match set (union of the query's
+    term postings — total-hits semantics, not top-k), grouped by a docmap
+    attribute. Shards count disjoint doc sets, so the cross-shard merge is a
+    plain sum per (query_id, facet) — no dedup shuffle needed. Columns:
+    (query_id, <facet>, n_docs), sorted."""
+    from ..stages.search import ShardFacets
+
+    plan, stats = plan_for(index_dir, queries, k=1)
+    plan_ref = ray.put(plan)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, len(parts), ncpu))
+    partials = ray.data.from_items(parts).map_batches(
+        ShardFacets,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (conc * 2) or 1),
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "block_size": int(stats["block_size"]),
+            "facet": facet,
+        },
+    )
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            facet: pa.array([], type=pa.string()),
+            "n_docs": pa.array([], type=pa.int64()),
+        }
+    )
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["query_id", facet]).aggregate([("n_docs", "sum")])
+    out = pa.table(
+        {
+            "query_id": g.column("query_id"),
+            facet: g.column(facet),
+            "n_docs": g.column("n_docs_sum"),  # name-based (column order varies)
+        }
+    )
+    return out.sort_by([("query_id", "ascending"), (facet, "ascending")])
+
+
 def search_to_table(index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
     """Materialized, deterministically ordered results. Merges driver-side
     when the partial set is small (k × partitions × queries rows)."""

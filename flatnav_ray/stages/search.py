@@ -138,6 +138,8 @@ class _ShardState:
         self.docmap_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_lens = dm.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
         self.docmap_urls = dm.column("url")
+        self.docmap_langs = dm.column("lang")
+        self._facet_cache: dict[str, tuple[np.ndarray, list]] = {}
         # stacked-serving shadow mask over docmap positions (None = all live)
         self._dead_pos: np.ndarray | None = None
         if dead_ids is not None and dead_ids.size:
@@ -418,6 +420,66 @@ class _ShardState:
             out[valid] += sel if qtf == 1 else qtf * sel
         docs, ssc = topk_select(out, self.docmap_ids[keep], plan.k)
         return docs, ssc, int(keep.size), n_blocks
+
+    # ---- facet / hit counting over the match set (serving aggregations) ----
+
+    def _facet_codes(self, facet: str) -> tuple[np.ndarray, list]:
+        """(code per docmap row, dictionary values) for a docmap attribute —
+        encoded once per shard, cached."""
+        hit = self._facet_cache.get(facet)
+        if hit is not None:
+            return hit
+        import pyarrow.compute as pc
+
+        col = {"lang": self.docmap_langs}.get(facet)
+        if col is None:
+            raise ValueError(f"unknown facet {facet!r} (supported: lang)")
+        enc = pc.dictionary_encode(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = enc.dictionary.to_pylist()
+        self._facet_cache[facet] = (codes, vals)
+        return codes, vals
+
+    def facet_counts(self, plan: QueryPlan, facet: str = "lang") -> pa.Table:
+        """Per query: count MATCHING docs (union of the query terms' posting
+        lists — the full disjunctive match set, not top-k) grouped by a
+        docmap attribute. Exact across the cluster because shards partition
+        documents disjointly: per-shard counts sum with no overlap.
+        The faceted-search / aggregations surface of a fulltext engine."""
+        scorer = SCORERS["bm25"]  # contrib cache reused; scores ignored
+        codes, vals = self._facet_codes(facet)
+        q_out: list[int] = []
+        f_out: list[str] = []
+        n_out: list[int] = []
+        for qi in range(plan.query_ids.size):
+            pos_lists = []
+            for term, _qtf in plan.query_terms[qi]:
+                if plan.term_idf.get(term, 0.0) <= 0.0:
+                    continue
+                hit = self.term_contrib(term, plan, scorer)
+                if hit is not None:
+                    pos_lists.append(hit[0])
+            if not pos_lists:
+                continue
+            cand = (
+                pos_lists[0]
+                if len(pos_lists) == 1
+                else np.unique(np.concatenate(pos_lists))
+            )
+            cnt = np.bincount(codes[cand], minlength=len(vals))
+            for j in np.flatnonzero(cnt):
+                q_out.append(int(plan.query_ids[qi]))
+                f_out.append(vals[j])
+                n_out.append(int(cnt[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                facet: pa.array(f_out, type=pa.string()),
+                "n_docs": pa.array(n_out, type=pa.int64()),
+            }
+        )
 
     # ---- exact phrase path (method="phrase") ----
 
@@ -734,6 +796,51 @@ class ShardSearcher:
                     "score": pa.array([], type=pa.float64()),
                     "docs_scored": pa.array([], type=pa.int64()),
                     "blocks_decoded": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+
+class ShardFacets:
+    """Dataset-mode facet counter (actor pool over partition ids, like
+    ShardSearcher): per-shard `_ShardState.facet_counts` partials; callers
+    sum per (query_id, facet) across shards — exact under disjoint doc
+    partitioning."""
+
+    def __init__(self, index_dir: str, plan_ref, block_size: int, facet: str = "lang"):
+        import ray
+
+        self.index_dir = index_dir
+        self.plan: QueryPlan = (
+            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
+        )
+        self.block_size = block_size
+        self.facet = facet
+        self._states: dict[int, _ShardState] = {}
+        self._needed_terms = sorted(self.plan.term_idf.keys())
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            outs.append(self._state(part).facet_counts(self.plan, self.facet))
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    self.facet: pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
                 }
             )
         return pa.concat_tables(outs)

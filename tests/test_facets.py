@@ -1,0 +1,76 @@
+"""Facet / total-hit counting over the match set vs a Python-counted oracle."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flatnav_ray.config import IndexConfig
+from flatnav_ray.functions.tokenize import tokenize_py
+from flatnav_ray.pipelines.build import build_index, prepare_batch
+from flatnav_ray.pipelines.query import facet_counts
+from flatnav_ray.sources.synth import pages_table, queries_table
+from flatnav_ray.stages.build import dedup_latest
+
+
+@pytest.fixture(scope="module")
+def facet_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    pages = pages_table(500, seed=21, vocab_size=800, mean_len=40)
+    pdir = tmp_path_factory.mktemp("facet_pages")
+    pq.write_table(pages, str(pdir / "p0.parquet"))
+    ix = str(tmp_path_factory.mktemp("facet_ix") / "ix")
+    build_index(ray.data.read_parquet(str(pdir)), ix, IndexConfig(num_partitions=4))
+    return ix, pages
+
+
+def test_facet_counts_match_oracle(facet_index):
+    ix, pages = facet_index
+    queries = queries_table(15, seed=5, vocab_size=800)
+    got = facet_counts(ix, queries, facet="lang")
+
+    docs = dedup_latest(prepare_batch(pages, 4, None))
+    seqs = [set(tokenize_py(t)) for t in docs.column("text").to_pylist()]
+    langs = docs.column("lang").to_pylist()
+    want: Counter = Counter()
+    totals: Counter = Counter()
+    for qid, qtext in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        qterms = set(tokenize_py(qtext))
+        for toks, lang in zip(seqs, langs):
+            if qterms & toks:
+                want[(qid, lang)] += 1
+                totals[qid] += 1
+    got_map = {
+        (q, l): n
+        for q, l, n in zip(
+            got.column("query_id").to_pylist(),
+            got.column("lang").to_pylist(),
+            got.column("n_docs").to_pylist(),
+        )
+    }
+    assert got_map == dict(want)
+    # per-query totals (the total_hits surface) = sum over facets
+    by_q: Counter = Counter()
+    for (q, _l), n in got_map.items():
+        by_q[q] += n
+    assert by_q == totals
+    assert len(got) > 0
+
+
+def test_facet_empty_query_and_absent_terms(facet_index):
+    ix, _ = facet_index
+    queries = pa.table(
+        {
+            "query_id": pa.array(np.arange(2, dtype=np.int64)),
+            "text": pa.array(["zzqqxxjjkk1 zzqqxxjjkk2", ""], type=pa.string()),
+        }
+    )
+    got = facet_counts(ix, queries, facet="lang")
+    assert len(got) == 0
