@@ -234,6 +234,50 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     extras["query_qps_termlayout"] = len(queries) / (time.perf_counter() - t0)
     tsess.shutdown()
 
+    # ---- phrase serving (positional sidecar) + facet counts ----
+    import pyarrow.parquet as _pq
+
+    from flatnav_ray.functions.tokenize import tokenize_py
+    from flatnav_ray.pipelines.query import facet_counts
+    from flatnav_ray.stages.positions import build_position_sidecar, positions_path
+
+    if not os.path.exists(positions_path(ix_dir, 0)):
+        t0 = time.perf_counter()
+        build_position_sidecar(
+            ray.data.read_parquet(pages_dir), ix_dir, IndexConfig(num_partitions=32)
+        )
+        timings["build_positions"] = time.perf_counter() - t0
+    # phrase queries: token windows lifted from corpus texts (guaranteed hits)
+    _pfile = sorted(
+        f for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )[0]
+    _sample = _pq.read_table(
+        os.path.join(pages_dir, _pfile), columns=["text"]
+    ).slice(0, 600)
+    _ph = []
+    for _t in _sample.column("text").to_pylist():
+        _tk = tokenize_py(_t)
+        if len(_tk) >= 6 and _tk[4] != _tk[5]:
+            _ph.append(f"{_tk[4]} {_tk[5]}")
+        if len(_ph) == 200:
+            break
+    phq = pa.table(
+        {
+            "query_id": pa.array(np.arange(len(_ph), dtype=np.int64)),
+            "text": pa.array(_ph, type=pa.string()),
+        }
+    )
+    pcfg = QueryConfig(k=10, method="phrase", concurrency=num_cpus)
+    psess = SearchSession(ix_dir, num_actors=num_cpus)
+    psess.search(phq.slice(0, 16), pcfg)  # warm actor + sidecar load
+    t0 = time.perf_counter()
+    psess.search(phq, pcfg)
+    extras["query_qps_phrase"] = len(phq) / (time.perf_counter() - t0)
+    psess.shutdown()
+    t0 = time.perf_counter()
+    facet_counts(ix_dir, queries.slice(0, 1000))
+    timings["facet_counts_1000q"] = time.perf_counter() - t0
+
     # ---- operator suite over the driver testdata ----
     t0 = time.perf_counter()
     docp.term_df(sf_dir)

@@ -68,6 +68,10 @@ class QueryConfig:
     # (Lucene minimum_should_match analog; n_terms == conjunctive AND,
     # 1 == plain disjunction). Ignored by method="and"/"wand".
     min_should_match: int = 0
+    # method="phrase" proximity: consecutive phrase tokens may be up to
+    # 1+slop positions apart, in order (0 = exact adjacency). The per-gap
+    # proximity analog of Lucene's slop knob.
+    phrase_slop: int = 0
     concurrency: int = 8
     scorer: str = "bm25"
     # quality/speed knob — the ef_search graft (reference: bindings.cpp:432-473,

@@ -28,6 +28,7 @@ def brute_force_topk(
     conjunctive: bool = False,
     min_should_match: int = 0,
     phrase: bool = False,
+    phrase_slop: int = 0,
 ) -> pa.Table:
     """docs: (doc_id, text[, url]); queries: (query_id, text) ->
     (query_id, rank, doc_id, score) with ties (score desc, doc_id asc).
@@ -41,7 +42,9 @@ def brute_force_topk(
     truth for QueryConfig.min_should_match.
 
     phrase=True: only documents containing the query's token sequence as a
-    CONTIGUOUS subsequence qualify — the ground truth for method="phrase"."""
+    CONTIGUOUS subsequence qualify — the ground truth for method="phrase".
+    With phrase_slop=s, consecutive phrase tokens may be up to 1+s positions
+    apart, in order (the engine's per-gap proximity semantics)."""
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     tfs: dict[int, Counter] = {}
@@ -89,14 +92,22 @@ def brute_force_topk(
             }
         elif phrase:
             seq = tokenize_py(qtext)
-            L = len(seq)
-            scores = {
-                d: s for d, s in scores.items()
-                if any(
-                    dseqs[d][i: i + L] == seq
-                    for i in range(len(dseqs[d]) - L + 1)
-                )
-            }
+            if not seq:
+                scores = {}
+                seq = ["\0"]  # unreachable below; keeps _slop_match well-formed
+
+            def _slop_match(toks: list[str]) -> bool:
+                cur = {i for i, t in enumerate(toks) if t == seq[0]}
+                for term in seq[1:]:
+                    ps = [i for i, t in enumerate(toks) if t == term]
+                    cur = {
+                        p for c in cur for p in ps if c < p <= c + 1 + phrase_slop
+                    }
+                    if not cur:
+                        return False
+                return bool(cur)
+
+            scores = {d: s for d, s in scores.items() if _slop_match(dseqs[d])}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         for r, (d, s) in enumerate(ranked):
             out_q.append(qid)

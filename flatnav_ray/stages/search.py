@@ -232,7 +232,8 @@ class _ShardState:
         return n
 
     def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore",
-                     approx_factor: float = 1.0, msm: int = 0) -> pa.Table:
+                     approx_factor: float = 1.0, msm: int = 0,
+                     slop: int = 0) -> pa.Table:
         """Score every query in the plan against this shard; return partial
         top-k rows. Accumulation order per query: lexicographic terms (pinned
         float order).
@@ -258,7 +259,7 @@ class _ShardState:
             elif method == "and":
                 docs, ssc, n_cand, n_blocks = self.search_one_and(plan, qi, scorer)
             elif method == "phrase":
-                docs, ssc, n_cand, n_blocks = self.search_one_phrase(plan, qi, scorer)
+                docs, ssc, n_cand, n_blocks = self.search_one_phrase(plan, qi, scorer, slop)
             elif msm > 0:
                 docs, ssc, n_cand, n_blocks = self.search_one_msm(plan, qi, scorer, msm)
             else:
@@ -523,12 +524,14 @@ class _ShardState:
             self._pflat_vals[self._pflat_off[i]: self._pflat_off[i + 1]],
         )
 
-    def search_one_phrase(self, plan: QueryPlan, qi: int, scorer):
+    def search_one_phrase(self, plan: QueryPlan, qi: int, scorer, slop: int = 0):
         """Exact phrase retrieval: conjunctive posting-list intersection over
         the phrase's distinct terms, then positional adjacency verification
         against the sidecar, fully vectorized — candidate position sets are
         packed (candidate_rank << 32 | token_position) and each phrase step
-        is one searchsorted membership probe of (start + step).
+        is one searchsorted membership probe per allowed gap (slop=0: exactly
+        one probe at +1; slop=s: ordered per-gap proximity, probes +1..+1+s —
+        the Lucene slop analog).
 
         Survivor docs score exactly like the disjunctive path (pinned
         lexicographic accumulation over the phrase's distinct terms with
@@ -586,19 +589,25 @@ class _ShardState:
             )
             return (doc_rep << np.int64(32)) | flat[base + run]
 
-        starts_packed = packed(seq[0])
+        # `cur` tracks the packed position of the LAST matched token per
+        # surviving chain; positions fit 31 bits so +g never carries into
+        # the rank bits
+        cur = packed(seq[0])
         for s in range(1, len(seq)):
-            if starts_packed.size == 0:
+            if cur.size == 0:
                 break
             step = packed(seq[s])
-            probe = starts_packed + np.int64(s)  # (rank, p0+s); p fits 31 bits
-            j = np.searchsorted(step, probe)
-            valid = j < step.size
-            valid[valid] = step[j[valid]] == probe[valid]
-            starts_packed = starts_packed[valid]
-        if starts_packed.size == 0:
+            hits = []
+            for g in range(1, slop + 2):
+                probe = cur + np.int64(g)
+                j = np.searchsorted(step, probe)
+                valid = j < step.size
+                valid[valid] = step[j[valid]] == probe[valid]
+                hits.append(probe[valid])
+            cur = hits[0] if len(hits) == 1 else np.unique(np.concatenate(hits))
+        if cur.size == 0:
             return empty, empty.astype(np.float64), 0, n_blocks
-        keep = isect[np.unique(starts_packed >> np.int64(32))]
+        keep = isect[np.unique(cur >> np.int64(32))]
         out = np.zeros(keep.size, dtype=np.float64)
         for term, qtf in plan.query_terms[qi]:  # lexicographic (pinned order)
             pos, contrib = entries[term][0], entries[term][1]
@@ -785,6 +794,7 @@ class ShardSearcher:
                     self.plan, self.scorer, self.cfg.method,
                     getattr(self.cfg, "approx_factor", 1.0),
                     getattr(self.cfg, "min_should_match", 0),
+                    getattr(self.cfg, "phrase_slop", 0),
                 )
             )
         if not outs:
@@ -1011,10 +1021,11 @@ def _shard_actor_cls():
             return {t: sum(st.live_term_df(t) for st in self.states.values()) for t in terms}
 
         def search(self, plan: QueryPlan, scorer_name: str, method: str,
-                   approx_factor: float = 1.0, msm: int = 0) -> pa.Table:
+                   approx_factor: float = 1.0, msm: int = 0,
+                   slop: int = 0) -> pa.Table:
             scorer = SCORERS[scorer_name]
             outs = [
-                st.search_batch(plan, scorer, method, approx_factor, msm)
+                st.search_batch(plan, scorer, method, approx_factor, msm, slop)
                 for st in self.states.values()
             ]
             return pa.concat_tables(outs) if outs else None
@@ -1114,6 +1125,7 @@ class SearchSession:
                 plan_ref, query_cfg.scorer, query_cfg.method,
                 getattr(query_cfg, "approx_factor", 1.0),
                 getattr(query_cfg, "min_should_match", 0),
+                getattr(query_cfg, "phrase_slop", 0),
             )
             for a in self.actors
         ]

@@ -169,6 +169,47 @@ class TestPhrase:
                 )[1].sum()
                 assert int(tfs_sum) == flat_n
 
+    def test_slop_matches_oracle_and_widens(self, phrase_index):
+        """phrase_slop=s (per-gap proximity): rank-identical to the slop
+        oracle; slop=0 equals exact adjacency; wider slop's match set is a
+        superset (monotone)."""
+        ix, cfg, pages = phrase_index
+        docs = _corpus_docs(pages, cfg.num_partitions)
+        # skip-gram queries (tokens 3 and 5 of a doc): guaranteed slop-1 hits
+        out_texts: list[str] = []
+        for t in pages.column("text").to_pylist():
+            toks = tokenize_py(t)
+            if len(toks) >= 6 and toks[3] != toks[5]:
+                out_texts.append(f"{toks[3]} {toks[5]}")
+            if len(out_texts) == 10:
+                break
+        queries = pa.table(
+            {
+                "query_id": pa.array(np.arange(len(out_texts), dtype=np.int64)),
+                "text": pa.array(out_texts, type=pa.string()),
+            }
+        )
+        for slop in (0, 1, 2):
+            out = search_to_table(
+                ix, queries, QueryConfig(k=20, method="phrase", phrase_slop=slop)
+            )
+            gt = brute_force_topk(docs, queries, k=20, phrase=True, phrase_slop=slop)
+            assert out.column("doc_id").to_pylist() == gt.column("doc_id").to_pylist()
+            np.testing.assert_allclose(
+                out.column("score").to_numpy(), gt.column("score").to_numpy(),
+                rtol=0, atol=1e-12,
+            )
+        # superset property holds on UNtruncated match sets (k larger than
+        # any match count; a truncated top-k can drop low-scoring slop-0
+        # matches once slop=1 admits higher-scoring docs)
+        s0 = search_to_table(ix, queries, QueryConfig(k=100_000, method="phrase"))
+        s1 = search_to_table(
+            ix, queries, QueryConfig(k=100_000, method="phrase", phrase_slop=1)
+        )
+        pairs0 = set(zip(s0.column("query_id").to_pylist(), s0.column("doc_id").to_pylist()))
+        pairs1 = set(zip(s1.column("query_id").to_pylist(), s1.column("doc_id").to_pylist()))
+        assert pairs0 <= pairs1 and len(pairs1) > len(pairs0)
+
     def test_server_mode_equals_dataset_path(self, phrase_index):
         from flatnav_ray.stages.search import SearchSession
 
