@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
+        "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -437,6 +438,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT m.query_id, count(*) AS n_docs FROM matches m GROUP BY 1 ORDER BY 1",
     )
     assert hits_sql != facets_sql
+    # wildcard term*: prefixes = first 3 chars of the top-10 df-ranked terms;
+    # n_docs = count of docs containing ANY term with that prefix
+    prefix_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT substr(term, 1, 3) AS prefix, query_id FROM "
+        "(SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS query_id "
+        "FROM df) WHERE query_id < 10), "
+        "matches AS (SELECT DISTINCT qt.query_id, tf.doc_id "
+        "FROM qt JOIN tf ON starts_with(tf.term, qt.prefix)) "
+        "SELECT query_id, count(*) AS n_docs FROM matches GROUP BY 1 ORDER BY 1"
+    )
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -586,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_phrase": phrase_sql,
         "bm25_facets": facets_sql,
         "bm25_hit_counts": hits_sql,
+        "prefix_hit_counts": prefix_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

@@ -617,6 +617,19 @@ def bm25_hit_counts(sf_dir: str) -> pa.Table:
     return out.sort_by("query_id")
 
 
+def prefix_hit_counts(sf_dir: str) -> pa.Table:
+    """Wildcard `term*` queries: per prefix (first 3 chars of the top-10
+    df-ranked terms), count docs containing ANY term with that prefix —
+    per-shard sorted-dictionary bisect + postings-union count. Oracle:
+    DuckDB starts_with over the exploded term table."""
+    from .query import prefix_doc_counts
+
+    ix = build_documents_index(sf_dir)
+    top = derived_queries(ix, n_queries=10)
+    prefixes = [t[:3] for t in top.column("text").to_pylist()]
+    return prefix_doc_counts(ix, prefixes)
+
+
 def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pa.Table:
     """Exact phrase retrieval (method="phrase") over the positional sidecar
     (stages/positions.py — the positional-postings extension; the reference

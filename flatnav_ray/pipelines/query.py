@@ -152,6 +152,54 @@ def facet_counts(
     return out.sort_by([("query_id", "ascending"), (facet, "ascending")])
 
 
+def prefix_doc_counts(
+    index_dir: str, prefixes: list[str], concurrency: int = 8
+) -> pa.Table:
+    """Per prefix query, the number of docs containing ANY term starting
+    with it (wildcard `term*` expansion — per-shard sorted-dictionary bisect
+    + postings-union count; counts sum exactly across disjoint shards).
+    Columns: (query_id, n_docs), query_id = prefix list index."""
+    from ..stages.search import ShardPrefixCounts
+
+    stats = load_stats(index_dir)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, len(parts), ncpu))
+    partials = ray.data.from_items(parts).map_batches(
+        ShardPrefixCounts,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (conc * 2) or 1),
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "prefixes": list(prefixes),
+            "block_size": int(stats["block_size"]),
+        },
+    )
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+        }
+    )
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["query_id"]).aggregate([("n_docs", "sum")])
+    out = pa.table(
+        {"query_id": g.column("query_id"), "n_docs": g.column("n_docs_sum")}
+    )
+    import pyarrow.compute as pc
+
+    # SQL-match semantics: a prefix matching nothing yields no row (the
+    # oracle's JOIN+GROUP BY drops it), not a zero row
+    out = out.filter(pc.greater(out.column("n_docs"), 0))
+    return out.sort_by("query_id")
+
+
 def search_to_table(index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
     """Materialized, deterministically ordered results. Merges driver-side
     when the partial set is small (k × partitions × queries rows)."""

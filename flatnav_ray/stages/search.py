@@ -105,7 +105,9 @@ class _ShardState:
         self._pos_row: dict[str, int] | None = None
         filters = [("term", "in", terms_filter)] if terms_filter is not None else None
         t = pq.read_table(segment_path(index_dir, partition), filters=filters).combine_chunks()
-        self.term_row = {term: i for i, term in enumerate(t.column("term").to_pylist())}
+        self._terms_list = t.column("term").to_pylist()  # sorted (merge writes
+        # segment rows in sorted global-vocab order) — bisect range scans
+        self.term_row = {term: i for i, term in enumerate(self._terms_list)}
         # decode the columnar layout into flat numpy views ONCE at load — the
         # per-term hot path then does O(1) slicing, no Arrow scalar conversion
         self._df = t.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -482,6 +484,38 @@ class _ShardState:
             }
         )
 
+    # ---- prefix (wildcard term*) dictionary range scan ----
+
+    def prefix_doc_count(self, prefix: str) -> int:
+        """Count docs containing ANY term with the given prefix: bisect the
+        sorted term dictionary for the prefix range (the wildcard/multi-term
+        expansion of a fulltext engine), decode the range's postings, count
+        the union. Exact across the cluster: shards hold disjoint docs."""
+        import bisect
+
+        if not prefix:
+            return 0
+        lo = bisect.bisect_left(self._terms_list, prefix)
+        hi = bisect.bisect_left(self._terms_list, prefix[:-1] + chr(ord(prefix[-1]) + 1))
+        if lo >= hi:
+            return 0
+        pos_lists = []
+        for i in range(lo, hi):
+            p = self._postings_row(self._terms_list[i])
+            pos, _tfs = decode_postings(
+                p["doc_blob"], p["tf_blob"], p["block_last_doc"],
+                block_size=self.block_size,
+            )
+            if self._dead_pos is not None:
+                pos = pos[~self._dead_pos[pos]]
+            if pos.size:
+                pos_lists.append(pos)
+        if not pos_lists:
+            return 0
+        if len(pos_lists) == 1:
+            return int(pos_lists[0].size)
+        return int(np.unique(np.concatenate(pos_lists)).size)
+
     # ---- exact phrase path (method="phrase") ----
 
     def _load_positions(self) -> None:
@@ -854,6 +888,46 @@ class ShardFacets:
                 }
             )
         return pa.concat_tables(outs)
+
+
+class ShardPrefixCounts:
+    """Dataset-mode prefix-count stage: per shard, `prefix_doc_count` for
+    each prefix query (loads the FULL term dictionary — no terms_filter:
+    the expansion set is unknown until the bisect). Partials sum exactly
+    across shards (disjoint docs)."""
+
+    def __init__(self, index_dir: str, prefixes: list[str], block_size: int):
+        self.index_dir = index_dir
+        self.prefixes = prefixes
+        self.block_size = block_size
+        self._states: dict[int, _ShardState] = {}
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_out: list[int] = []
+        n_out: list[int] = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            st = self._state(part)
+            for qi, prefix in enumerate(self.prefixes):
+                q_out.append(qi)
+                n_out.append(st.prefix_doc_count(prefix))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "n_docs": pa.array(n_out, type=pa.int64()),
+            }
+        )
 
 
 def merge_topk(group: pa.Table, k: int) -> pa.Table:

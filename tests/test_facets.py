@@ -64,6 +64,29 @@ def test_facet_counts_match_oracle(facet_index):
     assert len(got) > 0
 
 
+def test_prefix_counts_match_oracle(facet_index):
+    """Wildcard term* dictionary scan: per-prefix doc counts equal a
+    python-counted oracle; a prefix matching nothing yields no row."""
+    from flatnav_ray.pipelines.query import prefix_doc_counts
+
+    ix, pages = facet_index
+    docs = dedup_latest(prepare_batch(pages, 4, None))
+    toksets = [set(tokenize_py(t)) for t in docs.column("text").to_pylist()]
+    vocab = sorted({t for s in toksets for t in s})
+    prefixes = [vocab[0][:2], vocab[len(vocab) // 2][:3], "zzzzzqx", vocab[-1][:1]]
+    got = prefix_doc_counts(ix, prefixes)
+    want = {}
+    for qi, pre in enumerate(prefixes):
+        n = sum(1 for s in toksets if any(t.startswith(pre) for t in s))
+        if n:
+            want[qi] = n
+    got_map = dict(
+        zip(got.column("query_id").to_pylist(), got.column("n_docs").to_pylist())
+    )
+    assert got_map == want
+    assert 2 not in got_map  # the impossible prefix produced no row
+
+
 def test_facet_empty_query_and_absent_terms(facet_index):
     ix, _ = facet_index
     queries = pa.table(
