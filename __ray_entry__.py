@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
+        "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -438,6 +439,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT m.query_id, count(*) AS n_docs FROM matches m GROUP BY 1 ORDER BY 1",
     )
     assert hits_sql != facets_sql
+    # stopword analyzer: every token list filtered by the stop set — replaces
+    # _TOKS everywhere it appears (incl. inside the exploded-terms subquery),
+    # which IS the stop-filtered pipeline: tf, df, doc_len, query derivation
+    # and scores all recompute over the filtered token streams.
+    stop_sql = bm25_sql.replace(
+        toks, f"list_filter({toks}, x -> NOT list_contains({_STOP_SQL}, x))"
+    )
+    assert stop_sql != bm25_sql
     # wildcard term*: prefixes = first 3 chars of the top-10 df-ranked terms;
     # n_docs = count of docs containing ANY term with that prefix
     prefix_sql = (
@@ -600,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": facets_sql,
         "bm25_hit_counts": hits_sql,
         "prefix_hit_counts": prefix_sql,
+        "bm25_topk_stopfilter": stop_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

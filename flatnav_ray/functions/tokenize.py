@@ -76,6 +76,29 @@ def token_positions(
     return parents, flat, pos
 
 
+def strip_stopwords(
+    texts: pa.Array | pa.ChunkedArray, stopwords: frozenset[str] | set[str]
+) -> pa.Array:
+    """Analyzer variant as a text pre-filter: tokenize, drop stopwords,
+    re-join with single spaces. Composing this ahead of the standard build
+    is EXACTLY a stopword analyzer (same tf/df/doc_len as filtering inside
+    the tokenizer), expressed as an ordinary map stage — and exactly
+    mirrorable in SQL (list_filter ... NOT list_contains). Vectorized:
+    explode -> is_in mask -> rebuilt ListArray -> binary_join."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    parents, flat = explode_tokens(texts)
+    keep = pc.invert(pc.is_in(flat, value_set=pa.array(sorted(stopwords))))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    kept = flat.filter(keep)
+    counts = np.bincount(parents[keep_np], minlength=n)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offs[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offs), kept.combine_chunks() if isinstance(kept, pa.ChunkedArray) else kept)
+    return pc.binary_join(lists, " ")
+
+
 def doc_token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Per-row token count (doc length in tokens), vectorized."""
     n = len(texts)

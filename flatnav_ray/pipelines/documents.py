@@ -617,6 +617,40 @@ def bm25_hit_counts(sf_dir: str) -> pa.Table:
     return out.sort_by("query_id")
 
 
+def bm25_topk_stopfilter(sf_dir: str, k: int = 10) -> pa.Table:
+    """Stopword analyzer (the analyzer-config extension surface, SURVEY.md
+    §2.10): compose `strip_stopwords` as a map stage ahead of the standard
+    build — exactly equivalent to filtering inside the tokenizer (same
+    tf/df/doc_len), with its own analyzer tag (distinct index fingerprint).
+    Queries: top-df terms of the FILTERED corpus. Oracle: the bm25 SQL with
+    every token list wrapped in list_filter(... NOT list_contains(stop)).
+
+    NOTE: the filter rewrites the `text` column, so it must run where text
+    is authoritative — after extraction, or (as here, on the documents
+    adapter) where `html` is NULL; a non-null html would be re-extracted
+    over it by the build."""
+    from ..functions.textstats import STOPWORDS_EN
+    from ..functions.tokenize import strip_stopwords
+
+    def _strip(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            strip_stopwords(b.column("text"), STOPWORDS_EN),
+        )
+
+    cfg = IndexConfig(num_partitions=8, analyzer="v1-lower-alnum-stop-en")
+    ix = _index_dir_for(sf_dir, cfg)
+    build_index(
+        documents_as_pages(sf_dir).map_batches(_strip, batch_format="pyarrow"),
+        ix, cfg, resume=True,
+    )
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def prefix_hit_counts(sf_dir: str) -> pa.Table:
     """Wildcard `term*` queries: per prefix (first 3 chars of the top-10
     df-ranked terms), count docs containing ANY term with that prefix —

@@ -267,3 +267,27 @@ class TestExtractBatchPath:
         got = extract_text_batch(batch).column("text").to_pylist()
         exp = [extract_text_bytes(h.as_py()) for h in html]
         assert got == exp
+
+
+class TestStripStopwords:
+    def test_matches_scalar_reference(self):
+        import pyarrow as pa
+
+        from flatnav_ray.functions.textstats import STOPWORDS_EN
+        from flatnav_ray.functions.tokenize import strip_stopwords, tokenize_py
+
+        texts = pa.array(
+            [
+                "The cat AND the hat!",
+                "of",                      # all stopwords -> empty
+                "",                        # empty stays empty
+                "dogs are good dogs",      # duplicate non-stop tokens kept
+                "It was a 42-mile walk",
+            ]
+        )
+        got = strip_stopwords(texts, STOPWORDS_EN).to_pylist()
+        want = [
+            " ".join(t for t in tokenize_py(x) if t not in STOPWORDS_EN)
+            for x in texts.to_pylist()
+        ]
+        assert got == want
