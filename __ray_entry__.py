@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
+        "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -447,6 +448,16 @@ def oracle_sql() -> dict[str, str]:
         toks, f"list_filter({toks}, x -> NOT list_contains({_STOP_SQL}, x))"
     )
     assert stop_sql != bm25_sql
+    # filtered search: candidates restricted to the modal lang (count desc,
+    # lang asc tie); idf / avgdl / query derivation stay corpus-wide.
+    filtered_sql = bm25_sql.replace(
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+        "JOIN dl ON dl.doc_id = tf.doc_id "
+        "JOIN documents doc ON doc.doc_id = tf.doc_id CROSS JOIN stats s "
+        "WHERE doc.lang = (SELECT lang FROM documents GROUP BY 1 "
+        "ORDER BY count(*) DESC, lang ASC LIMIT 1)), ",
+    )
+    assert filtered_sql != bm25_sql
     # wildcard term*: prefixes = first 3 chars of the top-10 df-ranked terms;
     # n_docs = count of docs containing ANY term with that prefix
     prefix_sql = (
@@ -610,6 +621,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_hit_counts": hits_sql,
         "prefix_hit_counts": prefix_sql,
         "bm25_topk_stopfilter": stop_sql,
+        "bm25_topk_filtered": filtered_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

@@ -72,6 +72,10 @@ class QueryConfig:
     # 1+slop positions apart, in order (0 = exact adjacency). The per-gap
     # proximity analog of Lucene's slop knob.
     phrase_slop: int = 0
+    # filtered search: restrict candidates to docs with this docmap lang
+    # (idf/avgdl stay corpus-wide — a filter, not a sub-corpus). Default
+    # scoring methods only (taat/maxscore).
+    filter_lang: str | None = None
     concurrency: int = 8
     scorer: str = "bm25"
     # quality/speed knob — the ef_search graft (reference: bindings.cpp:432-473,

@@ -617,6 +617,26 @@ def bm25_hit_counts(sf_dir: str) -> pa.Table:
     return out.sort_by("query_id")
 
 
+def bm25_topk_filtered(sf_dir: str, k: int = 10) -> pa.Table:
+    """Filtered search: restrict retrieval to docs of the corpus's modal
+    language (count desc, lang asc tie) while idf/avgdl stay corpus-wide —
+    a candidate filter, not a sub-corpus rebuild. Oracle: the bm25 SQL with
+    a documents-lang join + WHERE on the same modal-lang subquery."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    ix = build_documents_index(sf_dir)
+    langs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"]).column(
+        "lang"
+    ).to_pylist()
+    modal = sorted(Counter(langs).items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k, filter_lang=modal))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_stopfilter(sf_dir: str, k: int = 10) -> pa.Table:
     """Stopword analyzer (the analyzer-config extension surface, SURVEY.md
     §2.10): compose `strip_stopwords` as a map stage ahead of the standard

@@ -233,9 +233,24 @@ class _ShardState:
         self._live_df[term] = n
         return n
 
+    def _lang_mask(self, lang: str) -> np.ndarray:
+        """Boolean docmap-row mask for one lang (filtered search) — computed
+        once per shard per lang, cached in the facet cache's sibling slot."""
+        hit = self._facet_cache.get(f"__mask:{lang}")
+        if hit is not None:
+            return hit[0]
+        import pyarrow.compute as pc
+
+        col = self.docmap_langs
+        mask = pc.equal(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, lang
+        ).to_numpy(zero_copy_only=False)
+        self._facet_cache[f"__mask:{lang}"] = (mask, [])
+        return mask
+
     def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore",
                      approx_factor: float = 1.0, msm: int = 0,
-                     slop: int = 0) -> pa.Table:
+                     slop: int = 0, flt: str | None = None) -> pa.Table:
         """Score every query in the plan against this shard; return partial
         top-k rows. Accumulation order per query: lexicographic terms (pinned
         float order).
@@ -252,6 +267,12 @@ class _ShardState:
         s_out: list[np.ndarray] = []
         n_out: list[tuple[int, int, int]] = []  # (n_results, n_cand, n_blocks)
         scores = self._scores
+        if flt is not None and method not in ("taat", "maxscore"):
+            raise ValueError(
+                f"filter_lang is supported on the default scoring methods "
+                f"(taat/maxscore), not method={method!r}"
+            )
+        fmask = self._lang_mask(flt) if flt is not None else None
         for qi in range(len(plan.query_ids)):
             qid = int(plan.query_ids[qi])
             if method == "wand":
@@ -279,6 +300,9 @@ class _ShardState:
                     continue
                 if len(entries) == 1:
                     qtf, pos, contrib = entries[0]
+                    if fmask is not None:  # slices: the cached arrays stay intact
+                        sel = fmask[pos]
+                        pos, contrib = pos[sel], contrib[sel]
                     sc = contrib if qtf == 1 else qtf * contrib
                     docs, ssc = topk_select(sc, self.docmap_ids[pos], plan.k)
                     n_cand = pos.size
@@ -291,9 +315,14 @@ class _ShardState:
                             scores[pos] += contrib
                         else:
                             scores[pos] += qtf * contrib
-                    docs, ssc = topk_select(scores[cand], self.docmap_ids[cand], plan.k)
+                    # filtered search selects from masked candidates; the
+                    # scratch reset below still covers EVERY touched row
+                    cand_sel = cand[fmask[cand]] if fmask is not None else cand
+                    docs, ssc = topk_select(
+                        scores[cand_sel], self.docmap_ids[cand_sel], plan.k
+                    )
                     scores[cand] = 0.0  # keep the shared scratch all-zeros
-                    n_cand = cand.size
+                    n_cand = cand_sel.size
             if not isinstance(docs, np.ndarray) or docs.size == 0:
                 continue
             q_out.append(np.full(docs.size, qid, dtype=np.int64))
@@ -829,6 +858,7 @@ class ShardSearcher:
                     getattr(self.cfg, "approx_factor", 1.0),
                     getattr(self.cfg, "min_should_match", 0),
                     getattr(self.cfg, "phrase_slop", 0),
+                    getattr(self.cfg, "filter_lang", None),
                 )
             )
         if not outs:
@@ -1096,10 +1126,10 @@ def _shard_actor_cls():
 
         def search(self, plan: QueryPlan, scorer_name: str, method: str,
                    approx_factor: float = 1.0, msm: int = 0,
-                   slop: int = 0) -> pa.Table:
+                   slop: int = 0, flt: str | None = None) -> pa.Table:
             scorer = SCORERS[scorer_name]
             outs = [
-                st.search_batch(plan, scorer, method, approx_factor, msm, slop)
+                st.search_batch(plan, scorer, method, approx_factor, msm, slop, flt)
                 for st in self.states.values()
             ]
             return pa.concat_tables(outs) if outs else None
@@ -1200,6 +1230,7 @@ class SearchSession:
                 getattr(query_cfg, "approx_factor", 1.0),
                 getattr(query_cfg, "min_should_match", 0),
                 getattr(query_cfg, "phrase_slop", 0),
+                getattr(query_cfg, "filter_lang", None),
             )
             for a in self.actors
         ]

@@ -87,6 +87,48 @@ def test_prefix_counts_match_oracle(facet_index):
     assert 2 not in got_map  # the impossible prefix produced no row
 
 
+def test_filtered_search_matches_filtered_oracle(facet_index):
+    """filter_lang: results equal the unfiltered oracle restricted to that
+    lang and re-ranked (idf/avgdl stay corpus-wide); unknown lang -> empty."""
+    from flatnav_ray.config import QueryConfig
+    from flatnav_ray.pipelines.oracle import brute_force_topk
+    from flatnav_ray.pipelines.query import search_to_table
+
+    ix, pages = facet_index
+    docs = dedup_latest(prepare_batch(pages, 4, None))
+    queries = queries_table(12, seed=9, vocab_size=800)
+    lang = sorted(set(docs.column("lang").to_pylist()))[0]
+    out = search_to_table(ix, queries, QueryConfig(k=10, filter_lang=lang))
+    # oracle: full-corpus scores (corpus-wide stats), filter rows by lang,
+    # re-rank per query, truncate
+    full = brute_force_topk(docs.select(["doc_id", "text"]), queries, k=100_000)
+    lang_of = dict(
+        zip(docs.column("doc_id").to_pylist(), docs.column("lang").to_pylist())
+    )
+    rows = [
+        (q, d, s)
+        for q, d, s in zip(
+            full.column("query_id").to_pylist(),
+            full.column("doc_id").to_pylist(),
+            full.column("score").to_pylist(),
+        )
+        if lang_of[d] == lang
+    ]
+    want: list[tuple[int, int]] = []
+    for qid in queries.column("query_id").to_pylist():
+        qrows = sorted(
+            ((d, s) for q, d, s in rows if q == qid), key=lambda t: (-t[1], t[0])
+        )[:10]
+        want.extend((qid, d) for d, _s in qrows)
+    got = list(
+        zip(out.column("query_id").to_pylist(), out.column("doc_id").to_pylist())
+    )
+    assert got == want
+    assert len(got) > 0
+    none = search_to_table(ix, queries, QueryConfig(k=10, filter_lang="xx-none"))
+    assert len(none) == 0
+
+
 def test_facet_empty_query_and_absent_terms(facet_index):
     ix, _ = facet_index
     queries = pa.table(
