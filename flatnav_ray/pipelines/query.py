@@ -152,6 +152,45 @@ def facet_counts(
     return out.sort_by([("query_id", "ascending"), (facet, "ascending")])
 
 
+def search_with_snippets(
+    index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None,
+    concurrency: int = 8,
+) -> pa.Table:
+    """Top-k search + best highlight window per result (snippet_start,
+    snippet_len token coordinates): the smallest window containing every
+    query term present in the doc. Results flow through a SnippetExtractor
+    actor pool keyed by owning shard; requires the positional sidecar."""
+    from ..stages.search import SnippetExtractor
+
+    query_cfg = query_cfg or QueryConfig()
+    results = search_to_table(index_dir, queries, query_cfg)
+    if len(results) == 0:
+        return results.append_column(
+            "snippet_start", pa.array([], type=pa.int64())
+        ).append_column("snippet_len", pa.array([], type=pa.int64()))
+    plan, stats = plan_for(index_dir, queries, query_cfg.k)
+    plan_ref = ray.put(plan)
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, ncpu))
+    out = ray.data.from_arrow(results).map_batches(
+        SnippetExtractor,
+        batch_format="pyarrow",
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "block_size": int(stats["block_size"]),
+            "num_partitions": int(stats["num_partitions"]),
+        },
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    import pyarrow.compute as pc
+
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+    )
+
+
 def prefix_doc_counts(
     index_dir: str, prefixes: list[str], concurrency: int = 8
 ) -> pa.Table:

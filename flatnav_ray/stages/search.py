@@ -513,6 +513,64 @@ class _ShardState:
             }
         )
 
+    # ---- snippet extraction (positions-based highlight) ----
+
+    def snippet_window(self, plan: QueryPlan, qi: int, doc_id: int) -> tuple[int, int]:
+        """Best snippet window for one RESULT doc: the smallest token window
+        [start, start+len) containing >= 1 occurrence of EVERY query term
+        that occurs in the doc (ties: smallest start). Runs on final top-k
+        rows only — k x Q docs, each with a handful of short position lists,
+        so the classic merge + two-pointer sweep is result-side work, not a
+        posting-stream loop. Requires the positional sidecar."""
+        self._load_positions()
+        scorer = SCORERS["bm25"]
+        dpos = int(np.searchsorted(self.docmap_ids, doc_id))
+        if dpos >= self.docmap_ids.size or self.docmap_ids[dpos] != doc_id:
+            return (-1, 0)
+        lists: list[np.ndarray] = []
+        for term, _qtf in plan.query_terms[qi]:
+            hit = self.term_contrib(term, plan, scorer)
+            if hit is None:
+                continue
+            j = int(np.searchsorted(hit[0], dpos))
+            if j >= hit[0].size or hit[0][j] != dpos:
+                continue  # term not in this doc: not required for coverage
+            tp = self._term_positions(term)
+            if tp is None:
+                continue
+            offs, flat = tp
+            lists.append(flat[offs[j]: offs[j + 1]])
+        if not lists:
+            return (-1, 0)
+        if len(lists) == 1:
+            return (int(lists[0][0]), 1)
+        merged = np.concatenate(lists)
+        labels = np.concatenate(
+            [np.full(ls.size, i, dtype=np.int32) for i, ls in enumerate(lists)]
+        )
+        order = np.argsort(merged, kind="stable")
+        mpos, mlab = merged[order], labels[order]
+        need = len(lists)
+        count = np.zeros(need, dtype=np.int64)
+        covered = 0
+        best = (-1, 1 << 30)
+        lo = 0
+        for hi in range(mpos.size):
+            c = mlab[hi]
+            count[c] += 1
+            if count[c] == 1:
+                covered += 1
+            while covered == need:
+                width = int(mpos[hi] - mpos[lo]) + 1
+                if width < best[1] or (width == best[1] and int(mpos[lo]) < best[0]):
+                    best = (int(mpos[lo]), width)
+                cl = mlab[lo]
+                count[cl] -= 1
+                if count[cl] == 0:
+                    covered -= 1
+                lo += 1
+        return best if best[0] >= 0 else (int(mpos[0]), 1)
+
     # ---- prefix (wildcard term*) dictionary range scan ----
 
     def prefix_doc_count(self, prefix: str) -> int:
@@ -918,6 +976,49 @@ class ShardFacets:
                 }
             )
         return pa.concat_tables(outs)
+
+
+class SnippetExtractor:
+    """Dataset-mode snippet stage: maps final result rows (query_id, doc_id)
+    to their best highlight window via the owning shard's positional sidecar
+    (doc_id % num_partitions locates the shard under every docid strategy —
+    reordered ids are constructed to preserve it)."""
+
+    def __init__(self, index_dir: str, plan_ref, block_size: int, num_partitions: int):
+        import ray
+
+        self.index_dir = index_dir
+        self.plan: QueryPlan = (
+            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
+        )
+        self.block_size = block_size
+        self.num_partitions = num_partitions
+        self._qi_of = {int(q): i for i, q in enumerate(self.plan.query_ids)}
+        self._states: dict[int, _ShardState] = {}
+        self._needed_terms = sorted(self.plan.term_idf.keys())
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        dids = batch.column("doc_id").to_pylist()
+        starts: list[int] = []
+        lens: list[int] = []
+        for q, d in zip(qids, dids):
+            st = self._state(int(d) % self.num_partitions)
+            s, w = st.snippet_window(self.plan, self._qi_of[int(q)], int(d))
+            starts.append(s)
+            lens.append(w)
+        return batch.append_column(
+            "snippet_start", pa.array(starts, type=pa.int64())
+        ).append_column("snippet_len", pa.array(lens, type=pa.int64()))
 
 
 class ShardPrefixCounts:

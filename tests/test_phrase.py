@@ -210,6 +210,60 @@ class TestPhrase:
         pairs1 = set(zip(s1.column("query_id").to_pylist(), s1.column("doc_id").to_pylist()))
         assert pairs0 <= pairs1 and len(pairs1) > len(pairs0)
 
+    def test_snippets_match_oracle(self, phrase_index):
+        """search_with_snippets: per result, the smallest token window
+        covering every query term present in the doc (ties: smallest start),
+        vs an independent python sweep over the tokenized docs."""
+        from flatnav_ray.pipelines.query import search_with_snippets
+
+        ix, cfg, pages = phrase_index
+        docs = _corpus_docs(pages, cfg.num_partitions)
+        seq_of = {
+            d: tokenize_py(t)
+            for d, t in zip(
+                docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+            )
+        }
+        queries = _occurring_phrases(pages, 8, 2)
+        out = search_with_snippets(ix, queries, QueryConfig(k=5))
+        assert len(out) > 0
+        qterms = {
+            q: sorted(set(tokenize_py(t)))
+            for q, t in zip(
+                queries.column("query_id").to_pylist(),
+                queries.column("text").to_pylist(),
+            )
+        }
+
+        def oracle_window(toks: list[str], terms: list[str]) -> tuple[int, int]:
+            present = [t for t in terms if t in toks]
+            if not present:
+                return (-1, 0)
+            best = (-1, 1 << 30)
+            for a in range(len(toks)):
+                seen = set()
+                for b in range(a, len(toks)):
+                    if toks[b] in present:
+                        seen.add(toks[b])
+                    if len(seen) == len(present):
+                        w = b - a + 1
+                        if w < best[1] or (w == best[1] and a < best[0]):
+                            best = (a, w)
+                        break
+            return best
+
+        for q, d, s, w in zip(
+            out.column("query_id").to_pylist(),
+            out.column("doc_id").to_pylist(),
+            out.column("snippet_start").to_pylist(),
+            out.column("snippet_len").to_pylist(),
+        ):
+            es, ew = oracle_window(seq_of[d], qterms[q])
+            assert (s, w) == (es, ew), (q, d)
+            # the window really covers every present term
+            window = seq_of[d][s: s + w]
+            assert all(t in window for t in qterms[q] if t in seq_of[d])
+
     def test_server_mode_equals_dataset_path(self, phrase_index):
         from flatnav_ray.stages.search import SearchSession
 
