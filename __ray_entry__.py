@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
         # the engine itself (flagship: build + BM25 top-k, rank-identical)
         "bm25_topk": d.bm25_topk,
+        "bm25_topk_page2": d.bm25_topk_page2,       # pagination: ranks 10..19
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
@@ -349,6 +350,13 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored s JOIN dense d ON d.doc_id = s.doc_id) ",
     )
     assert dense_sql != bm25_sql
+    # pagination (page 2): same scoring, ranks 10..19 with GLOBAL rank
+    # numbers — the engine fetches top-(offset+k) partials and slices.
+    page2_sql = bm25_sql.replace(
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ",
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank >= 10 AND rank < 20 ",
+    )
+    assert page2_sql != bm25_sql
     # multi-term queries: query i pairs top-df term rank i with rank i+10
     # (pipelines/documents.py bm25_topk_multi); the per-doc score is the sum
     # of the two single-term score streams — query_id % 10 folds them. A sum
@@ -611,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY 1, 2"
         ),
         "bm25_topk": bm25_sql,
+        "bm25_topk_page2": page2_sql,
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,

@@ -59,6 +59,12 @@ class IndexConfig:
 @dataclass(frozen=True)
 class QueryConfig:
     k: int = 10
+    # pagination: skip the first `offset` ranked results and return the next
+    # k (ranks offset..offset+k-1, GLOBAL rank numbers kept — page 2 of a
+    # result list). Internally shards return top-(offset+k) partials and the
+    # final merge slices, so deep pages cost O(offset+k) per shard, never a
+    # full re-sort.
+    offset: int = 0
     # "taat"/"maxscore": cached exact; "wand": block-max pruned exact;
     # "and": conjunctive posting-list intersection (match ALL terms);
     # "phrase": exact phrase (adjacent tokens, positional sidecar required —

@@ -389,6 +389,19 @@ def bm25_topk_wand(sf_dir: str, k: int = 10) -> pa.Table:
     return bm25_topk(sf_dir, k=k, method="wand")
 
 
+def bm25_topk_page2(sf_dir: str, k: int = 10) -> pa.Table:
+    """Pagination (page 2 of the result list — the search_after surface):
+    ranks offset..offset+k-1 with GLOBAL rank numbers. Shards return
+    top-(offset+k) partials and the merge slices, so deep pages stay
+    O(offset+k) per shard. Oracle: the bm25 SQL with
+    `rank >= 10 AND rank < 20`."""
+    ix = build_documents_index(sf_dir)
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k, offset=10))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_termlayout(sf_dir: str, k: int = 10) -> pa.Table:
     """Term-partitioned layout (groupby(term) + salting + hierarchical merge
     build) — same oracle as bm25_topk: the two layouts are reorderings of the

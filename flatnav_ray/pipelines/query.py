@@ -53,7 +53,11 @@ def search_partials(
     """Per-shard partial top-k as a Dataset (carries the per-query counters —
     the reference's distance-computation stats, Index.h:83-84)."""
     query_cfg = query_cfg or QueryConfig()
-    plan, stats = plan_for(index_dir, queries, query_cfg.k)
+    # pagination: shards must return top-(offset+k) partials for the final
+    # slice to be exact (direct callers merge + slice themselves)
+    plan, stats = plan_for(
+        index_dir, queries, query_cfg.k + getattr(query_cfg, "offset", 0)
+    )
     plan_ref = ray.put(plan)
     parts = [{"partition": int(p)} for p in stats["partitions"]]
     ncpu = int(ray.cluster_resources().get("CPU", query_cfg.concurrency))
@@ -82,6 +86,13 @@ def search(
     (query_id, rank, doc_id, url, score) — the analog of the reference's
     (Q×K distances, Q×K labels) return (bindings.cpp:214-227)."""
     query_cfg = query_cfg or QueryConfig()
+    if getattr(query_cfg, "offset", 0) > 0:
+        import dataclasses
+
+        deep = dataclasses.replace(query_cfg, k=query_cfg.k + query_cfg.offset, offset=0)
+        return search(index_dir, queries, deep).filter(
+            expr=f"rank >= {query_cfg.offset}"
+        )
     partials, _ = search_partials(index_dir, queries, query_cfg)
     return (
         partials.drop_columns(["docs_scored", "blocks_decoded"])
@@ -243,6 +254,14 @@ def search_to_table(index_dir: str, queries: pa.Table, query_cfg: QueryConfig | 
     """Materialized, deterministically ordered results. Merges driver-side
     when the partial set is small (k × partitions × queries rows)."""
     query_cfg = query_cfg or QueryConfig()
+    if getattr(query_cfg, "offset", 0) > 0:
+        import dataclasses
+
+        import pyarrow.compute as pc
+
+        deep = dataclasses.replace(query_cfg, k=query_cfg.k + query_cfg.offset, offset=0)
+        res = search_to_table(index_dir, queries, deep)
+        return res.filter(pc.greater_equal(res.column("rank"), query_cfg.offset))
     stats = load_stats(index_dir)
     est_rows = query_cfg.k * len(stats["partitions"]) * len(queries)
     if est_rows <= DRIVER_MERGE_MAX_ROWS:

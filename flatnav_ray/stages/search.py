@@ -1283,6 +1283,21 @@ class SearchSession:
         import ray
 
         query_cfg = query_cfg or QueryConfig()
+        # pagination: fetch top-(offset+k) and slice — the rank column keeps
+        # GLOBAL rank numbers (offset..offset+k-1), exactly SQL's
+        # `WHERE rank >= offset AND rank < offset+k`
+        if getattr(query_cfg, "offset", 0) > 0:
+            import dataclasses
+
+            import pyarrow.compute as pc
+
+            deep = dataclasses.replace(
+                query_cfg, k=query_cfg.k + query_cfg.offset, offset=0
+            )
+            res = self.search(queries, deep)
+            return res.filter(
+                pc.greater_equal(res.column("rank"), query_cfg.offset)
+            )
         # collapse duplicate query texts: plan, broadcast, per-shard scoring
         # and merge all scale with DISTINCT queries; results are replicated
         # per original query_id afterwards (bit-identical — scoring is a pure
