@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
+        "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
@@ -398,6 +399,23 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2 HAVING count(*) >= 2), ",
     )
     assert msm_sql != bm25_sql
+    # negation (NOT / -term): query i (i < 10) scores term rank i, excluding
+    # every doc that contains term rank i+10 — survivor scores are unchanged,
+    # so this is the bm25 SQL with an anti-join on the negated term's
+    # postings (pipelines/documents.py bm25_topk_not derives the same pairs).
+    neg_sql = bm25_sql.replace(
+        "scored AS (SELECT qt.query_id, tf.doc_id, ",
+        "neg AS (SELECT query_id - 10 AS query_id, term FROM qt WHERE query_id >= 10), "
+        "negdoc AS (SELECT DISTINCT n.query_id, t2.doc_id FROM neg n "
+        "JOIN tf t2 ON t2.term = n.term), "
+        "scored AS (SELECT qt.query_id, tf.doc_id, ",
+    ).replace(
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        "WHERE qt.query_id < 10 AND NOT EXISTS (SELECT 1 FROM negdoc nd "
+        "WHERE nd.query_id = qt.query_id AND nd.doc_id = tf.doc_id)), ",
+    )
+    assert neg_sql != bm25_sql
     # exact phrase: queries = first-two-token phrases of the 10 smallest-
     # doc_id docs (>= 2 tokens, distinct first two); a doc qualifies iff the
     # phrase occurs as ADJACENT tokens — checked via substring containment on
@@ -625,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_multi": multi_sql,
         "bm25_topk_and": and_sql,
         "bm25_topk_msm": msm_sql,
+        "bm25_topk_not": neg_sql,
         "bm25_topk_phrase": phrase_sql,
         "bm25_facets": facets_sql,
         "bm25_hit_counts": hits_sql,

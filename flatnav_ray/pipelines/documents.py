@@ -567,6 +567,27 @@ def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_not(sf_dir: str, k: int = 10) -> pa.Table:
+    """Negation (the Lucene NOT / -term operator): query i scores term rank i
+    but EXCLUDES every doc containing term rank i+10. Survivor scores are
+    unchanged (negation filters candidates, it never rescales), so the oracle
+    is the single-term bm25 SQL with a NOT EXISTS anti-join on the negated
+    term's postings."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=20)
+    texts = single.column("text").to_pylist()
+    qs = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array([texts[i] for i in range(10)], type=pa.string()),
+            "neg_text": pa.array([texts[i + 10] for i in range(10)], type=pa.string()),
+        }
+    )
+    out = search_to_table(ix, qs, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_msm(sf_dir: str, k: int = 10) -> pa.Table:
     """minimum_should_match retrieval (Lucene msm analog; the threshold
     midpoint between disjunction and the AND intersect): 3-term queries

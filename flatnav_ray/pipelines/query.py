@@ -40,6 +40,9 @@ def plan_for(index_dir: str, queries: pa.Table, k: int):
     distinct: set[str] = set()
     for t in queries.column("text").to_pylist():
         distinct.update(tokenize_py(t))
+    if "neg_text" in queries.column_names:  # negation terms need true df too
+        for t in queries.column("neg_text").to_pylist():
+            distinct.update(tokenize_py(t or ""))
     term_df = lookup_term_df(index_dir, sorted(distinct))
     return (
         make_query_plan(queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k),

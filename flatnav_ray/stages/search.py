@@ -57,6 +57,10 @@ class QueryPlan:
     # ordered token sequence per query (duplicates kept) — what phrase
     # adjacency matches against (method="phrase"); None on old pickles
     query_seqs: list[list[str]] | None = None
+    # negation (Lucene NOT / -term): per query, terms whose matching docs are
+    # EXCLUDED from the candidate set (scores of survivors unchanged). Built
+    # from an optional `neg_text` queries column; None = no negation.
+    query_neg_terms: list[list[str]] | None = None
 
 
 def make_query_plan(
@@ -78,11 +82,22 @@ def make_query_plan(
         qterms.append(sorted(counts.items()))
         qseqs.append(toks)
         distinct.update(counts)
+    # negation: tokenize the optional neg_text column with the SAME analyzer;
+    # neg terms join the distinct set so shard states load their postings
+    # (the exclusion needs positions, and a term that is positive in one
+    # query and negative in another must score with its true df)
+    qnegs: list[list[str]] | None = None
+    if "neg_text" in queries.column_names:
+        qnegs = []
+        for t in queries.column("neg_text").to_pylist():
+            toks = sorted(set(tokenize_py(t or "")))
+            qnegs.append(toks)
+            distinct.update(toks)
     tdf = {t: int(term_df.get(t, 0)) for t in distinct}
     tidf = {t: float(idf_fn(df, n_docs)) if df > 0 else 0.0 for t, df in tdf.items()}
     return QueryPlan(
         query_ids=qids, query_terms=qterms, term_idf=tidf, term_df=tdf,
-        n_docs=n_docs, avgdl=avgdl, k=k, query_seqs=qseqs,
+        n_docs=n_docs, avgdl=avgdl, k=k, query_seqs=qseqs, query_neg_terms=qnegs,
     )
 
 
@@ -272,6 +287,16 @@ class _ShardState:
                 f"filter_lang is supported on the default scoring methods "
                 f"(taat/maxscore), not method={method!r}"
             )
+        neg_lists = getattr(plan, "query_neg_terms", None)
+        if (
+            neg_lists is not None
+            and any(neg_lists)
+            and (method not in ("taat", "maxscore") or msm > 0)
+        ):
+            raise ValueError(
+                "exclude terms (neg_text) are supported on the default "
+                f"scoring methods (taat/maxscore), not method={method!r}/msm={msm}"
+            )
         fmask = self._lang_mask(flt) if flt is not None else None
         for qi in range(len(plan.query_ids)):
             qid = int(plan.query_ids[qi])
@@ -298,10 +323,23 @@ class _ShardState:
                     n_blocks += hit[2]
                 if not entries:
                     continue
+                # negation: mark excluded docmap rows in the shared touched
+                # scratch (O(df_neg) set + reset); survivors' scores are
+                # untouched — the NOT operator filters candidates only
+                nparts: list[np.ndarray] = []
+                for nt in (neg_lists[qi] if neg_lists is not None else ()):
+                    nhit = self.term_contrib(nt, plan, scorer)
+                    if nhit is not None and nhit[0].size:
+                        nparts.append(nhit[0])
+                        self._touched[nhit[0]] = True
+                excl = self._touched if nparts else None
                 if len(entries) == 1:
                     qtf, pos, contrib = entries[0]
                     if fmask is not None:  # slices: the cached arrays stay intact
                         sel = fmask[pos]
+                        pos, contrib = pos[sel], contrib[sel]
+                    if excl is not None:
+                        sel = ~excl[pos]
                         pos, contrib = pos[sel], contrib[sel]
                     sc = contrib if qtf == 1 else qtf * contrib
                     docs, ssc = topk_select(sc, self.docmap_ids[pos], plan.k)
@@ -318,11 +356,15 @@ class _ShardState:
                     # filtered search selects from masked candidates; the
                     # scratch reset below still covers EVERY touched row
                     cand_sel = cand[fmask[cand]] if fmask is not None else cand
+                    if excl is not None:
+                        cand_sel = cand_sel[~excl[cand_sel]]
                     docs, ssc = topk_select(
                         scores[cand_sel], self.docmap_ids[cand_sel], plan.k
                     )
                     scores[cand] = 0.0  # keep the shared scratch all-zeros
                     n_cand = cand_sel.size
+                for np_ in nparts:  # keep the shared scratch all-False
+                    self._touched[np_] = False
             if not isinstance(docs, np.ndarray) or docs.size == 0:
                 continue
             q_out.append(np.full(docs.size, qid, dtype=np.int64))
@@ -1302,13 +1344,16 @@ class SearchSession:
         # and merge all scale with DISTINCT queries; results are replicated
         # per original query_id afterwards (bit-identical — scoring is a pure
         # function of the text)
+        has_neg = "neg_text" in queries.column_names
         texts_all = queries.column("text").to_pylist()
         uniq: dict[str, int] = {}
         rep = np.fromiter(
             (uniq.setdefault(t, len(uniq)) for t in texts_all),
             dtype=np.int64, count=len(texts_all),
         )
-        if len(uniq) < len(texts_all):
+        # negated queries skip the text-keyed collapse (the dedup key would
+        # need (text, neg_text); negation batches are small by construction)
+        if len(uniq) < len(texts_all) and not has_neg:
             dq = pa.table(
                 {
                     "query_id": pa.array(np.arange(len(uniq), dtype=np.int64)),
@@ -1330,6 +1375,9 @@ class SearchSession:
         distinct: set[str] = set()
         for t in queries.column("text").to_pylist():
             distinct.update(tokenize_py(t))
+        if has_neg:  # negation terms need their true df in the plan too
+            for t in queries.column("neg_text").to_pylist():
+                distinct.update(tokenize_py(t or ""))
         missing = sorted(distinct - self._df_cache.keys())
         if missing:
             self._df_cache.update(self._lookup_missing_df(missing))

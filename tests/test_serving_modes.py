@@ -70,3 +70,91 @@ class TestPagination:
         ix, _, queries = built_index
         out = search_to_table(ix, queries, QueryConfig(k=10, offset=100_000))
         assert len(out) == 0
+
+
+def _doc_tokens(pages):
+    """doc_id -> token set over the deduped corpus (the python-side oracle)."""
+    from flatnav_ray.functions.tokenize import tokenize_py
+    from flatnav_ray.pipelines.build import prepare_batch
+    from flatnav_ray.stages.build import dedup_latest
+
+    d = dedup_latest(prepare_batch(pages, 8, None))
+    return {
+        int(i): set(tokenize_py(t))
+        for i, t in zip(d.column("doc_id").to_pylist(), d.column("text").to_pylist())
+    }
+
+
+class TestNegation:
+    def _neg_queries(self, pages):
+        """Positive = two frequent corpus terms, negative = two others."""
+        toks = _doc_tokens(pages)
+        from collections import Counter
+
+        df = Counter(t for s in toks.values() for t in s)
+        top = [t for t, _ in df.most_common(4)]
+        qs = pa.table(
+            {
+                "query_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array([top[0], top[1]], type=pa.string()),
+                "neg_text": pa.array([top[2], top[3]], type=pa.string()),
+            }
+        )
+        return qs, toks, top
+
+    def test_negation_matches_filtered_oracle(self, built_index):
+        """Exclusion drops exactly the docs containing the negated term;
+        survivor scores are bit-identical to the un-negated search."""
+        ix, pages, _ = built_index
+        qs, toks, top = self._neg_queries(pages)
+        got = search_to_table(ix, qs, QueryConfig(k=10))
+        full = search_to_table(
+            ix, qs.select(["query_id", "text"]), QueryConfig(k=len(toks))
+        )
+        rows = []
+        for qi, neg in ((0, top[2]), (1, top[3])):
+            sub = full.filter(pc.equal(full.column("query_id"), qi))
+            kept = [
+                (d, s)
+                for d, s in zip(
+                    sub.column("doc_id").to_pylist(), sub.column("score").to_pylist()
+                )
+                if neg not in toks[int(d)]
+            ][:10]
+            rows.extend((qi, r, d, s) for r, (d, s) in enumerate(kept))
+        assert got.column("query_id").to_pylist() == [r[0] for r in rows]
+        assert got.column("rank").to_pylist() == [r[1] for r in rows]
+        assert got.column("doc_id").to_pylist() == [r[2] for r in rows]
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), np.array([r[3] for r in rows])
+        )
+
+    def test_session_negation_equals_dataset_path(self, built_index):
+        from flatnav_ray.stages.search import SearchSession
+
+        ix, pages, _ = built_index
+        qs, _, _ = self._neg_queries(pages)
+        want = search_to_table(ix, qs, QueryConfig(k=10))
+        sess = SearchSession(ix, num_actors=2)
+        try:
+            got = sess.search(qs, QueryConfig(k=10))
+        finally:
+            sess.shutdown()
+        assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), want.column("score").to_numpy()
+        )
+
+    def test_negating_the_query_term_itself_empties(self, built_index):
+        """text == neg_text excludes every match."""
+        ix, pages, _ = built_index
+        qs, _, top = self._neg_queries(pages)
+        qs2 = qs.set_column(2, "neg_text", qs.column("text"))
+        out = search_to_table(ix, qs2, QueryConfig(k=10))
+        assert len(out) == 0
+
+    def test_negation_rejected_on_unsupported_methods(self, built_index):
+        ix, pages, _ = built_index
+        qs, _, _ = self._neg_queries(pages)
+        with pytest.raises(Exception, match="exclude terms"):
+            search_to_table(ix, qs, QueryConfig(k=10, method="wand"))
