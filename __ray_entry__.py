@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
+        "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
@@ -496,6 +497,14 @@ def oracle_sql() -> dict[str, str]:
         "FROM qt JOIN tf ON starts_with(tf.term, qt.prefix)) "
         "SELECT query_id, count(*) AS n_docs FROM matches GROUP BY 1 ORDER BY 1"
     )
+    # wildcard *term*: infixes = chars 2..4 of the top-10 df-ranked terms;
+    # a doc counts if ANY of its terms CONTAINS the infix
+    infix_sql = prefix_sql.replace(
+        "substr(term, 1, 3) AS prefix", "substr(term, 2, 3) AS prefix"
+    ).replace(
+        "ON starts_with(tf.term, qt.prefix)", "ON contains(tf.term, qt.prefix)"
+    )
+    assert infix_sql != prefix_sql
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -648,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": facets_sql,
         "bm25_hit_counts": hits_sql,
         "prefix_hit_counts": prefix_sql,
+        "infix_hit_counts": infix_sql,
         "bm25_topk_stopfilter": stop_sql,
         "bm25_topk_filtered": filtered_sql,
         "bm25_topk_tfidf": tfidf_sql,

@@ -718,6 +718,20 @@ def prefix_hit_counts(sf_dir: str) -> pa.Table:
     return prefix_doc_counts(ix, prefixes)
 
 
+def infix_hit_counts(sf_dir: str) -> pa.Table:
+    """Wildcard `*term*` queries: per infix (chars 2..4 of the top-10
+    df-ranked terms — SQL substr(term, 2, 3)), count docs containing ANY
+    dictionary term that CONTAINS the infix — per-shard vectorized substring
+    scan + postings-union count. Oracle: DuckDB contains() over the exploded
+    term table."""
+    from .query import prefix_doc_counts
+
+    ix = build_documents_index(sf_dir)
+    top = derived_queries(ix, n_queries=10)
+    infixes = [t[1:4] for t in top.column("text").to_pylist()]
+    return prefix_doc_counts(ix, infixes, mode="infix")
+
+
 def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pa.Table:
     """Exact phrase retrieval (method="phrase") over the positional sidecar
     (stages/positions.py — the positional-postings extension; the reference

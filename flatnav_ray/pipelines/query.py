@@ -206,12 +206,14 @@ def search_with_snippets(
 
 
 def prefix_doc_counts(
-    index_dir: str, prefixes: list[str], concurrency: int = 8
+    index_dir: str, prefixes: list[str], concurrency: int = 8,
+    mode: str = "prefix",
 ) -> pa.Table:
-    """Per prefix query, the number of docs containing ANY term starting
-    with it (wildcard `term*` expansion — per-shard sorted-dictionary bisect
-    + postings-union count; counts sum exactly across disjoint shards).
-    Columns: (query_id, n_docs), query_id = prefix list index."""
+    """Per pattern query, the number of docs containing ANY matching term.
+    mode="prefix": wildcard `term*` (per-shard sorted-dictionary bisect);
+    mode="infix": wildcard `*term*` (per-shard vectorized substring scan of
+    the dictionary). Both count the postings union, summing exactly across
+    disjoint shards. Columns: (query_id, n_docs), query_id = pattern index."""
     from ..stages.search import ShardPrefixCounts
 
     stats = load_stats(index_dir)
@@ -227,6 +229,7 @@ def prefix_doc_counts(
             "index_dir": index_dir,
             "prefixes": list(prefixes),
             "block_size": int(stats["block_size"]),
+            "mode": mode,
         },
     )
     batches = list(partials.iter_batches(batch_format="pyarrow"))

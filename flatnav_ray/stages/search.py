@@ -628,9 +628,31 @@ class _ShardState:
         hi = bisect.bisect_left(self._terms_list, prefix[:-1] + chr(ord(prefix[-1]) + 1))
         if lo >= hi:
             return 0
+        return self._postings_union_count(range(lo, hi))
+
+    def substr_doc_count(self, infix: str) -> int:
+        """Count docs containing ANY term that contains `infix` (the *term*
+        wildcard). No sorted-range shortcut exists for infixes — real engines
+        burn a permuterm/n-gram auxiliary index; the honest baseline is a
+        VECTORIZED substring scan of the dictionary (O(|dict|) bytes per
+        query, embarrassingly parallel across shards), then the same
+        postings-union count as the prefix path. Empty infix matches every
+        term (SQL contains(s, '') semantics)."""
+        import pyarrow.compute as pc
+
+        arr = getattr(self, "_terms_arr", None)
+        if arr is None:
+            arr = self._terms_arr = pa.array(self._terms_list, type=pa.string())
+        mask = pc.match_substring(arr, infix).to_numpy(zero_copy_only=False)
+        return self._postings_union_count(np.nonzero(mask)[0])
+
+    def _postings_union_count(self, term_indices) -> int:
+        """|union of postings| over dictionary rows — shared by the prefix
+        and infix wildcard scans (shards hold disjoint docs, so counts sum
+        exactly across the cluster)."""
         pos_lists = []
-        for i in range(lo, hi):
-            p = self._postings_row(self._terms_list[i])
+        for i in term_indices:
+            p = self._postings_row(self._terms_list[int(i)])
             pos, _tfs = decode_postings(
                 p["doc_blob"], p["tf_blob"], p["block_last_doc"],
                 block_size=self.block_size,
@@ -1064,15 +1086,18 @@ class SnippetExtractor:
 
 
 class ShardPrefixCounts:
-    """Dataset-mode prefix-count stage: per shard, `prefix_doc_count` for
-    each prefix query (loads the FULL term dictionary — no terms_filter:
-    the expansion set is unknown until the bisect). Partials sum exactly
-    across shards (disjoint docs)."""
+    """Dataset-mode wildcard-count stage: per shard, `prefix_doc_count`
+    (mode="prefix", sorted-dictionary bisect) or `substr_doc_count`
+    (mode="infix", vectorized substring scan) for each pattern query (loads
+    the FULL term dictionary — no terms_filter: the expansion set is unknown
+    until the scan). Partials sum exactly across shards (disjoint docs)."""
 
-    def __init__(self, index_dir: str, prefixes: list[str], block_size: int):
+    def __init__(self, index_dir: str, prefixes: list[str], block_size: int,
+                 mode: str = "prefix"):
         self.index_dir = index_dir
         self.prefixes = prefixes
         self.block_size = block_size
+        self.mode = mode
         self._states: dict[int, _ShardState] = {}
 
     def _state(self, partition: int) -> _ShardState:
@@ -1092,9 +1117,12 @@ class ShardPrefixCounts:
             if not os.path.exists(segment_path(self.index_dir, part)):
                 continue
             st = self._state(part)
+            count = (
+                st.substr_doc_count if self.mode == "infix" else st.prefix_doc_count
+            )
             for qi, prefix in enumerate(self.prefixes):
                 q_out.append(qi)
-                n_out.append(st.prefix_doc_count(prefix))
+                n_out.append(count(prefix))
         return pa.table(
             {
                 "query_id": pa.array(q_out, type=pa.int64()),

@@ -158,3 +158,38 @@ class TestNegation:
         qs, _, _ = self._neg_queries(pages)
         with pytest.raises(Exception, match="exclude terms"):
             search_to_table(ix, qs, QueryConfig(k=10, method="wand"))
+
+
+class TestInfixWildcard:
+    def test_infix_counts_match_python_oracle(self, built_index):
+        """*term* scan: per infix, docs containing ANY term that contains it
+        — counted independently in python over the deduped corpus."""
+        from flatnav_ray.pipelines.query import prefix_doc_counts
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        vocab = sorted({t for s in toks.values() for t in s})
+        infixes = [vocab[0][1:4], vocab[len(vocab) // 2][1:4], "zzzzzz"]
+        got = prefix_doc_counts(ix, infixes, mode="infix")
+        want = {
+            qi: sum(1 for s in toks.values() if any(inf in t for t in s))
+            for qi, inf in enumerate(infixes)
+        }
+        want = {qi: n for qi, n in want.items() if n > 0}  # SQL join drops 0s
+        assert dict(
+            zip(got.column("query_id").to_pylist(), got.column("n_docs").to_pylist())
+        ) == want
+
+    def test_infix_superset_of_prefix(self, built_index):
+        """For the same pattern, *p* matches at least every doc p* matches."""
+        from flatnav_ray.pipelines.query import prefix_doc_counts
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        pats = sorted({t[:3] for s in toks.values() for t in s})[:5]
+        pre = prefix_doc_counts(ix, pats, mode="prefix")
+        inf = prefix_doc_counts(ix, pats, mode="infix")
+        pre_d = dict(zip(pre.column("query_id").to_pylist(), pre.column("n_docs").to_pylist()))
+        inf_d = dict(zip(inf.column("query_id").to_pylist(), inf.column("n_docs").to_pylist()))
+        for qi, n in pre_d.items():
+            assert inf_d.get(qi, 0) >= n
