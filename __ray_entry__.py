@@ -289,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
+        "bm25_topk_fuzzy": d.bm25_topk_fuzzy,     # fuzzy term~1 dictionary expansion
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
@@ -417,6 +418,31 @@ def oracle_sql() -> dict[str, str]:
         "WHERE nd.query_id = qt.query_id AND nd.doc_id = tf.doc_id)), ",
     )
     assert neg_sql != bm25_sql
+    # fuzzy term~1: the top-10 df-ranked single-term queries, each expanded
+    # to ALL dictionary terms within levenshtein distance 1; a doc's score is
+    # the ORDERED sum over its matched expansions (the engine accumulates in
+    # pinned lexicographic term order — sum(score ORDER BY term) matches it
+    # bit-for-bit, as in the msm oracle).
+    fuzzy_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 10), "
+        "exp AS (SELECT qt.query_id, d2.term FROM qt JOIN df d2 "
+        "ON levenshtein(qt.term, d2.term) <= 1), "
+        "scored1 AS (SELECT e.query_id, tf.doc_id, e.term, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM exp e JOIN tf ON tf.term = e.term JOIN df ON df.term = e.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT query_id, doc_id, sum(score ORDER BY term) AS score "
+        "FROM scored1 GROUP BY 1, 2), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
     # exact phrase: queries = first-two-token phrases of the 10 smallest-
     # doc_id docs (>= 2 tokens, distinct first two); a doc qualifies iff the
     # phrase occurs as ADJACENT tokens — checked via substring containment on
@@ -653,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": and_sql,
         "bm25_topk_msm": msm_sql,
         "bm25_topk_not": neg_sql,
+        "bm25_topk_fuzzy": fuzzy_sql,
         "bm25_topk_phrase": phrase_sql,
         "bm25_facets": facets_sql,
         "bm25_hit_counts": hits_sql,

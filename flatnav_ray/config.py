@@ -78,6 +78,11 @@ class QueryConfig:
     # 1+slop positions apart, in order (0 = exact adjacency). The per-gap
     # proximity analog of Lucene's slop knob.
     phrase_slop: int = 0
+    # fuzzy matching (Lucene term~1): 1 = expand every query token to all
+    # dictionary terms within Levenshtein distance 1 (functions/fuzzy.py)
+    # and score the disjunction, each match with its own idf. Default
+    # scoring methods only (taat/maxscore). Only max_edits=1 is supported.
+    fuzzy_max_edits: int = 0
     # filtered search: restrict candidates to docs with this docmap lang
     # (idf/avgdl stay corpus-wide — a filter, not a sub-corpus). Default
     # scoring methods only (taat/maxscore).

@@ -567,6 +567,21 @@ def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_fuzzy(sf_dir: str, k: int = 10) -> pa.Table:
+    """Fuzzy matching (Lucene term~1): each of the top-10 df-ranked terms
+    expands to EVERY dictionary term within Levenshtein distance 1
+    (functions/fuzzy.py — the vectorized lcp+lcs form of the Levenshtein
+    automaton), scored as a disjunction where each match keeps its own idf.
+    Oracle: the bm25 SQL with a `levenshtein(qt.term, df.term) <= 1`
+    expansion join and the ordered per-doc fold (sum(score ORDER BY term) —
+    the engine's pinned lexicographic accumulation)."""
+    ix = build_documents_index(sf_dir)
+    queries = derived_queries(ix, n_queries=10)
+    out = search_to_table(ix, queries, QueryConfig(k=k, fuzzy_max_edits=1))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_not(sf_dir: str, k: int = 10) -> pa.Table:
     """Negation (the Lucene NOT / -term operator): query i scores term rank i
     but EXCLUDES every doc containing term rank i+10. Survivor scores are

@@ -35,17 +35,29 @@ from ..state.stats import load_stats, lookup_term_df
 DRIVER_MERGE_MAX_ROWS = 5_000_000
 
 
-def plan_for(index_dir: str, queries: pa.Table, k: int):
+def plan_for(index_dir: str, queries: pa.Table, k: int, fuzzy_max_edits: int = 0):
     stats = load_stats(index_dir)
-    distinct: set[str] = set()
+    text_terms: set[str] = set()
     for t in queries.column("text").to_pylist():
-        distinct.update(tokenize_py(t))
+        text_terms.update(tokenize_py(t))
+    distinct = set(text_terms)
     if "neg_text" in queries.column_names:  # negation terms need true df too
         for t in queries.column("neg_text").to_pylist():
             distinct.update(tokenize_py(t or ""))
+    expansions = None
+    if fuzzy_max_edits:
+        from ..functions.fuzzy import fuzzy_expand_terms
+
+        # fuzzy applies to POSITIVE tokens only (negation stays exact)
+        expansions = fuzzy_expand_terms(index_dir, sorted(text_terms), fuzzy_max_edits)
+        for s in expansions.values():
+            distinct.update(s)
     term_df = lookup_term_df(index_dir, sorted(distinct))
     return (
-        make_query_plan(queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k),
+        make_query_plan(
+            queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k,
+            expansions=expansions,
+        ),
         stats,
     )
 
@@ -56,10 +68,17 @@ def search_partials(
     """Per-shard partial top-k as a Dataset (carries the per-query counters —
     the reference's distance-computation stats, Index.h:83-84)."""
     query_cfg = query_cfg or QueryConfig()
+    fz = getattr(query_cfg, "fuzzy_max_edits", 0)
+    if fz and query_cfg.method not in ("taat", "maxscore"):
+        raise ValueError(
+            "fuzzy matching is supported on the default scoring methods "
+            f"(taat/maxscore), not method={query_cfg.method!r}"
+        )
     # pagination: shards must return top-(offset+k) partials for the final
     # slice to be exact (direct callers merge + slice themselves)
     plan, stats = plan_for(
-        index_dir, queries, query_cfg.k + getattr(query_cfg, "offset", 0)
+        index_dir, queries, query_cfg.k + getattr(query_cfg, "offset", 0),
+        fuzzy_max_edits=fz,
     )
     plan_ref = ray.put(plan)
     parts = [{"partition": int(p)} for p in stats["partitions"]]

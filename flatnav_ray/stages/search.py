@@ -64,11 +64,18 @@ class QueryPlan:
 
 
 def make_query_plan(
-    queries: pa.Table, term_df: dict[str, int], n_docs: int, avgdl: float, k: int
+    queries: pa.Table, term_df: dict[str, int], n_docs: int, avgdl: float, k: int,
+    expansions: dict[str, set[str]] | None = None,
 ) -> QueryPlan:
     """Tokenize the query table (same analyzer as build — SURVEY.md M5) and
     pre-compute idf. Terms within a query are sorted lexicographically: the
-    fixed accumulation order that pins float summation (§7 'hard parts' #1)."""
+    fixed accumulation order that pins float summation (§7 'hard parts' #1).
+
+    `expansions` (fuzzy matching): maps each query token to the dictionary
+    terms it matches (levenshtein <= 1, functions/fuzzy.py); each match
+    scores with its OWN df/idf and the doc's score is the ordered sum over
+    matched terms — Lucene's fuzzy-as-disjunction rewrite. A token with no
+    dictionary neighbour contributes nothing."""
     qids = queries.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = queries.column("text").to_pylist()
     qterms: list[list[tuple[str, int]]] = []
@@ -78,7 +85,11 @@ def make_query_plan(
         toks = tokenize_py(t)
         counts: dict[str, int] = {}
         for tok in toks:
-            counts[tok] = counts.get(tok, 0) + 1
+            if expansions is not None:
+                for e in expansions.get(tok, ()):
+                    counts[e] = counts.get(e, 0) + 1
+            else:
+                counts[tok] = counts.get(tok, 0) + 1
         qterms.append(sorted(counts.items()))
         qseqs.append(toks)
         distinct.update(counts)
@@ -1345,6 +1356,11 @@ class SearchSession:
 
         return lookup_term_df(self.index_dir, missing)
 
+    def _fuzzy_expand(self, terms: list[str], max_edits: int) -> dict[str, set[str]]:
+        from ..functions.fuzzy import fuzzy_expand_terms
+
+        return fuzzy_expand_terms(self.index_dir, terms, max_edits)
+
     # queries per broadcast plan: bounds the ray.put object and per-actor
     # accumulation for very large batches; chunks stream through the pool
     MAX_PLAN_QUERIES = 16_384
@@ -1400,12 +1416,24 @@ class SearchSession:
                 for i in range(0, len(queries), self.MAX_PLAN_QUERIES)
             ]
             return pa.concat_tables(parts)
-        distinct: set[str] = set()
+        text_terms: set[str] = set()
         for t in queries.column("text").to_pylist():
-            distinct.update(tokenize_py(t))
+            text_terms.update(tokenize_py(t))
+        distinct = set(text_terms)
         if has_neg:  # negation terms need their true df in the plan too
             for t in queries.column("neg_text").to_pylist():
                 distinct.update(tokenize_py(t or ""))
+        expansions = None
+        fz = getattr(query_cfg, "fuzzy_max_edits", 0)
+        if fz:
+            if query_cfg.method not in ("taat", "maxscore"):
+                raise ValueError(
+                    "fuzzy matching is supported on the default scoring "
+                    f"methods (taat/maxscore), not method={query_cfg.method!r}"
+                )
+            expansions = self._fuzzy_expand(sorted(text_terms), fz)
+            for s in expansions.values():
+                distinct.update(s)
         missing = sorted(distinct - self._df_cache.keys())
         if missing:
             self._df_cache.update(self._lookup_missing_df(missing))
@@ -1414,6 +1442,7 @@ class SearchSession:
         term_df = {t: self._df_cache[t] for t in distinct}
         plan = make_query_plan(
             queries, term_df, self._n_docs, self._avgdl, query_cfg.k,
+            expansions=expansions,
         )
         plan_ref = ray.put(plan)
         futs = [
@@ -1534,4 +1563,15 @@ class StackedSearchSession(SearchSession):
         for part in ray.get([a.live_df.remote(missing) for a in self.actors]):
             for t, n in part.items():
                 out[t] += int(n)
+        return out
+
+    def _fuzzy_expand(self, terms: list[str], max_edits: int) -> dict[str, set[str]]:
+        """Union the expansion over every generation's vocabulary (a term
+        first introduced by a delta must still match)."""
+        from ..functions.fuzzy import fuzzy_expand_terms
+
+        out: dict[str, set[str]] = {t: set() for t in terms}
+        for d in self.index_dirs:
+            for t, s in fuzzy_expand_terms(d, terms, max_edits).items():
+                out[t] |= s
         return out

@@ -180,6 +180,108 @@ class TestInfixWildcard:
             zip(got.column("query_id").to_pylist(), got.column("n_docs").to_pylist())
         ) == want
 
+class TestFuzzy:
+    def test_matcher_exact_vs_dp_levenshtein(self):
+        """The lcp+lcs closed form equals DP Levenshtein <= 1 over a random
+        dense vocabulary (small alphabet maximizes near-collisions)."""
+        import random
+
+        from flatnav_ray.functions.fuzzy import Edit1Matcher
+
+        def lev(a, b):
+            m, n = len(a), len(b)
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                    prev = cur
+            return dp[n]
+
+        rng = random.Random(11)
+        vocab = sorted(
+            {"".join(rng.choice("abc") for _ in range(rng.randint(1, 5))) for _ in range(300)}
+        )
+        m = Edit1Matcher(vocab)
+        for q in vocab[:60] + ["", "zzz", "abcab", "aa"]:
+            assert set(m.candidates(q)) == {t for t in vocab if lev(q, t) <= 1}, q
+
+    def test_fuzzy_equals_manual_expansion(self, built_index):
+        """fuzzy_max_edits=1 is bit-identical to searching the expanded
+        disjunction spelled out as a plain multi-term query."""
+        from flatnav_ray.functions.fuzzy import fuzzy_expand_terms
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        from collections import Counter
+
+        df = Counter(t for s in toks.values() for t in s)
+        qterm = df.most_common(1)[0][0]
+        exp = sorted(fuzzy_expand_terms(ix, [qterm])[qterm])
+        assert qterm in exp  # the exact term always matches itself
+        qs = pa.table(
+            {"query_id": pa.array([0], type=pa.int64()),
+             "text": pa.array([qterm], type=pa.string())}
+        )
+        got = search_to_table(ix, qs, QueryConfig(k=10, fuzzy_max_edits=1))
+        manual = pa.table(
+            {"query_id": pa.array([0], type=pa.int64()),
+             "text": pa.array([" ".join(exp)], type=pa.string())}
+        )
+        want = search_to_table(ix, manual, QueryConfig(k=10))
+        assert got.equals(want)
+
+    def test_fuzzy_expansion_matches_python_oracle(self, built_index):
+        """Distributed expansion over term_stats == brute-force python
+        Levenshtein over the corpus vocabulary."""
+        from flatnav_ray.functions.fuzzy import fuzzy_expand_terms
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        vocab = sorted({t for s in toks.values() for t in s})
+        probes = [vocab[0], vocab[len(vocab) // 2], vocab[-1], "nosuchterm"]
+        got = fuzzy_expand_terms(ix, probes)
+
+        def lev(a, b):
+            m, n = len(a), len(b)
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                    prev = cur
+            return dp[n]
+
+        for q in probes:
+            assert got[q] == {t for t in vocab if lev(q, t) <= 1}, q
+
+    def test_fuzzy_session_equals_dataset_path(self, built_index):
+        from flatnav_ray.stages.search import SearchSession
+
+        ix, pages, queries = built_index
+        qs = queries.slice(0, 5)
+        want = search_to_table(ix, qs, QueryConfig(k=10, fuzzy_max_edits=1))
+        sess = SearchSession(ix, num_actors=2)
+        try:
+            got = sess.search(qs, QueryConfig(k=10, fuzzy_max_edits=1))
+        finally:
+            sess.shutdown()
+        assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), want.column("score").to_numpy()
+        )
+
+    def test_fuzzy_rejected_on_unsupported_methods(self, built_index):
+        ix, _, queries = built_index
+        with pytest.raises(Exception, match="fuzzy"):
+            search_to_table(
+                ix, queries.slice(0, 2), QueryConfig(k=5, fuzzy_max_edits=1, method="wand")
+            )
+
+
+class TestInfixVsPrefix:
     def test_infix_superset_of_prefix(self, built_index):
         """For the same pattern, *p* matches at least every doc p* matches."""
         from flatnav_ray.pipelines.query import prefix_doc_counts
