@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
         "bm25_topk_fuzzy": d.bm25_topk_fuzzy,     # fuzzy term~1 dictionary expansion
+        "more_like_this": d.more_like_this,       # MLT: top tf-idf terms -> search, self excluded
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
@@ -441,6 +442,35 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2), "
         "ranked AS (SELECT query_id, doc_id, row_number() OVER "
         "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
+    # more-like-this: sources = the 5 smallest doc_ids; per source, the top-3
+    # within-doc tf x idf terms (idf = the same ln-form; exact ties term-asc)
+    # become a disjunctive query; rank over the ordered per-doc fold AFTER
+    # excluding the source doc itself (pipelines/query.py more_like_this).
+    mlt_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "src AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS query_id "
+        "FROM documents ORDER BY doc_id LIMIT 5), "
+        "qterms AS (SELECT query_id, term FROM ("
+        "SELECT s.query_id, t.term, row_number() OVER (PARTITION BY s.query_id "
+        "ORDER BY t.tf * ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) DESC, t.term ASC) AS rn "
+        "FROM src s JOIN tf t ON t.doc_id = s.doc_id JOIN df ON df.term = t.term "
+        "CROSS JOIN stats st) WHERE rn <= 3), "
+        "scored1 AS (SELECT q.query_id, tf.doc_id, q.term, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qterms q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT query_id, doc_id, sum(score ORDER BY term) AS score "
+        "FROM scored1 GROUP BY 1, 2), "
+        "ranked AS (SELECT sc.query_id, sc.doc_id, row_number() OVER "
+        "(PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id ASC) - 1 AS rank "
+        "FROM scored sc JOIN src ON src.query_id = sc.query_id "
+        "WHERE sc.doc_id <> src.doc_id) "
         "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
     )
     # exact phrase: queries = first-two-token phrases of the 10 smallest-
@@ -680,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_msm": msm_sql,
         "bm25_topk_not": neg_sql,
         "bm25_topk_fuzzy": fuzzy_sql,
+        "more_like_this": mlt_sql,
         "bm25_topk_phrase": phrase_sql,
         "bm25_facets": facets_sql,
         "bm25_hit_counts": hits_sql,

@@ -567,6 +567,29 @@ def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def more_like_this(sf_dir: str, k: int = 10) -> pa.Table:
+    """More-like-this (the Lucene MLT surface): sources = the 5 smallest
+    doc_ids; each derives its top-3 within-doc tf x idf terms, searches the
+    disjunction and returns top-k excluding itself. Oracle: the same
+    derivation in SQL (row_number over tf * ln-idf, term-asc ties), ordered
+    per-doc score fold, ranked after a `doc_id <> src` anti-filter."""
+    from .query import more_like_this as mlt
+
+    ix = build_documents_index(sf_dir)
+    src = (
+        pa.concat_tables(
+            ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ).iter_batches(batch_format="pyarrow")
+        )
+        .sort_by("doc_id")
+        .slice(0, 5)
+    )
+    out = mlt(ix, src, n_terms=3, k=k)
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_fuzzy(sf_dir: str, k: int = 10) -> pa.Table:
     """Fuzzy matching (Lucene term~1): each of the top-10 df-ranked terms
     expands to EVERY dictionary term within Levenshtein distance 1

@@ -275,6 +275,68 @@ def prefix_doc_counts(
     return out.sort_by("query_id")
 
 
+def more_like_this(
+    index_dir: str, docs: pa.Table, n_terms: int = 3, k: int = 10,
+    query_cfg: QueryConfig | None = None,
+) -> pa.Table:
+    """Lucene MoreLikeThis analog: for each source row (doc_id, text), derive
+    the doc's top-`n_terms` terms by within-doc tf x idf (idf from the
+    index's GLOBAL df; exact ties break term-asc), run the disjunctive BM25
+    search, and return the top-k EXCLUDING the source doc itself. query_id =
+    source row index. Columns: (query_id, rank, doc_id, url, score) with
+    ranks renumbered after the exclusion (the SQL `doc_id <> src` rank).
+
+    The source text rides in because the doc layout stores postings
+    term-major (no per-doc term vectors) — the caller has the stored field,
+    exactly as a Lucene MLT caller passes the document."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from collections import Counter
+
+    from ..functions.bm25 import idf as idf_fn
+
+    stats = load_stats(index_dir)
+    n_docs = int(stats["n_docs"])
+    src_ids = np.asarray(docs.column("doc_id").to_pylist(), dtype=np.int64)
+    counts = [Counter(tokenize_py(t)) for t in docs.column("text").to_pylist()]
+    dfm = lookup_term_df(index_dir, sorted({t for c in counts for t in c}))
+    qtexts = []
+    for c in counts:
+        scored = sorted(
+            (-(tf * idf_fn(dfm[term], n_docs)), term)
+            for term, tf in c.items()
+            if dfm.get(term, 0) > 0
+        )
+        qtexts.append(" ".join(term for _, term in scored[:n_terms]))
+    qs = pa.table(
+        {
+            "query_id": pa.array(np.arange(len(qtexts), dtype=np.int64)),
+            "text": pa.array(qtexts, type=pa.string()),
+        }
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(query_cfg or QueryConfig(), k=k + 1, offset=0)
+    res = search_to_table(index_dir, qs, cfg)
+    if len(res) == 0:
+        return res
+    qid = res.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    did = res.column("doc_id").to_numpy(zero_copy_only=False)
+    keep = did != src_ids[qid]  # drop the source doc, keep order
+    res = res.filter(pa.array(keep))
+    qid = qid[keep]
+    # renumber ranks within each query (rows already (query_id, rank)-sorted)
+    new_q = np.concatenate(([True], qid[1:] != qid[:-1]))
+    grp = np.maximum.accumulate(np.where(new_q, np.arange(qid.size), 0))
+    rank = np.arange(qid.size) - grp
+    res = res.set_column(
+        res.schema.get_field_index("rank"), "rank",
+        pa.array(rank.astype(np.int32), type=pa.int32()),
+    )
+    return res.filter(pc.less(res.column("rank"), k))
+
+
 def search_to_table(index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None) -> pa.Table:
     """Materialized, deterministically ordered results. Merges driver-side
     when the partial set is small (k × partitions × queries rows)."""

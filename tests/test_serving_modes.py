@@ -281,6 +281,61 @@ class TestFuzzy:
             )
 
 
+class TestMoreLikeThis:
+    def _sources(self, pages):
+        from flatnav_ray.pipelines.build import prepare_batch
+        from flatnav_ray.stages.build import dedup_latest
+
+        d = dedup_latest(prepare_batch(pages, 8, None))
+        return d.select(["doc_id", "text"]).sort_by("doc_id").slice(0, 4)
+
+    def test_mlt_never_returns_source_and_matches_manual(self, built_index):
+        """MLT == manually searching the derived top-term disjunction at
+        depth k+1 with the source dropped and ranks renumbered."""
+        from collections import Counter
+
+        from flatnav_ray.functions.bm25 import idf as idf_fn
+        from flatnav_ray.functions.tokenize import tokenize_py
+        from flatnav_ray.pipelines.query import more_like_this
+        from flatnav_ray.state.stats import load_stats, lookup_term_df
+
+        ix, pages, _ = built_index
+        src = self._sources(pages)
+        got = more_like_this(ix, src, n_terms=3, k=10)
+        src_ids = src.column("doc_id").to_pylist()
+        # the source doc never appears in its own result list
+        for q, d in zip(got.column("query_id").to_pylist(), got.column("doc_id").to_pylist()):
+            assert d != src_ids[int(q)]
+        # manual recompute: derive texts, deep search, drop source, renumber
+        n = int(load_stats(ix)["n_docs"])
+        rows = []
+        for qi, text in enumerate(src.column("text").to_pylist()):
+            c = Counter(tokenize_py(text))
+            dfm = lookup_term_df(ix, sorted(c))
+            scored = sorted(
+                (-(tf * idf_fn(dfm[t], n)), t) for t, tf in c.items() if dfm.get(t, 0) > 0
+            )
+            qtext = " ".join(t for _, t in scored[:3])
+            deep = search_to_table(
+                ix,
+                pa.table({"query_id": pa.array([0], type=pa.int64()),
+                          "text": pa.array([qtext], type=pa.string())}),
+                QueryConfig(k=11),
+            )
+            kept = [
+                (d, s)
+                for d, s in zip(deep.column("doc_id").to_pylist(), deep.column("score").to_pylist())
+                if d != src_ids[qi]
+            ][:10]
+            rows.extend((qi, r, d, s) for r, (d, s) in enumerate(kept))
+        assert got.column("query_id").to_pylist() == [r[0] for r in rows]
+        assert got.column("rank").to_pylist() == [r[1] for r in rows]
+        assert got.column("doc_id").to_pylist() == [r[2] for r in rows]
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), np.array([r[3] for r in rows])
+        )
+
+
 class TestInfixVsPrefix:
     def test_infix_superset_of_prefix(self, built_index):
         """For the same pattern, *p* matches at least every doc p* matches."""
