@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the engine itself (flagship: build + BM25 top-k, rank-identical)
         "bm25_topk": d.bm25_topk,
         "bm25_topk_page2": d.bm25_topk_page2,       # pagination: ranks 10..19
+        "bm25_topk_after": d.bm25_topk_after,       # cursor search_after paging
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
@@ -296,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
+        "regex_hit_counts": d.regex_hit_counts,    # regex term scan (RE2 dictionary)
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
@@ -361,6 +363,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, rank, doc_id FROM ranked WHERE rank >= 10 AND rank < 20 ",
     )
     assert page2_sql != bm25_sql
+    # cursor pagination (search_after): cursor = page-1 rank 9, so the page
+    # is exactly ranks 10..19 RENUMBERED 0..9 (page-relative ranks)
+    after_sql = bm25_sql.replace(
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ",
+        "SELECT query_id, rank - 10 AS rank, doc_id FROM ranked "
+        "WHERE rank >= 10 AND rank < 20 ",
+    )
+    assert after_sql != bm25_sql
     # multi-term queries: query i pairs top-df term rank i with rank i+10
     # (pipelines/documents.py bm25_topk_multi); the per-doc score is the sum
     # of the two single-term score streams — query_id % 10 folds them. A sum
@@ -561,6 +571,17 @@ def oracle_sql() -> dict[str, str]:
         "ON starts_with(tf.term, qt.prefix)", "ON contains(tf.term, qt.prefix)"
     )
     assert infix_sql != prefix_sql
+    # regex terms: patterns = '^' + first-2-chars + '.*' + last-char + '$'
+    # of the top-10 df-ranked terms (the analyzer alphabet [a-z0-9] has no
+    # regex metacharacters); unanchored RE2 on both engines
+    regex_sql = prefix_sql.replace(
+        "substr(term, 1, 3) AS prefix",
+        "'^' || substr(term, 1, 2) || '.*' || substr(term, -1) || '$' AS prefix",
+    ).replace(
+        "ON starts_with(tf.term, qt.prefix)",
+        "ON regexp_matches(tf.term, qt.prefix)",
+    )
+    assert regex_sql != prefix_sql
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -703,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk": bm25_sql,
         "bm25_topk_page2": page2_sql,
+        "bm25_topk_after": after_sql,
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,
@@ -716,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_hit_counts": hits_sql,
         "prefix_hit_counts": prefix_sql,
         "infix_hit_counts": infix_sql,
+        "regex_hit_counts": regex_sql,
         "bm25_topk_stopfilter": stop_sql,
         "bm25_topk_filtered": filtered_sql,
         "bm25_topk_tfidf": tfidf_sql,

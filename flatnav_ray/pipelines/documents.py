@@ -567,6 +567,25 @@ def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_after(sf_dir: str, k: int = 10) -> pa.Table:
+    """Cursor pagination (search_after — the SCALABLE deep-paging path):
+    each query's cursor is its page-1 rank-9 (score, doc_id); shards filter
+    strictly-after-cursor BEFORE their top-k, so a deep page ships O(k) rows
+    per shard (offset ships O(offset+k)). The result must equal ranks 10..19
+    renumbered 0..9 — the oracle is the bm25 SQL with `rank - 10 AS rank`."""
+    ix = build_documents_index(sf_dir)
+    queries = derived_queries(ix)
+    first = search_to_table(ix, queries, QueryConfig(k=10))
+    nine = first.filter(pc.equal(first.column("rank"), 9)).sort_by("query_id")
+    assert len(nine) == len(queries), "every derived query has >= 10 matches"
+    qs = queries.append_column(
+        "after_score", nine.column("score")
+    ).append_column("after_doc", nine.column("doc_id"))
+    out = search_to_table(ix, qs, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def more_like_this(sf_dir: str, k: int = 10) -> pa.Table:
     """More-like-this (the Lucene MLT surface): sources = the 5 smallest
     doc_ids; each derives its top-3 within-doc tf x idf terms, searches the
@@ -768,6 +787,20 @@ def infix_hit_counts(sf_dir: str) -> pa.Table:
     top = derived_queries(ix, n_queries=10)
     infixes = [t[1:4] for t in top.column("text").to_pylist()]
     return prefix_doc_counts(ix, infixes, mode="infix")
+
+
+def regex_hit_counts(sf_dir: str) -> pa.Table:
+    """Regex term queries: per pattern (`ab.*c` built from the first two and
+    last chars of the top-10 df-ranked terms, anchored), count docs
+    containing ANY matching dictionary term — per-shard vectorized RE2 scan
+    + postings-union count. Oracle: DuckDB regexp_matches with the same
+    pattern derivation."""
+    from .query import prefix_doc_counts
+
+    ix = build_documents_index(sf_dir)
+    top = derived_queries(ix, n_queries=10)
+    pats = [f"^{t[:2]}.*{t[-1]}$" for t in top.column("text").to_pylist()]
+    return prefix_doc_counts(ix, pats, mode="regex")
 
 
 def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pa.Table:

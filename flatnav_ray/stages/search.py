@@ -61,6 +61,13 @@ class QueryPlan:
     # EXCLUDED from the candidate set (scores of survivors unchanged). Built
     # from an optional `neg_text` queries column; None = no negation.
     query_neg_terms: list[list[str]] | None = None
+    # cursor pagination (search_after): per query, an optional
+    # (after_score, after_doc) cursor — only results strictly AFTER it in
+    # (score desc, doc_id asc) order qualify. Shards filter BEFORE their
+    # top-k, so a deep page ships O(k) rows per shard (offset ships
+    # O(offset+k) — the cursor is the 100-TB deep-paging path). Built from
+    # optional `after_score`/`after_doc` queries columns.
+    query_after: list[tuple[float, int] | None] | None = None
 
 
 def make_query_plan(
@@ -104,11 +111,20 @@ def make_query_plan(
             toks = sorted(set(tokenize_py(t or "")))
             qnegs.append(toks)
             distinct.update(toks)
+    # cursor pagination: optional per-query (after_score, after_doc) columns
+    qafter: list[tuple[float, int] | None] | None = None
+    if "after_score" in queries.column_names:
+        sc = queries.column("after_score").to_pylist()
+        dc = queries.column("after_doc").to_pylist()
+        qafter = [
+            None if s is None else (float(s), int(d)) for s, d in zip(sc, dc)
+        ]
     tdf = {t: int(term_df.get(t, 0)) for t in distinct}
     tidf = {t: float(idf_fn(df, n_docs)) if df > 0 else 0.0 for t, df in tdf.items()}
     return QueryPlan(
         query_ids=qids, query_terms=qterms, term_idf=tidf, term_df=tdf,
         n_docs=n_docs, avgdl=avgdl, k=k, query_seqs=qseqs, query_neg_terms=qnegs,
+        query_after=qafter,
     )
 
 
@@ -308,6 +324,16 @@ class _ShardState:
                 "exclude terms (neg_text) are supported on the default "
                 f"scoring methods (taat/maxscore), not method={method!r}/msm={msm}"
             )
+        after_list = getattr(plan, "query_after", None)
+        if (
+            after_list is not None
+            and any(a is not None for a in after_list)
+            and (method not in ("taat", "maxscore") or msm > 0)
+        ):
+            raise ValueError(
+                "search_after cursors are supported on the default scoring "
+                f"methods (taat/maxscore), not method={method!r}/msm={msm}"
+            )
         fmask = self._lang_mask(flt) if flt is not None else None
         for qi in range(len(plan.query_ids)):
             qid = int(plan.query_ids[qi])
@@ -344,6 +370,7 @@ class _ShardState:
                         nparts.append(nhit[0])
                         self._touched[nhit[0]] = True
                 excl = self._touched if nparts else None
+                aft = after_list[qi] if after_list is not None else None
                 if len(entries) == 1:
                     qtf, pos, contrib = entries[0]
                     if fmask is not None:  # slices: the cached arrays stay intact
@@ -353,7 +380,14 @@ class _ShardState:
                         sel = ~excl[pos]
                         pos, contrib = pos[sel], contrib[sel]
                     sc = contrib if qtf == 1 else qtf * contrib
-                    docs, ssc = topk_select(sc, self.docmap_ids[pos], plan.k)
+                    ids = self.docmap_ids[pos]
+                    if aft is not None:  # strictly after the cursor in
+                        # (score desc, doc_id asc) — exact float compare is
+                        # safe: scores are a pure function of (term, tf, dl)
+                        av, ad = aft
+                        m = (sc < av) | ((sc == av) & (ids > ad))
+                        sc, ids = sc[m], ids[m]
+                    docs, ssc = topk_select(sc, ids, plan.k)
                     n_cand = pos.size
                 else:
                     touched_parts = [e[1] for e in entries]
@@ -369,9 +403,13 @@ class _ShardState:
                     cand_sel = cand[fmask[cand]] if fmask is not None else cand
                     if excl is not None:
                         cand_sel = cand_sel[~excl[cand_sel]]
-                    docs, ssc = topk_select(
-                        scores[cand_sel], self.docmap_ids[cand_sel], plan.k
-                    )
+                    csc = scores[cand_sel]
+                    cids = self.docmap_ids[cand_sel]
+                    if aft is not None:
+                        av, ad = aft
+                        m = (csc < av) | ((csc == av) & (cids > ad))
+                        csc, cids = csc[m], cids[m]
+                    docs, ssc = topk_select(csc, cids, plan.k)
                     scores[cand] = 0.0  # keep the shared scratch all-zeros
                     n_cand = cand_sel.size
                 for np_ in nparts:  # keep the shared scratch all-False
@@ -655,6 +693,20 @@ class _ShardState:
         if arr is None:
             arr = self._terms_arr = pa.array(self._terms_list, type=pa.string())
         mask = pc.match_substring(arr, infix).to_numpy(zero_copy_only=False)
+        return self._postings_union_count(np.nonzero(mask)[0])
+
+    def regex_doc_count(self, pattern: str) -> int:
+        """Count docs containing ANY term matching an (unanchored, RE2)
+        regex — the third wildcard mode after prefix and infix: a vectorized
+        `match_substring_regex` scan of the dictionary, then the shared
+        postings-union count. Oracle parity: DuckDB regexp_matches is the
+        same unanchored-RE2 semantics."""
+        import pyarrow.compute as pc
+
+        arr = getattr(self, "_terms_arr", None)
+        if arr is None:
+            arr = self._terms_arr = pa.array(self._terms_list, type=pa.string())
+        mask = pc.match_substring_regex(arr, pattern).to_numpy(zero_copy_only=False)
         return self._postings_union_count(np.nonzero(mask)[0])
 
     def _postings_union_count(self, term_indices) -> int:
@@ -1128,9 +1180,11 @@ class ShardPrefixCounts:
             if not os.path.exists(segment_path(self.index_dir, part)):
                 continue
             st = self._state(part)
-            count = (
-                st.substr_doc_count if self.mode == "infix" else st.prefix_doc_count
-            )
+            count = {
+                "prefix": st.prefix_doc_count,
+                "infix": st.substr_doc_count,
+                "regex": st.regex_doc_count,
+            }[self.mode]
             for qi, prefix in enumerate(self.prefixes):
                 q_out.append(qi)
                 n_out.append(count(prefix))
@@ -1389,15 +1443,16 @@ class SearchSession:
         # per original query_id afterwards (bit-identical — scoring is a pure
         # function of the text)
         has_neg = "neg_text" in queries.column_names
+        has_after = "after_score" in queries.column_names
         texts_all = queries.column("text").to_pylist()
         uniq: dict[str, int] = {}
         rep = np.fromiter(
             (uniq.setdefault(t, len(uniq)) for t in texts_all),
             dtype=np.int64, count=len(texts_all),
         )
-        # negated queries skip the text-keyed collapse (the dedup key would
-        # need (text, neg_text); negation batches are small by construction)
-        if len(uniq) < len(texts_all) and not has_neg:
+        # negated / cursored queries skip the text-keyed collapse (the dedup
+        # key would need the extra columns; such batches are small)
+        if len(uniq) < len(texts_all) and not has_neg and not has_after:
             dq = pa.table(
                 {
                     "query_id": pa.array(np.arange(len(uniq), dtype=np.int64)),

@@ -72,6 +72,71 @@ class TestPagination:
         assert len(out) == 0
 
 
+class TestCursorPagination:
+    def test_after_cursor_equals_renumbered_page2(self, built_index):
+        """search_after with each query's rank-9 (score, doc_id) cursor
+        returns EXACTLY ranks 10..19 of a deep search, renumbered 0..9."""
+        ix, _, queries = built_index
+        first = search_to_table(ix, queries, QueryConfig(k=10))
+        nine = first.filter(pc.equal(first.column("rank"), 9)).sort_by("query_id")
+        have = set(nine.column("query_id").to_pylist())
+        qs = queries.filter(
+            pc.is_in(queries.column("query_id"), value_set=nine.column("query_id"))
+        ).sort_by("query_id")
+        qs = qs.append_column("after_score", nine.column("score")).append_column(
+            "after_doc", nine.column("doc_id")
+        )
+        got = search_to_table(ix, qs, QueryConfig(k=10))
+        deep = search_to_table(ix, queries, QueryConfig(k=20))
+        qd = deep.column("query_id").to_pylist()
+        rd = deep.column("rank").to_pylist()
+        want = deep.filter(
+            pa.array([q in have and 10 <= r < 20 for q, r in zip(qd, rd)])
+        )
+        assert got.column("query_id").to_pylist() == want.column("query_id").to_pylist()
+        assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+        assert got.column("rank").to_pylist() == [
+            r - 10 for r in want.column("rank").to_pylist()
+        ]
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), want.column("score").to_numpy()
+        )
+
+    def test_null_cursor_is_page_one(self, built_index):
+        """A NULL cursor row behaves exactly like an un-cursored query."""
+        ix, _, queries = built_index
+        qs = queries.slice(0, 3)
+        qs2 = qs.append_column(
+            "after_score", pa.array([None] * 3, type=pa.float64())
+        ).append_column("after_doc", pa.array([None] * 3, type=pa.int64()))
+        a = search_to_table(ix, qs, QueryConfig(k=10))
+        b = search_to_table(ix, qs2, QueryConfig(k=10))
+        assert a.equals(b)
+
+    def test_session_cursor_equals_dataset_path(self, built_index):
+        from flatnav_ray.stages.search import SearchSession
+
+        ix, _, queries = built_index
+        first = search_to_table(ix, queries, QueryConfig(k=10))
+        nine = first.filter(pc.equal(first.column("rank"), 9)).sort_by("query_id")
+        qs = queries.filter(
+            pc.is_in(queries.column("query_id"), value_set=nine.column("query_id"))
+        ).sort_by("query_id")
+        qs = qs.append_column("after_score", nine.column("score")).append_column(
+            "after_doc", nine.column("doc_id")
+        )
+        want = search_to_table(ix, qs, QueryConfig(k=10))
+        sess = SearchSession(ix, num_actors=2)
+        try:
+            got = sess.search(qs, QueryConfig(k=10))
+        finally:
+            sess.shutdown()
+        assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), want.column("score").to_numpy()
+        )
+
+
 def _doc_tokens(pages):
     """doc_id -> token set over the deduped corpus (the python-side oracle)."""
     from flatnav_ray.functions.tokenize import tokenize_py
@@ -334,6 +399,28 @@ class TestMoreLikeThis:
         np.testing.assert_array_equal(
             got.column("score").to_numpy(), np.array([r[3] for r in rows])
         )
+
+
+class TestRegexWildcard:
+    def test_regex_counts_match_python_oracle(self, built_index):
+        import re
+
+        from flatnav_ray.pipelines.query import prefix_doc_counts
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        vocab = sorted({t for s in toks.values() for t in s})
+        pats = [f"^{vocab[7][:2]}.*{vocab[7][-1]}$", "[0-9]", "^nomatchxyz$"]
+        got = prefix_doc_counts(ix, pats, mode="regex")
+        want = {}
+        for qi, p in enumerate(pats):
+            rx = re.compile(p)
+            n = sum(1 for s in toks.values() if any(rx.search(t) for t in s))
+            if n > 0:
+                want[qi] = n
+        assert dict(
+            zip(got.column("query_id").to_pylist(), got.column("n_docs").to_pylist())
+        ) == want
 
 
 class TestInfixVsPrefix:
