@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
         "regex_hit_counts": d.regex_hit_counts,    # regex term scan (RE2 dictionary)
+        "bm25_sortby_len": d.bm25_sortby_len,      # sort-by-field (doc_len) results
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
@@ -582,6 +583,21 @@ def oracle_sql() -> dict[str, str]:
         "ON regexp_matches(tf.term, qt.prefix)",
     )
     assert regex_sql != prefix_sql
+    # sort-by-field: the 2-term queries' DISTINCT match set ranked by
+    # doc_len desc (doc_id asc ties) — integer keys, no float fragility
+    sortby_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "matches AS (SELECT DISTINCT qt.query_id % 10 AS query_id, tf.doc_id "
+        "FROM qt JOIN tf ON tf.term = qt.term), "
+        "ranked AS (SELECT m.query_id, m.doc_id, row_number() OVER "
+        "(PARTITION BY m.query_id ORDER BY dl.dl DESC, m.doc_id ASC) - 1 AS rank "
+        "FROM matches m JOIN dl ON dl.doc_id = m.doc_id) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
     return {
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
@@ -739,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_hit_counts": prefix_sql,
         "infix_hit_counts": infix_sql,
         "regex_hit_counts": regex_sql,
+        "bm25_sortby_len": sortby_sql,
         "bm25_topk_stopfilter": stop_sql,
         "bm25_topk_filtered": filtered_sql,
         "bm25_topk_tfidf": tfidf_sql,

@@ -78,6 +78,11 @@ class QueryConfig:
     # 1+slop positions apart, in order (0 = exact adjacency). The per-gap
     # proximity analog of Lucene's slop knob.
     phrase_slop: int = 0
+    # sort-by-field: rank MATCHING docs by a stored docmap attribute instead
+    # of relevance (the ORDER BY serving surface). Supported: "doc_len"
+    # (descending, doc_id-asc ties); the result's score column carries the
+    # attribute value. Default scoring methods only (taat/maxscore).
+    sort_by: str | None = None
     # fuzzy matching (Lucene term~1): 1 = expand every query token to all
     # dictionary terms within Levenshtein distance 1 (functions/fuzzy.py)
     # and score the disjunction, each match with its own idf. Default

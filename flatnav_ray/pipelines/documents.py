@@ -789,6 +789,19 @@ def infix_hit_counts(sf_dir: str) -> pa.Table:
     return prefix_doc_counts(ix, infixes, mode="infix")
 
 
+def bm25_sortby_len(sf_dir: str, k: int = 10) -> pa.Table:
+    """Sort-by-field results (the ORDER BY serving surface): the 2-term
+    query matrix's MATCHING docs ranked by doc_len desc (doc_id-asc ties)
+    instead of relevance. Integer sort keys as doubles are exact, so the
+    oracle (row_number over dl DESC over the DISTINCT match set) hash-matches
+    bit-for-bit."""
+    ix = build_documents_index(sf_dir)
+    multi = _multi_term_queries(ix)
+    out = search_to_table(ix, multi, QueryConfig(k=k, sort_by="doc_len"))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def regex_hit_counts(sf_dir: str) -> pa.Table:
     """Regex term queries: per pattern (`ab.*c` built from the first two and
     last chars of the top-10 df-ranked terms, anchored), count docs

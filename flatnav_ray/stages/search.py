@@ -292,7 +292,8 @@ class _ShardState:
 
     def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore",
                      approx_factor: float = 1.0, msm: int = 0,
-                     slop: int = 0, flt: str | None = None) -> pa.Table:
+                     slop: int = 0, flt: str | None = None,
+                     sort_by: str | None = None) -> pa.Table:
         """Score every query in the plan against this shard; return partial
         top-k rows. Accumulation order per query: lexicographic terms (pinned
         float order).
@@ -334,6 +335,18 @@ class _ShardState:
                 "search_after cursors are supported on the default scoring "
                 f"methods (taat/maxscore), not method={method!r}/msm={msm}"
             )
+        sort_vals: np.ndarray | None = None
+        if sort_by is not None:
+            if method not in ("taat", "maxscore") or msm > 0:
+                raise ValueError(
+                    "sort_by is supported on the default scoring methods "
+                    f"(taat/maxscore), not method={method!r}/msm={msm}"
+                )
+            if sort_by != "doc_len":
+                raise ValueError(f"unsupported sort_by attribute {sort_by!r}")
+            sort_vals = getattr(self, "_len_f", None)
+            if sort_vals is None:  # ints <= 2^53: exact as doubles
+                sort_vals = self._len_f = self.docmap_lens.astype(np.float64)
         fmask = self._lang_mask(flt) if flt is not None else None
         for qi in range(len(plan.query_ids)):
             qid = int(plan.query_ids[qi])
@@ -380,6 +393,8 @@ class _ShardState:
                         sel = ~excl[pos]
                         pos, contrib = pos[sel], contrib[sel]
                     sc = contrib if qtf == 1 else qtf * contrib
+                    if sort_vals is not None:  # rank by attribute, not score
+                        sc = sort_vals[pos]
                     ids = self.docmap_ids[pos]
                     if aft is not None:  # strictly after the cursor in
                         # (score desc, doc_id asc) — exact float compare is
@@ -403,7 +418,10 @@ class _ShardState:
                     cand_sel = cand[fmask[cand]] if fmask is not None else cand
                     if excl is not None:
                         cand_sel = cand_sel[~excl[cand_sel]]
-                    csc = scores[cand_sel]
+                    csc = (
+                        sort_vals[cand_sel] if sort_vals is not None
+                        else scores[cand_sel]
+                    )
                     cids = self.docmap_ids[cand_sel]
                     if aft is not None:
                         av, ad = aft
@@ -1044,6 +1062,7 @@ class ShardSearcher:
                     getattr(self.cfg, "min_should_match", 0),
                     getattr(self.cfg, "phrase_slop", 0),
                     getattr(self.cfg, "filter_lang", None),
+                    getattr(self.cfg, "sort_by", None),
                 )
             )
         if not outs:
@@ -1362,10 +1381,13 @@ def _shard_actor_cls():
 
         def search(self, plan: QueryPlan, scorer_name: str, method: str,
                    approx_factor: float = 1.0, msm: int = 0,
-                   slop: int = 0, flt: str | None = None) -> pa.Table:
+                   slop: int = 0, flt: str | None = None,
+                   sort_by: str | None = None) -> pa.Table:
             scorer = SCORERS[scorer_name]
             outs = [
-                st.search_batch(plan, scorer, method, approx_factor, msm, slop, flt)
+                st.search_batch(
+                    plan, scorer, method, approx_factor, msm, slop, flt, sort_by
+                )
                 for st in self.states.values()
             ]
             return pa.concat_tables(outs) if outs else None
@@ -1507,6 +1529,7 @@ class SearchSession:
                 getattr(query_cfg, "min_should_match", 0),
                 getattr(query_cfg, "phrase_slop", 0),
                 getattr(query_cfg, "filter_lang", None),
+                getattr(query_cfg, "sort_by", None),
             )
             for a in self.actors
         ]

@@ -401,6 +401,54 @@ class TestMoreLikeThis:
         )
 
 
+class TestSortByField:
+    def test_sortby_doclen_matches_python_oracle(self, built_index):
+        """sort_by='doc_len' ranks the MATCH SET by token count desc, doc_id
+        asc — same candidates as relevance search, different order."""
+        ix, pages, queries = built_index
+        toks = _doc_tokens(pages)
+        qs = queries.slice(0, 5)
+        got = search_to_table(ix, qs, QueryConfig(k=10, sort_by="doc_len"))
+        from flatnav_ray.functions.tokenize import tokenize_py
+
+        rows = []
+        for qi, text in zip(qs.column("query_id").to_pylist(), qs.column("text").to_pylist()):
+            qterms = set(tokenize_py(text))
+            matched = [d for d, s in toks.items() if qterms & s]
+            # doc_len = full token count (BM25 dl)
+            from flatnav_ray.pipelines.build import prepare_batch
+            from flatnav_ray.stages.build import dedup_latest
+
+            d = dedup_latest(prepare_batch(pages, 8, None))
+            lens = {
+                int(i): len(tokenize_py(t))
+                for i, t in zip(d.column("doc_id").to_pylist(), d.column("text").to_pylist())
+            }
+            top = sorted(matched, key=lambda x: (-lens[x], x))[:10]
+            rows.extend((qi, r, d_) for r, d_ in enumerate(top))
+        assert got.column("query_id").to_pylist() == [r[0] for r in rows]
+        assert got.column("rank").to_pylist() == [r[1] for r in rows]
+        assert got.column("doc_id").to_pylist() == [r[2] for r in rows]
+
+    def test_sortby_same_candidates_as_relevance(self, built_index):
+        """Same match set, different order: the doc_id SETS agree with the
+        relevance search at full depth."""
+        ix, pages, queries = built_index
+        qs = queries.slice(0, 3)
+        deep_n = 10_000
+        a = search_to_table(ix, qs, QueryConfig(k=deep_n))
+        b = search_to_table(ix, qs, QueryConfig(k=deep_n, sort_by="doc_len"))
+        for qi in qs.column("query_id").to_pylist():
+            sa = set(a.filter(pc.equal(a.column("query_id"), qi)).column("doc_id").to_pylist())
+            sb = set(b.filter(pc.equal(b.column("query_id"), qi)).column("doc_id").to_pylist())
+            assert sa == sb
+
+    def test_sortby_rejects_unknown_attribute(self, built_index):
+        ix, _, queries = built_index
+        with pytest.raises(Exception, match="sort_by"):
+            search_to_table(ix, queries.slice(0, 1), QueryConfig(k=5, sort_by="nope"))
+
+
 class TestRegexWildcard:
     def test_regex_counts_match_python_oracle(self, built_index):
         import re
