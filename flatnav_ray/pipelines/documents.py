@@ -609,6 +609,29 @@ def more_like_this(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_must(sf_dir: str, k: int = 10) -> pa.Table:
+    """Boolean MUST + SHOULD (the Lucene BooleanQuery mix): query i REQUIRES
+    terms rank i and i+10 (both must appear) and optionally scores term rank
+    i+20. Must terms gate the candidate set via posting-list intersection and
+    score like any other term. Oracle: 3-stream ordered fold restricted to
+    docs matching BOTH must terms (HAVING count(*) = 2 over the must joins)."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=30)
+    texts = single.column("text").to_pylist()
+    qs = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array([texts[i + 20] for i in range(10)], type=pa.string()),
+            "must_text": pa.array(
+                [f"{texts[i]} {texts[i + 10]}" for i in range(10)], type=pa.string()
+            ),
+        }
+    )
+    out = search_to_table(ix, qs, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_fuzzy(sf_dir: str, k: int = 10) -> pa.Table:
     """Fuzzy matching (Lucene term~1): each of the top-10 df-ranked terms
     expands to EVERY dictionary term within Levenshtein distance 1

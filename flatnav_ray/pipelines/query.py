@@ -41,9 +41,11 @@ def plan_for(index_dir: str, queries: pa.Table, k: int, fuzzy_max_edits: int = 0
     for t in queries.column("text").to_pylist():
         text_terms.update(tokenize_py(t))
     distinct = set(text_terms)
-    if "neg_text" in queries.column_names:  # negation terms need true df too
-        for t in queries.column("neg_text").to_pylist():
-            distinct.update(tokenize_py(t or ""))
+    # negation / must terms need their true df too (must terms also score)
+    for aux in ("neg_text", "must_text"):
+        if aux in queries.column_names:
+            for t in queries.column(aux).to_pylist():
+                distinct.update(tokenize_py(t or ""))
     expansions = None
     if fuzzy_max_edits:
         from ..functions.fuzzy import fuzzy_expand_terms

@@ -61,6 +61,10 @@ class QueryPlan:
     # EXCLUDED from the candidate set (scores of survivors unchanged). Built
     # from an optional `neg_text` queries column; None = no negation.
     query_neg_terms: list[list[str]] | None = None
+    # boolean MUST (Lucene +term): per query, terms a doc MUST contain to
+    # qualify; must terms also score (they are folded into query_terms).
+    # Built from an optional `must_text` queries column.
+    query_must_terms: list[list[str]] | None = None
     # cursor pagination (search_after): per query, an optional
     # (after_score, after_doc) cursor — only results strictly AFTER it in
     # (score desc, doc_id asc) order qualify. Shards filter BEFORE their
@@ -85,10 +89,18 @@ def make_query_plan(
     dictionary neighbour contributes nothing."""
     qids = queries.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = queries.column("text").to_pylist()
+    # boolean MUST: required terms score like should terms but also gate the
+    # candidate set (Lucene BooleanQuery MUST + SHOULD)
+    must_texts = (
+        queries.column("must_text").to_pylist()
+        if "must_text" in queries.column_names
+        else None
+    )
+    qmusts: list[list[str]] | None = [] if must_texts is not None else None
     qterms: list[list[tuple[str, int]]] = []
     qseqs: list[list[str]] = []
     distinct: set[str] = set()
-    for t in texts:
+    for i, t in enumerate(texts):
         toks = tokenize_py(t)
         counts: dict[str, int] = {}
         for tok in toks:
@@ -97,6 +109,11 @@ def make_query_plan(
                     counts[e] = counts.get(e, 0) + 1
             else:
                 counts[tok] = counts.get(tok, 0) + 1
+        if must_texts is not None:
+            mtoks = tokenize_py(must_texts[i] or "")
+            for tok in mtoks:  # must terms score too (no fuzzy on must)
+                counts[tok] = counts.get(tok, 0) + 1
+            qmusts.append(sorted(set(mtoks)))
         qterms.append(sorted(counts.items()))
         qseqs.append(toks)
         distinct.update(counts)
@@ -124,7 +141,7 @@ def make_query_plan(
     return QueryPlan(
         query_ids=qids, query_terms=qterms, term_idf=tidf, term_df=tdf,
         n_docs=n_docs, avgdl=avgdl, k=k, query_seqs=qseqs, query_neg_terms=qnegs,
-        query_after=qafter,
+        query_after=qafter, query_must_terms=qmusts,
     )
 
 
@@ -335,6 +352,16 @@ class _ShardState:
                 "search_after cursors are supported on the default scoring "
                 f"methods (taat/maxscore), not method={method!r}/msm={msm}"
             )
+        must_lists = getattr(plan, "query_must_terms", None)
+        if (
+            must_lists is not None
+            and any(must_lists)
+            and (method not in ("taat", "maxscore") or msm > 0)
+        ):
+            raise ValueError(
+                "must terms (must_text) are supported on the default scoring "
+                f"methods (taat/maxscore), not method={method!r}/msm={msm}"
+            )
         sort_vals: np.ndarray | None = None
         if sort_by is not None:
             if method not in ("taat", "maxscore") or msm > 0:
@@ -384,7 +411,8 @@ class _ShardState:
                         self._touched[nhit[0]] = True
                 excl = self._touched if nparts else None
                 aft = after_list[qi] if after_list is not None else None
-                if len(entries) == 1:
+                musts = must_lists[qi] if must_lists is not None else ()
+                if len(entries) == 1 and not musts:
                     qtf, pos, contrib = entries[0]
                     if fmask is not None:  # slices: the cached arrays stay intact
                         sel = fmask[pos]
@@ -413,9 +441,32 @@ class _ShardState:
                             scores[pos] += contrib
                         else:
                             scores[pos] += qtf * contrib
+                    # boolean MUST: candidates restrict to docs containing
+                    # EVERY must term (searchsorted intersection sweep, the
+                    # method="and" machinery); must terms already scored above
+                    if musts:
+                        mpos: np.ndarray | None = None
+                        ok = True
+                        for mt in musts:
+                            mhit = self.term_contrib(mt, plan, scorer)
+                            if mhit is None:
+                                ok = False
+                                break
+                            p = mhit[0]
+                            if mpos is None:
+                                mpos = p
+                            elif mpos.size:
+                                j = np.searchsorted(p, mpos)
+                                v = j < p.size
+                                v[v] = p[j[v]] == mpos[v]
+                                mpos = mpos[v]
+                        cand_sel = mpos if (ok and mpos is not None) else cand[:0]
+                    else:
+                        cand_sel = cand
                     # filtered search selects from masked candidates; the
                     # scratch reset below still covers EVERY touched row
-                    cand_sel = cand[fmask[cand]] if fmask is not None else cand
+                    if fmask is not None:
+                        cand_sel = cand_sel[fmask[cand_sel]]
                     if excl is not None:
                         cand_sel = cand_sel[~excl[cand_sel]]
                     csc = (
@@ -1465,6 +1516,7 @@ class SearchSession:
         # per original query_id afterwards (bit-identical — scoring is a pure
         # function of the text)
         has_neg = "neg_text" in queries.column_names
+        has_must = "must_text" in queries.column_names
         has_after = "after_score" in queries.column_names
         texts_all = queries.column("text").to_pylist()
         uniq: dict[str, int] = {}
@@ -1472,9 +1524,9 @@ class SearchSession:
             (uniq.setdefault(t, len(uniq)) for t in texts_all),
             dtype=np.int64, count=len(texts_all),
         )
-        # negated / cursored queries skip the text-keyed collapse (the dedup
-        # key would need the extra columns; such batches are small)
-        if len(uniq) < len(texts_all) and not has_neg and not has_after:
+        # negated / must / cursored queries skip the text-keyed collapse (the
+        # dedup key would need the extra columns; such batches are small)
+        if len(uniq) < len(texts_all) and not (has_neg or has_must or has_after):
             dq = pa.table(
                 {
                     "query_id": pa.array(np.arange(len(uniq), dtype=np.int64)),
@@ -1499,6 +1551,9 @@ class SearchSession:
         distinct = set(text_terms)
         if has_neg:  # negation terms need their true df in the plan too
             for t in queries.column("neg_text").to_pylist():
+                distinct.update(tokenize_py(t or ""))
+        if has_must:  # must terms score, so their df must be real too
+            for t in queries.column("must_text").to_pylist():
                 distinct.update(tokenize_py(t or ""))
         expansions = None
         fz = getattr(query_cfg, "fuzzy_max_edits", 0)

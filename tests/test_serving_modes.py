@@ -401,6 +401,86 @@ class TestMoreLikeThis:
         )
 
 
+class TestBooleanMust:
+    def test_must_gates_candidates_and_scores(self, built_index):
+        """MUST terms gate candidates (both must appear) and also score:
+        equals the plain multi-term search over (must + should) filtered to
+        docs containing every must term."""
+        from collections import Counter
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        df = Counter(t for s in toks.values() for t in s)
+        top = [t for t, _ in df.most_common(3)]
+        qs = pa.table(
+            {
+                "query_id": pa.array([0], type=pa.int64()),
+                "text": pa.array([top[2]], type=pa.string()),
+                "must_text": pa.array([f"{top[0]} {top[1]}"], type=pa.string()),
+            }
+        )
+        got = search_to_table(ix, qs, QueryConfig(k=10))
+        plain = pa.table(
+            {
+                "query_id": pa.array([0], type=pa.int64()),
+                "text": pa.array([f"{top[0]} {top[1]} {top[2]}"], type=pa.string()),
+            }
+        )
+        full = search_to_table(ix, plain, QueryConfig(k=len(toks)))
+        kept = [
+            (d, s)
+            for d, s in zip(full.column("doc_id").to_pylist(), full.column("score").to_pylist())
+            if top[0] in toks[int(d)] and top[1] in toks[int(d)]
+        ][:10]
+        assert got.column("doc_id").to_pylist() == [x[0] for x in kept]
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), np.array([x[1] for x in kept])
+        )
+
+    def test_absent_must_term_empties_result(self, built_index):
+        ix, pages, _ = built_index
+        from collections import Counter
+
+        toks = _doc_tokens(pages)
+        df = Counter(t for s in toks.values() for t in s)
+        top = df.most_common(1)[0][0]
+        qs = pa.table(
+            {
+                "query_id": pa.array([0], type=pa.int64()),
+                "text": pa.array([top], type=pa.string()),
+                "must_text": pa.array(["zzzznotaterm"], type=pa.string()),
+            }
+        )
+        assert len(search_to_table(ix, qs, QueryConfig(k=10))) == 0
+
+    def test_session_must_equals_dataset_path(self, built_index):
+        from collections import Counter
+
+        from flatnav_ray.stages.search import SearchSession
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        df = Counter(t for s in toks.values() for t in s)
+        top = [t for t, _ in df.most_common(3)]
+        qs = pa.table(
+            {
+                "query_id": pa.array([0], type=pa.int64()),
+                "text": pa.array([top[2]], type=pa.string()),
+                "must_text": pa.array([f"{top[0]} {top[1]}"], type=pa.string()),
+            }
+        )
+        want = search_to_table(ix, qs, QueryConfig(k=10))
+        sess = SearchSession(ix, num_actors=2)
+        try:
+            got = sess.search(qs, QueryConfig(k=10))
+        finally:
+            sess.shutdown()
+        assert got.column("doc_id").to_pylist() == want.column("doc_id").to_pylist()
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), want.column("score").to_numpy()
+        )
+
+
 class TestSortByField:
     def test_sortby_doclen_matches_python_oracle(self, built_index):
         """sort_by='doc_len' ranks the MATCH SET by token count desc, doc_id
