@@ -277,6 +277,19 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     t0 = time.perf_counter()
     facet_counts(ix_dir, queries.slice(0, 1000))
     timings["facet_counts_1000q"] = time.perf_counter() - t0
+    # fuzzy serving: term~1 expansion. Cold = first sight of each term (one
+    # batched vocabulary scan for all misses); warm = steady-state serving
+    # with the session's per-term expansion cache hot (real traffic repeats
+    # hot query terms).
+    fsess = SearchSession(ix_dir, num_actors=num_cpus)
+    fcfg = QueryConfig(k=10, fuzzy_max_edits=1, concurrency=num_cpus)
+    t0 = time.perf_counter()
+    fsess.search(queries.slice(0, 200), fcfg)
+    extras["query_qps_fuzzy_cold"] = 200 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    fsess.search(queries.slice(0, 200), fcfg)
+    extras["query_qps_fuzzy"] = 200 / (time.perf_counter() - t0)
+    fsess.shutdown()
 
     # ---- operator suite over the driver testdata ----
     t0 = time.perf_counter()

@@ -1484,9 +1484,18 @@ class SearchSession:
         return lookup_term_df(self.index_dir, missing)
 
     def _fuzzy_expand(self, terms: list[str], max_edits: int) -> dict[str, set[str]]:
+        """Per-session expansion cache (the df-cache pattern): hot query
+        terms repeat across serving calls, so only UNSEEN terms pay the
+        vocabulary scan — one batched scan per call covers all misses."""
         from ..functions.fuzzy import fuzzy_expand_terms
 
-        return fuzzy_expand_terms(self.index_dir, terms, max_edits)
+        cache = getattr(self, "_fuzzy_cache", None)
+        if cache is None:
+            cache = self._fuzzy_cache = {}
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            cache.update(fuzzy_expand_terms(self.index_dir, missing, max_edits))
+        return {t: cache[t] for t in terms}
 
     # queries per broadcast plan: bounds the ray.put object and per-actor
     # accumulation for very large batches; chunks stream through the pool
