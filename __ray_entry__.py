@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sortby_len": d.bm25_sortby_len,      # sort-by-field (doc_len) results
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
+        "bm25_topk_lenfilter": d.bm25_topk_lenfilter,    # doc_len range candidate filter
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
@@ -580,6 +581,15 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY count(*) DESC, lang ASC LIMIT 1)), ",
     )
     assert filtered_sql != bm25_sql
+    # numeric range filter: candidates with dl in [min, (min+max)//2]; the
+    # bounds derive from the corpus identically on both engines
+    lenfilter_sql = bm25_sql.replace(
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        "WHERE dl.dl BETWEEN (SELECT min(dl) FROM dl) "
+        "AND (SELECT (min(dl) + max(dl)) // 2 FROM dl)), ",
+    )
+    assert lenfilter_sql != bm25_sql
     # wildcard term*: prefixes = first 3 chars of the top-10 df-ranked terms;
     # n_docs = count of docs containing ANY term with that prefix
     prefix_sql = (
@@ -787,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sortby_len": sortby_sql,
         "bm25_topk_stopfilter": stop_sql,
         "bm25_topk_filtered": filtered_sql,
+        "bm25_topk_lenfilter": lenfilter_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,

@@ -92,6 +92,11 @@ class QueryConfig:
     # (idf/avgdl stay corpus-wide — a filter, not a sub-corpus). Default
     # scoring methods only (taat/maxscore).
     filter_lang: str | None = None
+    # numeric range filter: restrict candidates to docs whose doc_len
+    # (token count) lies in [filter_len_min, filter_len_max], inclusive;
+    # None = unbounded on that side. Composes with filter_lang (AND).
+    filter_len_min: int | None = None
+    filter_len_max: int | None = None
     concurrency: int = 8
     scorer: str = "bm25"
     # quality/speed knob — the ef_search graft (reference: bindings.cpp:432-473,

@@ -609,6 +609,23 @@ def more_like_this(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_lenfilter(sf_dir: str, k: int = 10) -> pa.Table:
+    """Numeric range-filtered search: candidates restricted to docs with
+    doc_len in [min_dl, (min_dl + max_dl) // 2] — bounds derived from the
+    corpus so the oracle derives them identically; idf/avgdl stay
+    corpus-wide (a filter, not a sub-corpus)."""
+    ix = build_documents_index(sf_dir)
+    ts = doc_token_stats(sf_dir)
+    lo = pc.min(ts.column("n_tokens")).as_py()
+    hi = (lo + pc.max(ts.column("n_tokens")).as_py()) // 2
+    queries = derived_queries(ix)
+    out = search_to_table(
+        ix, queries, QueryConfig(k=k, filter_len_min=int(lo), filter_len_max=int(hi))
+    )
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_must(sf_dir: str, k: int = 10) -> pa.Table:
     """Boolean MUST + SHOULD (the Lucene BooleanQuery mix): query i REQUIRES
     terms rank i and i+10 (both must appear) and optionally scores term rank

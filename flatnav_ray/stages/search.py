@@ -307,10 +307,26 @@ class _ShardState:
         self._facet_cache[f"__mask:{lang}"] = (mask, [])
         return mask
 
+    def _len_mask(self, lo: int | None, hi: int | None) -> np.ndarray:
+        """Boolean docmap-row mask for a doc_len range (numeric filtered
+        search) — computed once per shard per (lo, hi), cached."""
+        key = f"__lenmask:{lo}:{hi}"
+        hit = self._facet_cache.get(key)
+        if hit is not None:
+            return hit[0]
+        mask = np.ones(self.docmap_lens.size, dtype=bool)
+        if lo is not None:
+            mask &= self.docmap_lens >= lo
+        if hi is not None:
+            mask &= self.docmap_lens <= hi
+        self._facet_cache[key] = (mask, [])
+        return mask
+
     def search_batch(self, plan: QueryPlan, scorer, method: str = "maxscore",
                      approx_factor: float = 1.0, msm: int = 0,
                      slop: int = 0, flt: str | None = None,
-                     sort_by: str | None = None) -> pa.Table:
+                     sort_by: str | None = None,
+                     flt_len: tuple[int | None, int | None] | None = None) -> pa.Table:
         """Score every query in the plan against this shard; return partial
         top-k rows. Accumulation order per query: lexicographic terms (pinned
         float order).
@@ -330,6 +346,11 @@ class _ShardState:
         if flt is not None and method not in ("taat", "maxscore"):
             raise ValueError(
                 f"filter_lang is supported on the default scoring methods "
+                f"(taat/maxscore), not method={method!r}"
+            )
+        if flt_len is not None and method not in ("taat", "maxscore"):
+            raise ValueError(
+                f"filter_len is supported on the default scoring methods "
                 f"(taat/maxscore), not method={method!r}"
             )
         neg_lists = getattr(plan, "query_neg_terms", None)
@@ -375,6 +396,9 @@ class _ShardState:
             if sort_vals is None:  # ints <= 2^53: exact as doubles
                 sort_vals = self._len_f = self.docmap_lens.astype(np.float64)
         fmask = self._lang_mask(flt) if flt is not None else None
+        if flt_len is not None:  # numeric range filter composes by AND
+            lm = self._len_mask(flt_len[0], flt_len[1])
+            fmask = lm if fmask is None else (fmask & lm)
         for qi in range(len(plan.query_ids)):
             qid = int(plan.query_ids[qi])
             if method == "wand":
@@ -1114,6 +1138,7 @@ class ShardSearcher:
                     getattr(self.cfg, "phrase_slop", 0),
                     getattr(self.cfg, "filter_lang", None),
                     getattr(self.cfg, "sort_by", None),
+                    _len_bounds(self.cfg),
                 )
             )
         if not outs:
@@ -1264,6 +1289,14 @@ class ShardPrefixCounts:
                 "n_docs": pa.array(n_out, type=pa.int64()),
             }
         )
+
+
+def _len_bounds(cfg: QueryConfig) -> tuple[int | None, int | None] | None:
+    """(filter_len_min, filter_len_max) from a QueryConfig, or None when the
+    numeric range filter is off."""
+    lo = getattr(cfg, "filter_len_min", None)
+    hi = getattr(cfg, "filter_len_max", None)
+    return None if lo is None and hi is None else (lo, hi)
 
 
 def merge_topk(group: pa.Table, k: int) -> pa.Table:
@@ -1433,11 +1466,13 @@ def _shard_actor_cls():
         def search(self, plan: QueryPlan, scorer_name: str, method: str,
                    approx_factor: float = 1.0, msm: int = 0,
                    slop: int = 0, flt: str | None = None,
-                   sort_by: str | None = None) -> pa.Table:
+                   sort_by: str | None = None,
+                   flt_len: tuple[int | None, int | None] | None = None) -> pa.Table:
             scorer = SCORERS[scorer_name]
             outs = [
                 st.search_batch(
-                    plan, scorer, method, approx_factor, msm, slop, flt, sort_by
+                    plan, scorer, method, approx_factor, msm, slop, flt,
+                    sort_by, flt_len,
                 )
                 for st in self.states.values()
             ]
@@ -1594,6 +1629,7 @@ class SearchSession:
                 getattr(query_cfg, "phrase_slop", 0),
                 getattr(query_cfg, "filter_lang", None),
                 getattr(query_cfg, "sort_by", None),
+                _len_bounds(query_cfg),
             )
             for a in self.actors
         ]

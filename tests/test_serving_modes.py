@@ -401,6 +401,51 @@ class TestMoreLikeThis:
         )
 
 
+class TestLenFilter:
+    def test_range_filter_matches_python_oracle(self, built_index):
+        """doc_len range filter drops exactly the out-of-range docs; survivor
+        scores are unchanged (a filter, not a sub-corpus)."""
+        from flatnav_ray.functions.tokenize import tokenize_py
+        from flatnav_ray.pipelines.build import prepare_batch
+        from flatnav_ray.stages.build import dedup_latest
+
+        ix, pages, queries = built_index
+        d = dedup_latest(prepare_batch(pages, 8, None))
+        lens = {
+            int(i): len(tokenize_py(t))
+            for i, t in zip(d.column("doc_id").to_pylist(), d.column("text").to_pylist())
+        }
+        lo = min(lens.values())
+        hi = (lo + max(lens.values())) // 2
+        qs = queries.slice(0, 5)
+        got = search_to_table(
+            ix, qs, QueryConfig(k=10, filter_len_min=lo, filter_len_max=hi)
+        )
+        full = search_to_table(ix, qs, QueryConfig(k=len(lens)))
+        rows = []
+        for qi in qs.column("query_id").to_pylist():
+            sub = full.filter(pc.equal(full.column("query_id"), qi))
+            kept = [
+                (dd, s)
+                for dd, s in zip(sub.column("doc_id").to_pylist(), sub.column("score").to_pylist())
+                if lo <= lens[int(dd)] <= hi
+            ][:10]
+            rows.extend((qi, r, dd, s) for r, (dd, s) in enumerate(kept))
+        assert got.column("query_id").to_pylist() == [r[0] for r in rows]
+        assert got.column("doc_id").to_pylist() == [r[2] for r in rows]
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), np.array([r[3] for r in rows])
+        )
+
+    def test_unbounded_range_is_identity(self, built_index):
+        ix, _, queries = built_index
+        a = search_to_table(ix, queries.slice(0, 3), QueryConfig(k=10))
+        b = search_to_table(
+            ix, queries.slice(0, 3), QueryConfig(k=10, filter_len_min=None, filter_len_max=None)
+        )
+        assert a.equals(b)
+
+
 class TestBooleanMust:
     def test_must_gates_candidates_and_scores(self, built_index):
         """MUST terms gate candidates (both must appear) and also score:
