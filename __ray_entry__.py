@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
+        "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
         "regex_hit_counts": d.regex_hit_counts,    # regex term scan (RE2 dictionary)
@@ -563,6 +564,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT m.query_id, count(*) AS n_docs FROM matches m GROUP BY 1 ORDER BY 1",
     )
     assert hits_sql != facets_sql
+    # field collapsing: the 2-term queries' best doc per lang (ordered-sum
+    # fold; score desc, doc_id asc) then a per-query rank over the collapsed
+    # rows — mirrors pipelines/query.py search_collapsed
+    collapse_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "scored1 AS (SELECT qt.query_id % 10 AS query_id, tf.doc_id, qt.term, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT query_id, doc_id, sum(score ORDER BY term) AS score "
+        "FROM scored1 GROUP BY 1, 2), "
+        "best AS (SELECT sc.query_id, d.lang, sc.doc_id, sc.score, "
+        "row_number() OVER (PARTITION BY sc.query_id, d.lang "
+        "ORDER BY sc.score DESC, sc.doc_id ASC) AS rn "
+        "FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id), "
+        "ranked AS (SELECT query_id, lang, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank "
+        "FROM best WHERE rn = 1) "
+        "SELECT query_id, rank, lang, doc_id FROM ranked WHERE rank < 10 "
+        "ORDER BY query_id, rank"
+    )
     # stopword analyzer: every token list filtered by the stop set — replaces
     # _TOKS everywhere it appears (incl. inside the exploded-terms subquery),
     # which IS the stop-filtered pipeline: tf, df, doc_len, query derivation
@@ -791,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_phrase": phrase_sql,
         "bm25_facets": facets_sql,
         "bm25_hit_counts": hits_sql,
+        "bm25_collapse_lang": collapse_sql,
         "prefix_hit_counts": prefix_sql,
         "infix_hit_counts": infix_sql,
         "regex_hit_counts": regex_sql,

@@ -609,6 +609,19 @@ def more_like_this(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_collapse_lang(sf_dir: str, k: int = 10) -> pa.Table:
+    """Field collapsing: per 2-term query, the best-scoring doc per language
+    over the FULL match set, ranked (the ES collapse surface). Shards ship
+    at most |langs| rows per query. Oracle: row_number-per-(query, lang)
+    picks the best, then a per-query rank over the collapsed rows."""
+    from .query import search_collapsed
+
+    ix = build_documents_index(sf_dir)
+    multi = _multi_term_queries(ix)
+    out = search_collapsed(ix, multi, facet="lang", k=k)
+    return out.select(["query_id", "rank", "lang", "doc_id"])
+
+
 def bm25_topk_lenfilter(sf_dir: str, k: int = 10) -> pa.Table:
     """Numeric range-filtered search: candidates restricted to docs with
     doc_len in [min_dl, (min_dl + max_dl) // 2] — bounds derived from the

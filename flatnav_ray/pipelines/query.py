@@ -277,6 +277,84 @@ def prefix_doc_counts(
     return out.sort_by("query_id")
 
 
+def search_collapsed(
+    index_dir: str, queries: pa.Table, facet: str = "lang", k: int = 10,
+    concurrency: int = 8,
+) -> pa.Table:
+    """Field collapsing (the ES `collapse` surface): per query, the single
+    best-scoring doc per facet value over the FULL match set, then the top-k
+    of that collapsed list. Shards ship at most |facet dict| rows per query
+    (bounded partials regardless of match-set size); the driver re-collapses
+    and ranks. Columns: (query_id, rank, <facet>, doc_id, score)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.search import ShardCollapse
+
+    plan, stats = plan_for(index_dir, queries, k=k)
+    plan_ref = ray.put(plan)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, len(parts), ncpu))
+    partials = ray.data.from_items(parts).map_batches(
+        ShardCollapse,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (conc * 2) or 1),
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "block_size": int(stats["block_size"]),
+            "facet": facet,
+        },
+    )
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            facet: pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+        }
+    )
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if len(t) == 0:
+        return empty
+    # re-collapse across shards: best per (query, facet), then rank per query
+    qid = t.column("query_id").to_numpy(zero_copy_only=False)
+    did = t.column("doc_id").to_numpy(zero_copy_only=False)
+    sc = t.column("score").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(t.column(facet).combine_chunks())
+    lab = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((did, -sc, lab, qid))
+    qo, lo_ = qid[order], lab[order]
+    new_grp = np.concatenate(
+        ([True], (qo[1:] != qo[:-1]) | (lo_[1:] != lo_[:-1]))
+    )
+    best = order[new_grp]  # best row per (query, facet)
+    # rank the collapsed rows per query by (score desc, doc_id asc)
+    order2 = np.lexsort((did[best], -sc[best], qid[best]))
+    sel = best[order2]
+    qs2 = qid[sel]
+    new_q = np.concatenate(([True], qs2[1:] != qs2[:-1]))
+    grp_start = np.maximum.accumulate(np.where(new_q, np.arange(qs2.size), 0))
+    rank = np.arange(qs2.size) - grp_start
+    keep = rank < k
+    sel = sel[keep]
+    return pa.table(
+        {
+            "query_id": pa.array(qid[sel], type=pa.int64()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+            facet: t.column(facet).take(pa.array(sel)),
+            "doc_id": pa.array(did[sel], type=pa.int64()),
+            "score": pa.array(sc[sel], type=pa.float64()),
+        }
+    )
+
+
 def more_like_this(
     index_dir: str, docs: pa.Table, n_terms: int = 3, k: int = 10,
     query_cfg: QueryConfig | None = None,

@@ -697,6 +697,63 @@ class _ShardState:
             }
         )
 
+    def collapse_best(self, plan: QueryPlan, scorer, facet: str = "lang") -> pa.Table:
+        """Field collapsing (the ES `collapse` surface): per query and facet
+        value, the single BEST-scoring matching doc (score desc, doc_id-asc
+        ties) over the FULL match set. A shard emits at most |facet dict|
+        rows per query — bounded partials, no matter the match set — and the
+        cross-shard merge picks the best per (query, facet) again, so the
+        collapsed list is exact. Scores use the pinned lexicographic fold
+        (bit-identical to search_batch)."""
+        codes, vals = self._facet_codes(facet)
+        scores = self._scores
+        q_out: list[int] = []
+        f_out: list[str] = []
+        d_out: list[int] = []
+        s_out: list[float] = []
+        for qi in range(plan.query_ids.size):
+            entries = []
+            for term, qtf in plan.query_terms[qi]:
+                if plan.term_idf.get(term, 0.0) <= 0.0:
+                    continue
+                hit = self.term_contrib(term, plan, scorer)
+                if hit is not None:
+                    entries.append((qtf, hit[0], hit[1]))
+            if not entries:
+                continue
+            if len(entries) == 1:
+                qtf, pos, contrib = entries[0]
+                cand = pos
+                csc = contrib if qtf == 1 else qtf * contrib
+            else:
+                cand = np.unique(np.concatenate([e[1] for e in entries]))
+                scores[cand] = 0.0
+                for qtf, pos, contrib in entries:
+                    if qtf == 1:
+                        scores[pos] += contrib
+                    else:
+                        scores[pos] += qtf * contrib
+                csc = scores[cand].copy()
+                scores[cand] = 0.0  # keep the shared scratch all-zeros
+            ids = self.docmap_ids[cand]
+            lab = codes[cand]
+            order = np.lexsort((ids, -csc))
+            # first occurrence per label in score order == best per group
+            _, first = np.unique(lab[order], return_index=True)
+            for i in order[np.sort(first)]:
+                q_out.append(int(plan.query_ids[qi]))
+                f_out.append(vals[int(lab[i])])
+                d_out.append(int(ids[i]))
+                s_out.append(float(csc[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                facet: pa.array(f_out, type=pa.string()),
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "score": pa.array(s_out, type=pa.float64()),
+            }
+        )
+
     # ---- snippet extraction (positions-based highlight) ----
 
     def snippet_window(self, plan: QueryPlan, qi: int, doc_id: int) -> tuple[int, int]:
@@ -1195,6 +1252,53 @@ class ShardFacets:
                     "query_id": pa.array([], type=pa.int64()),
                     self.facet: pa.array([], type=pa.string()),
                     "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+
+class ShardCollapse:
+    """Dataset-mode field-collapse stage (like ShardFacets): per shard,
+    `_ShardState.collapse_best` partials; callers re-collapse per
+    (query_id, facet) across shards — exact under disjoint doc partitioning."""
+
+    def __init__(self, index_dir: str, plan_ref, block_size: int,
+                 facet: str = "lang", scorer: str = "bm25"):
+        import ray
+
+        self.index_dir = index_dir
+        self.plan: QueryPlan = (
+            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
+        )
+        self.block_size = block_size
+        self.facet = facet
+        self.scorer = SCORERS[scorer]
+        self._states: dict[int, _ShardState] = {}
+        self._needed_terms = sorted(self.plan.term_idf.keys())
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            outs.append(self._state(part).collapse_best(self.plan, self.scorer, self.facet))
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    self.facet: pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
                 }
             )
         return pa.concat_tables(outs)

@@ -401,6 +401,42 @@ class TestMoreLikeThis:
         )
 
 
+class TestFieldCollapse:
+    def test_collapse_matches_python_oracle(self, built_index):
+        """Best doc per (query, lang) over the full match set, then ranked —
+        recomputed independently from a deep relevance search + docmap langs."""
+        from flatnav_ray.pipelines.build import prepare_batch
+        from flatnav_ray.pipelines.query import search_collapsed
+        from flatnav_ray.stages.build import dedup_latest
+
+        ix, pages, queries = built_index
+        d = dedup_latest(prepare_batch(pages, 8, None))
+        langs = dict(
+            zip(d.column("doc_id").to_pylist(), d.column("lang").to_pylist())
+        )
+        qs = queries.slice(0, 5)
+        got = search_collapsed(ix, qs, facet="lang", k=10)
+        full = search_to_table(ix, qs, QueryConfig(k=len(langs)))
+        rows = []
+        for qi in qs.column("query_id").to_pylist():
+            sub = full.filter(pc.equal(full.column("query_id"), qi))
+            seen: set[str] = set()
+            kept = []
+            for dd, s in zip(sub.column("doc_id").to_pylist(), sub.column("score").to_pylist()):
+                lg = langs[dd]
+                if lg not in seen:
+                    seen.add(lg)
+                    kept.append((lg, dd, s))
+            rows.extend((qi, r, lg, dd, s) for r, (lg, dd, s) in enumerate(kept[:10]))
+        assert got.column("query_id").to_pylist() == [r[0] for r in rows]
+        assert got.column("rank").to_pylist() == [r[1] for r in rows]
+        assert got.column("lang").to_pylist() == [r[2] for r in rows]
+        assert got.column("doc_id").to_pylist() == [r[3] for r in rows]
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), np.array([r[4] for r in rows])
+        )
+
+
 class TestLenFilter:
     def test_range_filter_matches_python_oracle(self, built_index):
         """doc_len range filter drops exactly the out-of-range docs; survivor
