@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
         "regex_hit_counts": d.regex_hit_counts,    # regex term scan (RE2 dictionary)
+        "suggest_prefix": d.suggest_prefix,        # autocomplete: top terms per prefix
         "bm25_sortby_len": d.bm25_sortby_len,      # sort-by-field (doc_len) results
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
@@ -649,6 +650,20 @@ def oracle_sql() -> dict[str, str]:
         "ON regexp_matches(tf.term, qt.prefix)",
     )
     assert regex_sql != prefix_sql
+    # autocomplete suggester: per prefix (same derivation as prefix_sql),
+    # the top-10 dictionary terms by global df, ties term-asc
+    suggest_sql = (
+        f"WITH df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT substr(term, 1, 1) AS prefix, query_id FROM "
+        "(SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS query_id "
+        "FROM df) WHERE query_id < 10), "
+        "cand AS (SELECT qt.query_id, d2.term, d2.df FROM qt JOIN df d2 "
+        "ON starts_with(d2.term, qt.prefix)), "
+        "ranked AS (SELECT query_id, term, df, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY df DESC, term ASC) - 1 AS rank FROM cand) "
+        "SELECT query_id, rank, term, df FROM ranked WHERE rank < 10 "
+        "ORDER BY query_id, rank"
+    )
     # sort-by-field: the 2-term queries' DISTINCT match set ranked by
     # doc_len desc (doc_id asc ties) — integer keys, no float fragility
     sortby_sql = (
@@ -823,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_hit_counts": prefix_sql,
         "infix_hit_counts": infix_sql,
         "regex_hit_counts": regex_sql,
+        "suggest_prefix": suggest_sql,
         "bm25_sortby_len": sortby_sql,
         "bm25_topk_stopfilter": stop_sql,
         "bm25_topk_filtered": filtered_sql,

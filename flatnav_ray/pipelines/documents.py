@@ -828,6 +828,20 @@ def prefix_hit_counts(sf_dir: str) -> pa.Table:
     return prefix_doc_counts(ix, prefixes)
 
 
+def suggest_prefix(sf_dir: str, n: int = 10) -> pa.Table:
+    """Autocomplete: per prefix (FIRST CHAR of the top-10 df-ranked terms —
+    1-char prefixes match many dictionary terms, so the global-df ranking is
+    actually exercised), the top-n dictionary terms by GLOBAL df, ties
+    term-asc — the suggester surface. Oracle: starts_with over the df table
+    + row_number."""
+    from .query import suggest_terms
+
+    ix = build_documents_index(sf_dir)
+    top = derived_queries(ix, n_queries=10)
+    prefixes = [t[:1] for t in top.column("text").to_pylist()]
+    return suggest_terms(ix, prefixes, n=n)
+
+
 def infix_hit_counts(sf_dir: str) -> pa.Table:
     """Wildcard `*term*` queries: per infix (chars 2..4 of the top-10
     df-ranked terms — SQL substr(term, 2, 3)), count docs containing ANY

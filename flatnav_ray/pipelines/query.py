@@ -277,6 +277,71 @@ def prefix_doc_counts(
     return out.sort_by("query_id")
 
 
+def suggest_terms(
+    index_dir: str, prefixes: list[str], n: int = 10, concurrency: int = 8
+) -> pa.Table:
+    """Autocomplete / suggester: per prefix, the top-n dictionary terms by
+    GLOBAL df (ties term-asc). Shards ship their dictionary range's
+    (term, local df) rows — dictionary metadata only, no postings decode —
+    and the driver sums df per term and ranks. Columns:
+    (query_id, rank, term, df), query_id = prefix list index."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.search import ShardSuggest
+
+    stats = load_stats(index_dir)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, len(parts), ncpu))
+    partials = ray.data.from_items(parts).map_batches(
+        ShardSuggest,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (conc * 2) or 1),
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "prefixes": list(prefixes),
+            "block_size": int(stats["block_size"]),
+        },
+    )
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+        }
+    )
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["query_id", "term"]).aggregate([("df", "sum")])
+    qid = g.column("query_id").to_numpy(zero_copy_only=False)
+    dfs = g.column("df_sum").to_numpy(zero_copy_only=False)
+    # rank per query by (df desc, term asc)
+    order = pc.sort_indices(
+        g, sort_keys=[("query_id", "ascending"), ("df_sum", "descending"), ("term", "ascending")]
+    ).to_numpy(zero_copy_only=False)
+    qs2 = qid[order]
+    new_q = np.concatenate(([True], qs2[1:] != qs2[:-1]))
+    grp_start = np.maximum.accumulate(np.where(new_q, np.arange(qs2.size), 0))
+    rank = np.arange(qs2.size) - grp_start
+    keep = rank < n
+    sel = order[keep]
+    return pa.table(
+        {
+            "query_id": pa.array(qid[sel], type=pa.int64()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
+            "term": g.column("term").take(pa.array(sel)),
+            "df": pa.array(dfs[sel], type=pa.int64()),
+        }
+    )
+
+
 def search_collapsed(
     index_dir: str, queries: pa.Table, facet: str = "lang", k: int = 10,
     concurrency: int = 8,

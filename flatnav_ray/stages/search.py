@@ -845,6 +845,27 @@ class _ShardState:
         mask = pc.match_substring(arr, infix).to_numpy(zero_copy_only=False)
         return self._postings_union_count(np.nonzero(mask)[0])
 
+    def prefix_terms(self, prefix: str) -> tuple[list[str], np.ndarray]:
+        """(terms, local df) for the dictionary range matching a prefix —
+        the suggester's shard partial. Dictionary rows only (no postings
+        decode); global df = sum of shard partials per term."""
+        import bisect
+
+        if not prefix:
+            return [], np.empty(0, dtype=np.int64)
+        lo = bisect.bisect_left(self._terms_list, prefix)
+        hi = bisect.bisect_left(
+            self._terms_list, prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        )
+        if lo >= hi:
+            return [], np.empty(0, dtype=np.int64)
+        if self._dead_pos is None:
+            return self._terms_list[lo:hi], self._df[lo:hi].copy()
+        dfs = np.array(
+            [self.live_term_df(t) for t in self._terms_list[lo:hi]], dtype=np.int64
+        )
+        return self._terms_list[lo:hi], dfs
+
     def regex_doc_count(self, pattern: str) -> int:
         """Count docs containing ANY term matching an (unanchored, RE2)
         regex — the third wildcard mode after prefix and infix: a vectorized
@@ -1391,6 +1412,52 @@ class ShardPrefixCounts:
             {
                 "query_id": pa.array(q_out, type=pa.int64()),
                 "n_docs": pa.array(n_out, type=pa.int64()),
+            }
+        )
+
+
+class ShardSuggest:
+    """Dataset-mode suggester stage: per shard and prefix query, the
+    dictionary range's (term, local df) rows. Callers sum df per term
+    across shards (each shard holds disjoint docs) and rank."""
+
+    def __init__(self, index_dir: str, prefixes: list[str], block_size: int):
+        self.index_dir = index_dir
+        self.prefixes = prefixes
+        self.block_size = block_size
+        self._states: dict[int, _ShardState] = {}
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_out: list[int] = []
+        t_out: list[str] = []
+        d_out: list[np.ndarray] = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            st = self._state(part)
+            for qi, prefix in enumerate(self.prefixes):
+                terms, dfs = st.prefix_terms(prefix)
+                q_out.extend([qi] * len(terms))
+                t_out.extend(terms)
+                d_out.append(dfs)
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "term": pa.array(t_out, type=pa.string()),
+                "df": pa.array(
+                    np.concatenate(d_out) if d_out else np.empty(0, dtype=np.int64),
+                    type=pa.int64(),
+                ),
             }
         )
 

@@ -401,6 +401,32 @@ class TestMoreLikeThis:
         )
 
 
+class TestSuggester:
+    def test_suggest_matches_python_oracle(self, built_index):
+        """Top-n dictionary terms per prefix by global df, ties term-asc."""
+        from collections import Counter
+
+        from flatnav_ray.pipelines.query import suggest_terms
+
+        ix, pages, _ = built_index
+        toks = _doc_tokens(pages)
+        df = Counter(t for s in toks.values() for t in s)
+        vocab = sorted(df)
+        prefixes = [vocab[0][:2], vocab[len(vocab) // 2][:3], "zzzz"]
+        got = suggest_terms(ix, prefixes, n=5)
+        rows = []
+        for qi, p in enumerate(prefixes):
+            cand = sorted(
+                ((t, c) for t, c in df.items() if t.startswith(p)),
+                key=lambda x: (-x[1], x[0]),
+            )[:5]
+            rows.extend((qi, r, t, c) for r, (t, c) in enumerate(cand))
+        assert got.column("query_id").to_pylist() == [r[0] for r in rows]
+        assert got.column("rank").to_pylist() == [r[1] for r in rows]
+        assert got.column("term").to_pylist() == [r[2] for r in rows]
+        assert got.column("df").to_pylist() == [r[3] for r in rows]
+
+
 class TestFieldCollapse:
     def test_collapse_matches_python_oracle(self, built_index):
         """Best doc per (query, lang) over the full match set, then ranked —
