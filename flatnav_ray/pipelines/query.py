@@ -203,7 +203,13 @@ def search_with_snippets(
         return results.append_column(
             "snippet_start", pa.array([], type=pa.int64())
         ).append_column("snippet_len", pa.array([], type=pa.int64()))
-    plan, stats = plan_for(index_dir, queries, query_cfg.k)
+    # the snippet plan must see the SAME term set the search used — with
+    # fuzzy on, a result may match only via an expansion, and the window
+    # must cover the expanded term that actually occurs in the doc
+    plan, stats = plan_for(
+        index_dir, queries, query_cfg.k,
+        fuzzy_max_edits=getattr(query_cfg, "fuzzy_max_edits", 0),
+    )
     plan_ref = ray.put(plan)
     ncpu = int(ray.cluster_resources().get("CPU", concurrency))
     conc = max(1, min(concurrency, ncpu))

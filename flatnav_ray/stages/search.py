@@ -130,12 +130,27 @@ def make_query_plan(
             distinct.update(toks)
     # cursor pagination: optional per-query (after_score, after_doc) columns
     qafter: list[tuple[float, int] | None] | None = None
-    if "after_score" in queries.column_names:
+    if "after_score" in queries.column_names or "after_doc" in queries.column_names:
+        if not (
+            "after_score" in queries.column_names
+            and "after_doc" in queries.column_names
+        ):
+            raise ValueError(
+                "search_after needs BOTH after_score and after_doc columns"
+            )
         sc = queries.column("after_score").to_pylist()
         dc = queries.column("after_doc").to_pylist()
-        qafter = [
-            None if s is None else (float(s), int(d)) for s, d in zip(sc, dc)
-        ]
+        qafter = []
+        for s, d in zip(sc, dc):
+            if s is None and d is None:
+                qafter.append(None)  # no cursor: page 1 for this query
+            elif s is None or d is None:
+                raise ValueError(
+                    "search_after cursor needs BOTH after_score and "
+                    "after_doc set (or both null)"
+                )
+            else:
+                qafter.append((float(s), int(d)))
     tdf = {t: int(term_df.get(t, 0)) for t in distinct}
     tidf = {t: float(idf_fn(df, n_docs)) if df > 0 else 0.0 for t, df in tdf.items()}
     return QueryPlan(
@@ -319,6 +334,12 @@ class _ShardState:
             mask &= self.docmap_lens >= lo
         if hi is not None:
             mask &= self.docmap_lens <= hi
+        # bound the cache: unlike lang masks (#langs keys) the (lo, hi)
+        # key space is caller-controlled — evict oldest range masks so a
+        # long-lived serving actor can't grow without limit
+        lenkeys = [k for k in self._facet_cache if k.startswith("__lenmask:")]
+        if len(lenkeys) >= 32:
+            del self._facet_cache[lenkeys[0]]
         self._facet_cache[key] = (mask, [])
         return mask
 
@@ -1692,16 +1713,22 @@ class SearchSession:
     def _fuzzy_expand(self, terms: list[str], max_edits: int) -> dict[str, set[str]]:
         """Per-session expansion cache (the df-cache pattern): hot query
         terms repeat across serving calls, so only UNSEEN terms pay the
-        vocabulary scan — one batched scan per call covers all misses."""
-        from ..functions.fuzzy import fuzzy_expand_terms
-
+        vocabulary scan — one batched scan per call covers all misses.
+        Subclasses override `_fuzzy_scan` (the miss path) only, keeping the
+        cache; the generation set is fixed at session construction, so
+        cached expansions never go stale within a session."""
         cache = getattr(self, "_fuzzy_cache", None)
         if cache is None:
             cache = self._fuzzy_cache = {}
         missing = [t for t in terms if t not in cache]
         if missing:
-            cache.update(fuzzy_expand_terms(self.index_dir, missing, max_edits))
+            cache.update(self._fuzzy_scan(missing, max_edits))
         return {t: cache[t] for t in terms}
+
+    def _fuzzy_scan(self, terms: list[str], max_edits: int) -> dict[str, set[str]]:
+        from ..functions.fuzzy import fuzzy_expand_terms
+
+        return fuzzy_expand_terms(self.index_dir, terms, max_edits)
 
     # queries per broadcast plan: bounds the ray.put object and per-actor
     # accumulation for very large batches; chunks stream through the pool
@@ -1914,9 +1941,10 @@ class StackedSearchSession(SearchSession):
                 out[t] += int(n)
         return out
 
-    def _fuzzy_expand(self, terms: list[str], max_edits: int) -> dict[str, set[str]]:
+    def _fuzzy_scan(self, terms: list[str], max_edits: int) -> dict[str, set[str]]:
         """Union the expansion over every generation's vocabulary (a term
-        first introduced by a delta must still match)."""
+        first introduced by a delta must still match); the base class's
+        per-session cache wraps this miss path."""
         from ..functions.fuzzy import fuzzy_expand_terms
 
         out: dict[str, set[str]] = {t: set() for t in terms}

@@ -338,6 +338,55 @@ class TestFuzzy:
             got.column("score").to_numpy(), want.column("score").to_numpy()
         )
 
+    def test_fuzzy_snippets_cover_expanded_terms(self, built_index):
+        """Snippets for a fuzzy search must equal those of the manually
+        expanded query — the snippet plan sees the same expanded term set,
+        so docs matched only via an expansion still get a real window."""
+        from collections import Counter
+
+        from flatnav_ray.functions.fuzzy import fuzzy_expand_terms
+        from flatnav_ray.pipelines.query import search_with_snippets
+        from flatnav_ray.stages.positions import build_position_sidecar, positions_path
+        import os
+
+        import ray.data
+
+        ix, pages, _ = built_index
+        if not os.path.exists(positions_path(ix, 0)):
+            from flatnav_ray.config import IndexConfig
+
+            build_position_sidecar(
+                ray.data.from_arrow(pages), ix, IndexConfig(num_partitions=8)
+            )
+        toks = _doc_tokens(pages)
+        df = Counter(t for s in toks.values() for t in s)
+        base = df.most_common(1)[0][0]
+        probe = base + "x"  # distance 1 from base; ensure absent from vocab
+        assert probe not in df
+        qs = pa.table(
+            {"query_id": pa.array([0], type=pa.int64()),
+             "text": pa.array([probe], type=pa.string())}
+        )
+        got = search_with_snippets(ix, qs, QueryConfig(k=5, fuzzy_max_edits=1))
+        exp = sorted(fuzzy_expand_terms(ix, [probe])[probe])
+        assert exp  # base (at least) is within distance 1
+        manual = pa.table(
+            {"query_id": pa.array([0], type=pa.int64()),
+             "text": pa.array([" ".join(exp)], type=pa.string())}
+        )
+        want = search_with_snippets(ix, manual, QueryConfig(k=5))
+        assert got.equals(want)
+        assert len(got) > 0
+
+    def test_half_set_cursor_raises(self, built_index):
+        ix, _, queries = built_index
+        qs = queries.slice(0, 2)
+        qs = qs.append_column(
+            "after_score", pa.array([1.0, None], type=pa.float64())
+        ).append_column("after_doc", pa.array([None, None], type=pa.int64()))
+        with pytest.raises(Exception, match="BOTH after_score and"):
+            search_to_table(ix, qs, QueryConfig(k=5))
+
     def test_fuzzy_rejected_on_unsupported_methods(self, built_index):
         ix, _, queries = built_index
         with pytest.raises(Exception, match="fuzzy"):
