@@ -364,6 +364,19 @@ class _ShardState:
         s_out: list[np.ndarray] = []
         n_out: list[tuple[int, int, int]] = []  # (n_results, n_cand, n_blocks)
         scores = self._scores
+        # self-heal shared scratch: if a previous query on this long-lived
+        # actor raised mid-body (after neg-marking / score accumulation but
+        # before its reset), restore the all-False / all-zeros invariant so
+        # THIS query doesn't silently exclude or double-count docs
+        dirty_neg = getattr(self, "_neg_dirty", None)
+        if dirty_neg:
+            for np_ in dirty_neg:
+                self._touched[np_] = False
+            self._neg_dirty = None
+        dirty_sc = getattr(self, "_scores_dirty", None)
+        if dirty_sc is not None:
+            scores[dirty_sc] = 0.0
+            self._scores_dirty = None
         if flt is not None and method not in ("taat", "maxscore"):
             raise ValueError(
                 f"filter_lang is supported on the default scoring methods "
@@ -454,6 +467,8 @@ class _ShardState:
                     if nhit is not None and nhit[0].size:
                         nparts.append(nhit[0])
                         self._touched[nhit[0]] = True
+                if nparts:
+                    self._neg_dirty = nparts
                 excl = self._touched if nparts else None
                 aft = after_list[qi] if after_list is not None else None
                 musts = must_lists[qi] if must_lists is not None else ()
@@ -481,6 +496,7 @@ class _ShardState:
                     touched_parts = [e[1] for e in entries]
                     cand = np.unique(np.concatenate(touched_parts))
                     scores[cand] = 0.0
+                    self._scores_dirty = cand
                     for qtf, pos, contrib in entries:
                         if qtf == 1:
                             scores[pos] += contrib
@@ -525,9 +541,11 @@ class _ShardState:
                         csc, cids = csc[m], cids[m]
                     docs, ssc = topk_select(csc, cids, plan.k)
                     scores[cand] = 0.0  # keep the shared scratch all-zeros
+                    self._scores_dirty = None
                     n_cand = cand_sel.size
                 for np_ in nparts:  # keep the shared scratch all-False
                     self._touched[np_] = False
+                self._neg_dirty = None
             if not isinstance(docs, np.ndarray) or docs.size == 0:
                 continue
             q_out.append(np.full(docs.size, qid, dtype=np.int64))
@@ -1759,7 +1777,12 @@ class SearchSession:
         # function of the text)
         has_neg = "neg_text" in queries.column_names
         has_must = "must_text" in queries.column_names
-        has_after = "after_score" in queries.column_names
+        # either half of the cursor pair disables the collapse so a malformed
+        # half-cursor batch always reaches make_query_plan's BOTH-columns check
+        has_after = (
+            "after_score" in queries.column_names
+            or "after_doc" in queries.column_names
+        )
         texts_all = queries.column("text").to_pylist()
         uniq: dict[str, int] = {}
         rep = np.fromiter(
