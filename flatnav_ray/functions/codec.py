@@ -76,16 +76,35 @@ def encode_varint_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     nbytes = np.ones(n, dtype=np.uint8)
     for k in range(1, maxb):
         nbytes += v >= dt(1 << (7 * k))
-    # (n, maxb) byte matrix + boolean compress: sequential writes/reads beat
-    # the scatter-store formulation ~6x on wide (multi-byte) values.
-    B = np.empty((n, maxb), dtype=np.uint8)
-    low7 = dt(0x7F)
-    for k in range(maxb):
-        B[:, k] = ((v >> dt(7 * k)) & low7).astype(np.uint8)
-    mask = np.arange(maxb, dtype=np.uint8)[None, :] < nbytes[:, None]
-    # continuation bit on byte k iff byte k+1 is kept — no arange fancy-index
-    B[:, :-1] |= mask[:, 1:].view(np.uint8) << np.uint8(7)
-    return B[mask].tobytes(), nbytes
+    # Subset-split scatter: 1-byte values (the vast majority of delta/tf
+    # streams) store directly at their (monotone -> effectively sequential)
+    # output offsets; only the multi-byte minority walks the per-byte-level
+    # loop. ~3x faster than the dense (n, maxb) byte-matrix + boolean
+    # compress this replaces, and it never materializes the n*maxb
+    # intermediates — the merge phase is DRAM-bound, so the saved traffic is
+    # wall time under concurrent merges (BASELINE.md scaling notes).
+    offs = np.empty(n, dtype=np.int64)
+    np.cumsum(nbytes, out=offs)
+    total = int(offs[-1])
+    offs -= nbytes
+    out = np.empty(total, dtype=np.uint8)
+    one = nbytes == 1
+    out[offs[one]] = v[one]
+    rest = np.flatnonzero(~one)
+    if rest.size:
+        vr = v[rest]
+        nbr = nbytes[rest]
+        offr = offs[rest]
+        for k in range(maxb):
+            if k:  # drop values fully emitted in earlier byte levels
+                act = nbr > k
+                vr, nbr, offr = vr[act], nbr[act], offr[act]
+            cont = nbr > k + 1
+            out[offr + k] = (vr & dt(0x7F)).astype(np.uint8) | (
+                cont.view(np.uint8) << np.uint8(7)
+            )
+            vr = vr >> dt(7)
+    return out.tobytes(), nbytes
 
 
 def encode_varint(values: np.ndarray) -> bytes:

@@ -55,10 +55,16 @@ PARTIAL_SCHEMA = pa.schema(
         ("dm_text_hash", pa.binary()),  # int64
         ("dm_urls", pa.list_(pa.string())),
         ("dm_langs", pa.list_(pa.string())),
-        # partial postings: term dictionary + per-posting arrays
+        # partial postings: term dictionary + per-posting arrays. Documents
+        # are referenced by ORDINAL into this partial's (ascending) dm_doc_ids
+        # — int32 instead of a raw int64 doc hash, which cuts the spilled
+        # bytes per posting by a quarter and lets the merge resolve winners
+        # with O(docs) binary searches + O(postings) gathers from partial-
+        # local (cache-resident) tables instead of O(postings) binary
+        # searches over the whole partition (the old hot spot).
         ("terms", pa.list_(pa.string())),
         ("p_term_idx", pa.binary()),   # int32 index into terms
-        ("p_doc_ids", pa.binary()),    # int64
+        ("p_doc_ord", pa.binary()),    # int32 index into dm_doc_ids
         ("p_tfs", pa.binary()),        # int32
     ]
 )
@@ -104,7 +110,6 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
     # the map side is the encoded kernel's single dictionary_encode, and its
     # codes ARE the per-batch dictionary indices (no second encode pass)
     batch_codes, pos_all, p_tfs_all, batch_dict = term_frequencies_encoded(srt.column("text"))
-    p_docs_all = doc_ids_all[pos_all]
     doc_lens_all = np.bincount(pos_all, weights=p_tfs_all, minlength=doc_ids_all.size).astype(np.int64)
     p_parts = parts_all[pos_all]
 
@@ -148,7 +153,11 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
         lang_parts.append(lang_col.take(dsel))
         dict_parts.append(batch_dict.take(pa.array(used)))
         ptix_b.append(local_codes.tobytes())
-        pdoc_b.append(p_docs_all[psel].tobytes())
+        # ordinal of the posting's doc within THIS partial's docmap slice
+        # (dsel_np is ascending, so searchsorted is exact membership)
+        pdoc_b.append(
+            np.searchsorted(dsel_np, pos_all[psel]).astype(np.int32).tobytes()
+        )
         ptf_b.append(p_tfs_all[psel].astype(np.int32).tobytes())
 
     def _list_of(parts: list[pa.Array]) -> pa.ListArray:
@@ -181,24 +190,31 @@ def map_partial_spill(
 ) -> pa.Table:
     """Map side of the disk-spill shuffle: compute the partial exactly like
     map_partial, but WRITE each partition's partial row to
-    spill_dir/part=P/<uuid>.parquet (atomic tmp+rename) instead of returning
+    spill_dir/part=P/<uuid>.arrows (atomic tmp+rename) instead of returning
     it. The 'shuffle' is then just partitioned files on (shared) storage —
     the Spark-shuffle-file pattern, which also makes the map phase itself
-    resumable and keeps the object store out of the exchange entirely."""
+    resumable and keeps the object store out of the exchange entirely.
+
+    Arrow IPC stream + LZ4 frames, not Parquet: a 1M-doc build spills ~250
+    small files per partition, and Parquet's footer/statistics machinery was
+    a measurable per-file fixed cost on BOTH sides of the exchange; the IPC
+    path is a near-raw buffer write/read with the same lz4 compression."""
     import uuid
 
-    import pyarrow.parquet as pq
+    import pyarrow.ipc as ipc
 
     part_tbl = map_partial(batch, num_partitions, langs)
     out = []
+    opts = ipc.IpcWriteOptions(compression="lz4")
     for p in part_tbl.column("partition").to_pylist():
         out.append(int(p))
     for i, p in enumerate(out):
         d = os.path.join(spill_dir, f"part={p:05d}")
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        pq.write_table(part_tbl.slice(i, 1), tmp, compression="lz4")
-        os.replace(tmp, os.path.join(d, f"partial-{uuid.uuid4().hex}.parquet"))
+        with ipc.new_stream(tmp, part_tbl.schema, options=opts) as w:
+            w.write_table(part_tbl.slice(i, 1))
+        os.replace(tmp, os.path.join(d, f"partial-{uuid.uuid4().hex}.arrows"))
     return pa.table({"partition": pa.array(out, type=pa.int32())})
 
 
@@ -209,17 +225,28 @@ def merge_spilled_partition(
     """Reduce side of the disk-spill shuffle (run as a raw Ray task — the
     streaming executor's heap accounting throttles reducer concurrency, raw
     tasks run at full parallelism): read part=P partial files, merge."""
-    import pyarrow.parquet as pq
+    import time as _t
+
+    import pyarrow.ipc as ipc
 
     _clamp_worker_threads()
     d = os.path.join(spill_dir, f"part={partition:05d}")
     if not os.path.isdir(d):
         return MANIFEST_ROW_SCHEMA.empty_table()
-    files = sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+    files = sorted(os.path.join(d, f) for f in os.listdir(d) if f.endswith(".arrows"))
     if not files:
         return MANIFEST_ROW_SCHEMA.empty_table()
-    grp = pa.concat_tables([pq.read_table(f) for f in files])
-    return _merge_one_partition(grp, partition, index_dir, cfg, resume)
+    _t0 = _t.perf_counter()
+    tables = []
+    for f in files:
+        with ipc.open_stream(f) as r:
+            tables.append(r.read_all())
+    grp = pa.concat_tables(tables)
+    del tables
+    read_s = _t.perf_counter() - _t0
+    return _merge_one_partition(
+        grp, partition, index_dir, cfg, resume, read_s=read_s
+    )
 
 
 def merge_partials_block(
@@ -251,13 +278,14 @@ def _bin_row_views(col) -> list[np.ndarray]:
 
 
 def _merge_one_partition(
-    grp: pa.Table, partition: int, index_dir: str, cfg: IndexConfig, resume: set[int] | None
+    grp: pa.Table, partition: int, index_dir: str, cfg: IndexConfig,
+    resume: set[int] | None, read_s: float = 0.0,
 ) -> pa.Table:
     if resume and partition in resume:
         return pa.table([[partition], [0], [0], [0], [0], [True]], schema=MANIFEST_ROW_SCHEMA)
     import time as _t
 
-    _tm: dict[str, float] = {}
+    _tm: dict[str, float] = {"read": read_s}
     _t0 = _t.perf_counter()
 
     def _lap(name: str) -> None:
@@ -272,7 +300,7 @@ def _merge_one_partition(
     v_dm_lens = _bin_row_views(grp.column("dm_doc_lens"))
     v_dm_ts = _bin_row_views(grp.column("dm_warc_ts"))
     v_dm_th = _bin_row_views(grp.column("dm_text_hash"))
-    v_p_docs = _bin_row_views(grp.column("p_doc_ids"))
+    v_p_ord = _bin_row_views(grp.column("p_doc_ord"))
     v_p_tfs = _bin_row_views(grp.column("p_tfs"))
     v_p_codes = _bin_row_views(grp.column("p_term_idx"))
 
@@ -389,30 +417,38 @@ def _merge_one_partition(
     code_parts, pos_parts, tf_parts = [], [], []
     word_parts: list[np.ndarray] = []
     for i in range(n_partials):
-        p_docs = v_p_docs[i].view(np.int64)
-        if p_docs.size == 0:
+        ords = v_p_ord[i].view(np.int32)
+        if ords.size == 0:
             continue
         p_tfs = v_p_tfs[i].view(np.int32)
         codes = v_p_codes[i].view(np.int32)
-        pos = np.searchsorted(win_sorted, p_docs)
-        keep = win_partial_lookup[pos] == i
+        # winner resolution is PER DOC (one binary search per doc of this
+        # partial); postings then gather from the partial-local per-doc
+        # tables — a few hundred entries, cache-resident — instead of the
+        # old per-posting searchsorted over the whole partition's doc ids
+        g = np.searchsorted(win_sorted, dm_ids[i])
+        keep_doc = win_partial_lookup[g] == i
+        keep = keep_doc[ords]
         if not keep.any():
             continue
+        ords_k = ords[keep]
         if fused:
-            pos_k = pos[keep]
-            if rank_of is not None:  # dense_url: remap before packing
-                pos_k = rank_of[pos_k]
+            # per-doc packed (final position << sh_pos), gathered per posting
+            doc_word = (
+                (rank_of[g] if rank_of is not None else g).astype(np.uint64)
+                << sh_pos
+            )
             # pre-shifted remap table: the gather emits shifted codes directly
             remap_w = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.uint64) << sh_code
             word_parts.append(
                 remap_w[codes[keep]]
-                | (pos_k.astype(np.uint64) << sh_pos)
+                | doc_word[ords_k]
                 | p_tfs[keep].astype(np.uint64)
             )
         else:
             remap = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.int32)
             code_parts.append(remap[codes[keep]])
-            pos_parts.append(pos[keep].astype(np.int32))
+            pos_parts.append(g.astype(np.int32)[ords_k])
             tf_parts.append(p_tfs[keep])
 
     _lap("winnow")
