@@ -151,14 +151,32 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
         dsel = pa.array(dsel_np)
         url_parts.append(url_col.take(dsel))
         lang_parts.append(lang_col.take(dsel))
-        dict_parts.append(batch_dict.take(pa.array(used)))
-        ptix_b.append(local_codes.tobytes())
+        # SORTED-RUN INVARIANT (consumed by the merge's bucket path): the
+        # partial's term dictionary is stored LEXICOGRAPHICALLY sorted and
+        # postings are stored sorted by (term code, doc ordinal). The
+        # merge-side remap local->global-sorted-vocab is then monotone, so
+        # each partial arrives as a pre-sorted run and the merge can bucket-
+        # split instead of re-sorting the whole partition (cache-resident —
+        # robust to the DRAM contention that capped 8->32 merge scaling).
+        # These per-slice sorts are small (one batch x one partition) and run
+        # on the map side, pipelined with the Parquet read.
+        dict_slice = batch_dict.take(pa.array(used))
+        lex_order = pa.compute.sort_indices(dict_slice).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lex_rank = np.empty(lex_order.size, dtype=np.int32)
+        lex_rank[lex_order] = np.arange(lex_order.size, dtype=np.int32)
+        lex_codes = lex_rank[local_codes]
+        dict_parts.append(dict_slice.take(pa.array(lex_order)))
         # ordinal of the posting's doc within THIS partial's docmap slice
         # (dsel_np is ascending, so searchsorted is exact membership)
-        pdoc_b.append(
-            np.searchsorted(dsel_np, pos_all[psel]).astype(np.int32).tobytes()
-        )
-        ptf_b.append(p_tfs_all[psel].astype(np.int32).tobytes())
+        ords = np.searchsorted(dsel_np, pos_all[psel]).astype(np.int32)
+        # (code, ord) keys are unique within the slice -> plain argsort
+        key = (lex_codes.astype(np.int64) << np.int64(32)) | ords.astype(np.int64)
+        o = np.argsort(key)
+        ptix_b.append(lex_codes[o].tobytes())
+        pdoc_b.append(ords[o].tobytes())
+        ptf_b.append(p_tfs_all[psel][o].astype(np.int32).tobytes())
 
     def _list_of(parts: list[pa.Array]) -> pa.ListArray:
         offs = np.zeros(len(parts) + 1, dtype=np.int32)
@@ -275,6 +293,53 @@ def _bin_row_views(col) -> list[np.ndarray]:
     vals = arr.buffers()[2]
     buf = np.frombuffer(vals, dtype=np.uint8) if vals is not None else np.empty(0, np.uint8)
     return [buf[offs[i]: offs[i + 1]] for i in range(len(arr))]
+
+
+def _merge_sorted_runs(runs: list[np.ndarray]) -> np.ndarray:
+    """Merge k sorted uint64 runs into one sorted array by bucket-splitting.
+
+    Sample-balanced bounds -> per-run searchsorted cuts -> per-bucket
+    concat + in-cache introsort -> sequential write. DRAM traffic is ~one
+    read + one write pass regardless of contention, vs. introsort-over-
+    everything whose partition passes queue on the memory controller when
+    32 merges run at once (measured 25.5s vs 1.2s for 30M words under a
+    concurrent bandwidth hog; equal ~0.6s on an idle bus). Values are
+    unique across runs (one winner partial per doc), so no stability or
+    tie handling is needed."""
+    runs = [r for r in runs if r.size]
+    if not runs:
+        return np.empty(0, dtype=np.uint64)
+    if len(runs) == 1:
+        return runs[0]
+    total = sum(r.size for r in runs)
+    n_buckets = total // 262_144  # ~2 MiB of uint64 per bucket: LLC-resident
+    if n_buckets <= 1:
+        cat = np.concatenate(runs)
+        cat.sort()
+        return cat
+    samp = np.concatenate([r[:: max(1, r.size // 64)] for r in runs])
+    samp.sort()
+    bounds = samp[np.linspace(0, samp.size - 1, n_buckets + 1).astype(np.int64)][1:-1]
+    cuts = [np.searchsorted(r, bounds) for r in runs]
+    out = np.empty(total, dtype=np.uint64)
+    off = 0
+    for bi in range(n_buckets):
+        parts = []
+        for r, c in zip(runs, cuts):
+            lo = 0 if bi == 0 else c[bi - 1]
+            hi = r.size if bi == n_buckets - 1 else c[bi]
+            if hi > lo:
+                parts.append(r[lo:hi])
+        if not parts:
+            continue
+        if len(parts) == 1:  # already sorted: straight copy
+            chunk = parts[0]
+        else:
+            chunk = np.concatenate(parts)
+            chunk.sort()
+        out[off: off + chunk.size] = chunk
+        off += chunk.size
+    return out
 
 
 def _merge_one_partition(
@@ -455,9 +520,17 @@ def _merge_one_partition(
     hasher = hashlib.blake2b(digest_size=16)
     if word_parts or code_parts:
         if fused:
-            word = word_parts[0] if len(word_parts) == 1 else np.concatenate(word_parts)
+            if rank_of is None:
+                # hash strategy: local->global code remap is monotone (both
+                # dictionaries lex-sorted) and doc ordinal -> final position
+                # is monotone (both ascending by doc_id), so each partial's
+                # packed words arrive SORTED (map-side invariant above) —
+                # bucket-merge instead of re-sorting the whole partition
+                word = _merge_sorted_runs(word_parts)
+            else:
+                word = word_parts[0] if len(word_parts) == 1 else np.concatenate(word_parts)
+                word.sort()
             del word_parts
-            word.sort()
             m_codes = (word >> sh_code).astype(np.int32)
             m_pos = ((word >> sh_pos) & np.uint64((1 << bits_pos) - 1)).astype(np.int32)
             m_tfs = (word & np.uint64((1 << bits_tf) - 1)).astype(np.int32)
