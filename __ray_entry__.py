@@ -280,6 +280,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
         "embedding_dups": d.embedding_dups,
         "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
+        # recall-floor gates for the approximate family: hash-checkable
+        # (exact top-k rows + clamped overlap; see _recall_floor_table)
+        "knn_ivf_recall": d.knn_ivf_recall,
+        "knn_ivfpq_recall": d.knn_ivfpq_recall,
+        "knn_nsw_recall": d.knn_nsw_recall,
+        "embedding_dups_lsh_recall": d.embedding_dups_lsh_recall,
         # the engine itself (flagship: build + BM25 top-k, rank-identical)
         "bm25_topk": d.bm25_topk,
         "bm25_topk_page2": d.bm25_topk_page2,       # pagination: ranks 10..19
@@ -312,6 +318,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_gorder": d.bm25_topk_gorder,   # Gorder docid reorder (O5, rows-only)
         "bm25_topk_rcm": d.bm25_topk_rcm,         # gorder+rcm sequenced reorder (rows-only)
     }
+
+
+def _recall_floor_sql(floor: int) -> str:
+    """Oracle for the ANN recall-floor gates: the exact cosine top-10 (same
+    query as knn_cosine's oracle) plus the floor constant the Ray side clamps
+    its approximate-overlap count to (documents._recall_floor_table)."""
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS cosine "
+        "FROM q CROSS JOIN embeddings e), "
+        "r AS (SELECT query_id, vec_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) - 1 AS rank FROM s) "
+        f"SELECT query_id, rank, vec_id, CAST({floor} AS BIGINT) AS overlap_at_least "
+        "FROM r WHERE rank < 10 ORDER BY query_id, rank"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -818,6 +839,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a JOIN embeddings b "
             "ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY 1, 2"
+        ),
+        # recall-floor gates: DuckDB recomputes the exact cosine top-k (the
+        # reference set the Ray side used for its overlap) and emits the
+        # floor constant; hash-green iff the Ray exact set matches AND every
+        # query's approximate overlap clears the floor (test_index.py:62's
+        # recall gate made driver-checkable).
+        "knn_ivf_recall": _recall_floor_sql(4),
+        "knn_ivfpq_recall": _recall_floor_sql(4),
+        "knn_nsw_recall": _recall_floor_sql(9),
+        "embedding_dups_lsh_recall": (
+            "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS false_pairs, "
+            "CAST(300 AS BIGINT) AS found_true_at_least "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
         ),
         "bm25_topk": bm25_sql,
         "bm25_topk_page2": page2_sql,

@@ -342,6 +342,83 @@ def embedding_dups_lsh(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     )
 
 
+def _recall_floor_table(approx: pa.Table, sf_dir: str, k: int, n_queries: int,
+                        floor: int) -> pa.Table:
+    """Driver-checkable recall gate for an approximate ANN result — the Ray
+    Data analog of the reference's recall>=0.97 assertion
+    (python-bindings/unit_tests/test_index.py:62).
+
+    Emits the EXACT cosine top-k rows (query_id, rank, vec_id) — recomputed
+    here by the same distributed brute force the hash-green knn_cosine entry
+    uses — plus, per row, overlap_at_least = min(|approx_topk ∩ exact_topk|,
+    floor) for that query. The SQL oracle recomputes the exact top-k in
+    DuckDB and emits the floor constant, so a hash match simultaneously
+    proves (a) the exact reference set used for the overlap is the true one
+    and (b) every query's approximate recall clears the floor. The approx
+    sets are deterministic given the pipeline seeds, so floors are stable."""
+    exact = knn_cosine(sf_dir, k=k, n_queries=n_queries)
+    eq = exact.column("query_id").to_numpy(zero_copy_only=False)
+    ev = exact.column("vec_id").to_numpy(zero_copy_only=False)
+    aq = approx.column("query_id").to_numpy(zero_copy_only=False)
+    av = approx.column("vec_id").to_numpy(zero_copy_only=False)
+    # overlap per query via sorted membership on packed (query, vec) keys
+    ekey = np.sort((eq.astype(np.int64) << np.int64(32)) | ev.astype(np.int64))
+    akey = (aq.astype(np.int64) << np.int64(32)) | av.astype(np.int64)
+    hit = ekey[np.clip(np.searchsorted(ekey, akey), 0, ekey.size - 1)] == akey
+    ov = np.bincount(aq[hit].astype(np.int64), minlength=n_queries)
+    per_row = np.minimum(ov, floor)[eq.astype(np.int64)]
+    return exact.append_column("overlap_at_least", pa.array(per_row, type=pa.int64()))
+
+
+def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 10,
+                   nprobe: int = 4, floor: int = 4) -> pa.Table:
+    """IVF ANN recall gate: exact top-k rows + per-query clamped overlap."""
+    return _recall_floor_table(knn_ivf(sf_dir, k, n_queries, nprobe), sf_dir, k, n_queries, floor)
+
+
+def knn_nsw_recall(sf_dir: str, k: int = 10, n_queries: int = 10,
+                   ef_search: int = 64, floor: int = 9) -> pa.Table:
+    """NSW graph ANN recall gate (the reference's core algorithm)."""
+    return _recall_floor_table(knn_nsw(sf_dir, k, n_queries, ef_search), sf_dir, k, n_queries, floor)
+
+
+def knn_ivfpq_recall(sf_dir: str, k: int = 10, n_queries: int = 10,
+                     floor: int = 4) -> pa.Table:
+    """IVF-PQ ANN recall gate (compressed scan + exact re-rank)."""
+    return _recall_floor_table(knn_ivfpq(sf_dir, k, n_queries), sf_dir, k, n_queries, floor)
+
+
+def embedding_dups_lsh_recall(sf_dir: str, threshold: float = 0.3,
+                              floor: int = 300) -> pa.Table:
+    """LSH near-dup gate: single summary row the driver can hash-check.
+
+    n_exact_pairs — the true all-pairs count (SQL recomputes it with the
+    same join the hash-green embedding_dups entry uses); false_pairs — LSH
+    pairs whose true cosine is below the threshold (precision check; the
+    bucketed verifier recomputes exact cosine, so this must be 0);
+    found_true_at_least — min(#true LSH pairs, floor), the recall floor."""
+    emb_tbl = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    vid = emb_tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = np.stack(emb_tbl.column("embedding").to_pylist()).astype(np.float64)
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    pos = {int(v): i for i, v in enumerate(vid)}
+    lsh = embedding_dups_lsh(sf_dir, threshold=threshold)
+    a = np.array([pos[int(x)] for x in lsh.column("doc_a").to_pylist()], dtype=np.int64)
+    b = np.array([pos[int(x)] for x in lsh.column("doc_b").to_pylist()], dtype=np.int64)
+    cos = np.einsum("ij,ij->i", vecs[a], vecs[b]) if a.size else np.empty(0)
+    n_false = int((cos < threshold - 1e-12).sum())
+    n_true = int(a.size) - n_false
+    n_exact = len(embedding_dups(sf_dir, threshold=threshold))
+    return pa.table({
+        "n_exact_pairs": pa.array([n_exact], type=pa.int64()),
+        "false_pairs": pa.array([n_false], type=pa.int64()),
+        "found_true_at_least": pa.array([min(n_true, floor)], type=pa.int64()),
+    })
+
+
 # ---------- the flagship: real index build + BM25 top-k ----------
 
 def _index_dir_for(sf_dir: str, cfg: IndexConfig) -> str:
