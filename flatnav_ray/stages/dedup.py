@@ -151,8 +151,32 @@ def _union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+@ray.remote(num_cpus=0)
+def _rename_to_cluster_id(blk: pa.Table) -> pa.Table:
+    return blk.rename_columns(["node", "cluster_id"])
+
+
+def drop_empty_blocks(ds):
+    """Return `ds` with empty blocks removed (None if ALL blocks are empty).
+
+    Works around a Ray 2.49 hash-shuffle join hazard: only the FIRST shuffled
+    block of each join input broadcasts its schema to every partition, but
+    `_shuffle_block` early-returns on empty blocks while the driver still
+    marks the schema as broadcast — so an empty first block leaves row-less
+    partitions finalizing zero-column tables and pyarrow raising "No match
+    ... for FieldRef" mid-join. Filtering uses block METADATA only; no data
+    moves to the driver."""
+    import ray.data as rd
+    from ray.data.dataset import MaterializedDataset
+
+    mds = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    bundle = mds._plan.execute()
+    refs = [ref for ref, meta in bundle.blocks if (meta.num_rows or 0) > 0]
+    return rd.from_arrow_refs(refs) if refs else None
+
+
 def distributed_components(
-    pairs, num_partitions: int = 8, max_rounds: int = 50
+    pairs, num_partitions: int = 8, max_rounds: int = 50, as_dataset: bool = False
 ) -> pa.Table:
     """Distributed connected components over an (a, b) edge list: iterative
     min-label propagation on Ray Data — per round, one hash join (edge.v ->
@@ -167,11 +191,12 @@ def distributed_components(
     pair stream, not the corpus, is what must fit driver-side there)."""
     import ray.data as rd
 
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+    )
     if isinstance(pairs, pa.Table):
         if len(pairs) == 0:
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
-            )
+            return rd.from_arrow(empty) if as_dataset else empty
         pairs = rd.from_arrow(pairs)
 
     def _sym(b: pa.Table) -> pa.Table:
@@ -187,7 +212,13 @@ def distributed_components(
             }
         )
 
-    edges = pairs.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # drop_empty_blocks on every join input: see its docstring (Ray shuffle
+    # schema-broadcast hazard). edges/labels stay in the object store.
+    edges = drop_empty_blocks(
+        pairs.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if edges is None:  # no edges at all: empty component set
+        return rd.from_arrow(empty) if as_dataset else empty
 
     def _init(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("u"), "label": b.column("min(v)")})
@@ -196,16 +227,17 @@ def distributed_components(
         return pa.table({"node": b.column("u"), "label": b.column("min(label)")})
 
     # round 0 for free: label(u) = min(u, neighbors) via the self-loops
-    labels = edges.groupby("u").min("v").map_batches(_init, batch_format="pyarrow").materialize()
+    labels = drop_empty_blocks(
+        edges.groupby("u").min("v").map_batches(_init, batch_format="pyarrow")
+    )
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
-        labels = (
+        labels = drop_empty_blocks(
             edges.join(labels, join_type="inner", num_partitions=num_partitions,
                        on=("v",), right_on=("node",))
             .groupby("u")
             .min("label")
             .map_batches(_relab, batch_format="pyarrow")
-            .materialize()
         )
         # labels only ever decrease (min-propagation), so the global sum is a
         # strictly-decreasing convergence witness — the ONLY driver-side state
@@ -214,6 +246,13 @@ def distributed_components(
             break
         prev_sum = cur_sum
 
+    if as_dataset:  # labels never leave the cluster (the 100-TB return path)
+        # per-block rename (not map_batches: empty blocks would be skipped and
+        # keep the old "label" name, poisoning downstream joins with a mixed
+        # right-side schema)
+        return rd.from_arrow_refs(
+            [_rename_to_cluster_id.remote(r) for r in labels.to_arrow_refs()]
+        )
     out = pa.concat_tables(labels.iter_batches(batch_format="pyarrow"))
     return pa.table(
         {"node": out.column("node"), "cluster_id": out.column("label")}
@@ -266,6 +305,51 @@ def _cluster_assignments(
     return labels
 
 
+def cluster_labels_dataset(
+    ids_ds: ray.data.Dataset,
+    pair_ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Dataset-returning cluster assembly — the 100-TB return path.
+
+    Same contract as _cluster_assignments (min-id representative, singleton =
+    own id) but the per-doc label vector NEVER materializes on the driver:
+    components resolve via distributed label propagation, labels stream back
+    onto the corpus id Dataset with a left-outer hash join, and missing
+    labels coalesce to the doc's own id. Consume with write_parquet or a
+    downstream join; the driver holds only convergence counters. `ids_ds`
+    must carry unique ids in `id_col` (one row per doc)."""
+    import pyarrow.compute as pc
+
+    m = pair_ds.materialize()
+    if m.count() == 0:  # no candidate pairs: every doc is its own cluster
+        return ids_ds.map_batches(
+            lambda b: pa.table(
+                {id_col: b.column(id_col), "cluster_id": b.column(id_col)}
+            ),
+            batch_format="pyarrow",
+        )
+    comp = distributed_components(m, num_partitions=num_partitions, as_dataset=True)
+    # left side too: an empty first block would eat the shuffle's one-shot
+    # schema broadcast (see drop_empty_blocks)
+    left = drop_empty_blocks(ids_ds.materialize())
+    if left is None:
+        return ids_ds  # corpus is empty; nothing to label
+    joined = left.join(
+        comp, join_type="left_outer", num_partitions=num_partitions,
+        on=(id_col,), right_on=("node",),
+    )
+
+    def _fill(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        return pa.table(
+            {id_col: ids, "cluster_id": pc.coalesce(b.column("cluster_id"), ids)}
+        )
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
 def minhash_lsh_clusters(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
@@ -273,6 +357,7 @@ def minhash_lsh_clusters(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    output: str = "table",
 ) -> pa.Table:
     """MinHash + banded LSH near-dup clustering.
 
@@ -355,11 +440,10 @@ def minhash_lsh_clusters(
         .groupby("bucket")
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
-    ids_tbl = pa.concat_tables(
-        ds.map_batches(
-            lambda b: b.select([id_col]), batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow")
-    )
+    ids_ds = ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
+    if output == "dataset":  # streaming labels, nothing corpus-sized driver-side
+        return cluster_labels_dataset(ids_ds, pair_ds, id_col=id_col)
+    ids_tbl = pa.concat_tables(ids_ds.iter_batches(batch_format="pyarrow"))
     corpus_ids = np.unique(
         ids_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     )
@@ -377,6 +461,7 @@ def simhash_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     hamming_threshold: int = 3,
+    output: str = "table",
 ) -> pa.Table:
     """SimHash near-dup: 64-bit signature, 4×16-bit band buckets (any doc pair
     within Hamming distance 3 shares at least one band), Hamming verify."""
@@ -457,10 +542,10 @@ def simhash_clusters(
         .groupby("bucket")
         .map_groups(_bucket_verified_pairs, batch_format="pyarrow")
     )
-    ids_tbl = pa.concat_tables(
-        sigs_ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    )
+    ids_ds = sigs_ds.map_batches(lambda b: b.select([id_col]), batch_format="pyarrow")
+    if output == "dataset":  # streaming labels, nothing corpus-sized driver-side
+        return cluster_labels_dataset(ids_ds, pair_ds, id_col=id_col)
+    ids_tbl = pa.concat_tables(ids_ds.iter_batches(batch_format="pyarrow"))
     corpus_ids = np.unique(
         ids_tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     )

@@ -448,6 +448,41 @@ class TestDistributedComponents:
         forced = dmod.minhash_lsh_clusters(ds)
         assert base.equals(forced)
 
+    def test_dataset_output_equals_table_output(self, doc_ds):
+        """output='dataset' (streamed labels, left-join assembly, nothing
+        corpus-sized on the driver) must equal the table variant row-for-row
+        for BOTH minhash and simhash, including singleton back-fill."""
+        from flatnav_ray.stages import dedup as dmod
+
+        ds, _ = doc_ds
+        for fn in (dmod.minhash_lsh_clusters, dmod.simhash_clusters):
+            tbl = fn(ds)
+            streamed = pa.concat_tables(
+                fn(ds, output="dataset").iter_batches(batch_format="pyarrow")
+            ).sort_by("doc_id")
+            assert tbl.equals(streamed), fn.__name__
+
+    def test_dataset_output_no_pairs(self, ray_session):
+        """All-distinct corpus -> empty pair stream: the dataset path must
+        back-fill every doc as its own singleton cluster."""
+        import ray.data
+
+        from flatnav_ray.stages.dedup import minhash_lsh_clusters
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "text": pa.array([
+                "alpha beta gamma delta epsilon zeta", "one two three four five six",
+                "red green blue yellow purple orange", "cat dog bird fish lizard horse",
+                "north south east west up down", "spring summer autumn winter solstice equinox",
+            ]),
+        })
+        out = pa.concat_tables(
+            minhash_lsh_clusters(ray.data.from_arrow(t), output="dataset")
+            .iter_batches(batch_format="pyarrow")
+        ).sort_by("doc_id")
+        assert out.column("doc_id").to_pylist() == out.column("cluster_id").to_pylist()
+
 
 class TestVectorizedSignatures:
     """The batch kernels inside minhash/simhash must equal the scalar
