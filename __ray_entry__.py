@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": d.knn_cosine,
         "knn_l2": d.knn_l2,
         "knn_ip": d.knn_ip,
+        "knn_l2_u8": d.knn_l2_u8,                 # uint8 integer-exact path
+        "knn_ip_i8": d.knn_ip_i8,                 # int8 integer-exact path
         "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
         "knn_ivfpq": d.knn_ivfpq,                 # rows-only (compressed ANN)
         "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
@@ -834,6 +836,34 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC) - 1 AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+        # quantized-dtype exact kNN: same floor(clip(x,-1,1)*127+0.5) scalar
+        # quantization as the Ray side (IEEE double ops, bit-identical), then
+        # PURE INTEGER distances -> int64 scores hash-checked exactly.
+        # list_inner_product sums are integers < 2^53, so its double
+        # accumulation is exact regardless of order.
+        "knn_l2_u8": (
+            "WITH z AS (SELECT vec_id, list_transform(embedding, x -> "
+            "CAST(floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 127 + 0.5) AS BIGINT) + 127) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM z WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, z.vec_id, CAST(list_inner_product(q.qv, q.qv) "
+            "- 2 * list_inner_product(q.qv, z.v) + list_inner_product(z.v, z.v) AS BIGINT) AS l2sq "
+            "FROM q CROSS JOIN z), "
+            "r AS (SELECT query_id, vec_id, l2sq, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY l2sq ASC, vec_id ASC) - 1 AS rank FROM s) "
+            "SELECT query_id, rank, vec_id, l2sq FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+        "knn_ip_i8": (
+            "WITH z AS (SELECT vec_id, list_transform(embedding, x -> "
+            "CAST(floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 127 + 0.5) AS BIGINT)) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM z WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, z.vec_id, CAST(list_inner_product(q.qv, z.v) AS BIGINT) AS ip "
+            "FROM q CROSS JOIN z), "
+            "r AS (SELECT query_id, vec_id, ip, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, vec_id ASC) - 1 AS rank FROM s) "
+            "SELECT query_id, rank, vec_id, ip FROM r WHERE rank < 10 ORDER BY query_id, rank"
         ),
         "embedding_dups": (
             "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a JOIN embeddings b "

@@ -263,6 +263,40 @@ def knn_ip(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def _knn_int(sf_dir: str, metric: str, dtype: str, k: int, n_queries: int) -> pa.Table:
+    """Shared body for the quantized-dtype exact kNN entries: quantize the
+    float embeddings to int8/uint8 as a map stage (same floor(clip*127+.5)
+    formula the DuckDB oracle applies), then run the pure-integer scorer.
+    Scores are exact int64 -> the full (rank AND score) hash gate applies."""
+    from ..stages.knn import brute_force_knn_int, quantize_batch, quantize_vectors
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        quantize_batch, batch_format="pyarrow", zero_copy_batch=True,
+        fn_kwargs={"dtype": dtype},
+    )
+    qv, qids = _knn_queries(sf_dir, n_queries)
+    out = brute_force_knn_int(
+        emb, quantize_vectors(qv, dtype), k=k, query_ids=qids, metric=metric,
+        dtype=dtype,
+    )
+    score = "l2sq" if metric == "l2" else "ip"
+    out = out.select(["query_id", "rank", "vec_id", score])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def knn_l2_u8(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
+    """uint8-quantized exact L2: the reference's uint8_t index instantiation
+    (util/Datatype.h:126-137, bindings.cpp:488-497) — integer-only distance
+    arithmetic, exact int64 squared distances."""
+    return _knn_int(sf_dir, "l2", "uint8", k, n_queries)
+
+
+def knn_ip_i8(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
+    """int8-quantized exact inner product: the reference's int8_t index
+    instantiation — integer-only arithmetic, exact int64 scores."""
+    return _knn_int(sf_dir, "ip", "int8", k, n_queries)
+
+
 def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 10, nprobe: int = 4) -> pa.Table:
     """IVF ANN variant (recall<1 scale path) — rows-only check."""
     from ..stages.knn import IvfIndex
@@ -843,15 +877,22 @@ def bm25_topk_filtered(sf_dir: str, k: int = 10) -> pa.Table:
     language (count desc, lang asc tie) while idf/avgdl stay corpus-wide —
     a candidate filter, not a sub-corpus rebuild. Oracle: the bm25 SQL with
     a documents-lang join + WHERE on the same modal-lang subquery."""
-    from collections import Counter
-
-    import pyarrow.parquet as pq
+    import ray.data
 
     ix = build_documents_index(sf_dir)
-    langs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"]).column(
-        "lang"
-    ).to_pylist()
-    modal = sorted(Counter(langs).items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    # modal lang via a distributed groupby-count (only the per-lang counts —
+    # a handful of rows — ever reach the driver)
+    counts = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .iter_batches(batch_format="pyarrow")
+    )
+    order = sorted(
+        zip(counts.column("count()").to_pylist(), counts.column("lang").to_pylist()),
+        key=lambda cv: (-cv[0], cv[1]),
+    )
+    modal = order[0][1]
     queries = derived_queries(ix)
     out = search_to_table(ix, queries, QueryConfig(k=k, filter_lang=modal))
     out = out.select(["query_id", "rank", "doc_id"])

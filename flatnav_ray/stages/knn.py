@@ -45,19 +45,81 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _to_int_matrix(col, dtype: np.dtype) -> np.ndarray:
+    """Arrow list<int8|uint8|...> column -> (n, d) integer matrix in `dtype`
+    via the flat values buffer — the quantized twin of _to_matrix: integer
+    vectors NEVER pass through float (the reference's int8/uint8 index
+    instantiations, include/flatnav/util/Datatype.h:126-137, do exact
+    integer distance arithmetic; so do we)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        return np.asarray(col.to_pylist(), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return np.asarray(col.flatten()).reshape(n, d).astype(dtype, copy=False)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    widths = np.diff(offs)
+    d = int(widths[0]) if widths.size else 0
+    if not (widths == d).all():
+        return np.asarray(col.to_pylist(), dtype=dtype)  # ragged
+    flat = np.asarray(col.values)
+    return flat[offs[0] : offs[-1]].reshape(n, d).astype(dtype, copy=False)
+
+
+def quantize_vectors(m: np.ndarray, dtype: str = "uint8") -> np.ndarray:
+    """Deterministic scalar quantization of float vectors to int8/uint8:
+    s = floor(clip(x, -1, 1) * 127 + 0.5)   (int8: s in [-127, 127];
+    uint8: s + 127 in [0, 254]). floor(x + 0.5) instead of round() so the
+    DuckDB oracle (`CAST(floor(least(greatest(x,-1),1)*127 + 0.5) AS BIGINT)`)
+    is bit-identical — IEEE double ops on both sides, no bankers'-rounding
+    divergence."""
+    if dtype not in ("uint8", "int8"):
+        raise ValueError(f"unknown quantized dtype {dtype!r}; uint8|int8")
+    s = np.floor(np.clip(m.astype(np.float64), -1.0, 1.0) * 127.0 + 0.5)
+    if dtype == "uint8":
+        return (s + 127.0).astype(np.uint8)
+    return s.astype(np.int8)
+
+
+def quantize_batch(
+    batch: pa.Table, dtype: str = "uint8", vec_col: str = "embedding"
+) -> pa.Table:
+    """map_batches stage: float embedding column -> fixed_size_list<u8|i8>
+    (the storage form the .u8bin/.i8bin reader produces), other columns
+    pass through."""
+    m = quantize_vectors(_to_matrix(batch.column(vec_col)), dtype)
+    pa_type = pa.uint8() if dtype == "uint8" else pa.int8()
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(m.reshape(-1), type=pa_type), m.shape[1] if m.size else 0
+    )
+    idx = batch.schema.get_field_index(vec_col)
+    return batch.set_column(idx, vec_col, arr)
+
+
 def _batch_topk_partial(
     sims: np.ndarray, ids: np.ndarray, qids: np.ndarray, k: int, id_col: str,
-    score_col: str = "cosine",
+    score_col: str = "cosine", score_type: pa.DataType | None = None,
 ) -> pa.Table:
     """Per-batch partial top-k over a (Q, B) similarity matrix (bigger =
     better; metrics where smaller is better are negated by the caller);
     -inf entries (masked out, e.g. unprobed IVF lists) never emit. Ties
     (score desc, vec_id asc)."""
+    if score_type is None:
+        score_type = (
+            pa.int64() if np.issubdtype(sims.dtype, np.integer) else pa.float64()
+        )
+    int_scores = np.issubdtype(sims.dtype, np.integer)
     out_q, out_id, out_s = [], [], []
     for qi in range(sims.shape[0]):
         row = sims[qi]
-        live = np.isfinite(row)
-        cand = np.flatnonzero(live)
+        # integer scores are always live; float uses -inf/nan masking
+        cand = (
+            np.arange(row.size) if int_scores else np.flatnonzero(np.isfinite(row))
+        )
         if cand.size == 0:
             continue
         kk = min(k, cand.size)
@@ -74,14 +136,14 @@ def _batch_topk_partial(
             {
                 "query_id": pa.array([], type=pa.int64()),
                 id_col: pa.array([], type=pa.int64()),
-                score_col: pa.array([], type=pa.float64()),
+                score_col: pa.array([], type=score_type),
             }
         )
     return pa.table(
         {
             "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
             id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
-            score_col: pa.array(np.concatenate(out_s), type=pa.float64()),
+            score_col: pa.array(np.concatenate(out_s), type=score_type),
         }
     )
 
@@ -105,12 +167,13 @@ def _merge_query_topk(group: pa.Table, k: int, id_col: str,
 
 
 def _merge_partials(partials: ray.data.Dataset, k: int, id_col: str,
-                    score_col: str = "cosine") -> pa.Table:
+                    score_col: str = "cosine",
+                    score_type: pa.DataType | None = None) -> pa.Table:
     merged = partials.groupby("query_id").map_groups(
         _merge_query_topk, batch_format="pyarrow",
         fn_kwargs={"k": k, "id_col": id_col, "score_col": score_col},
     )
-    batches = list(merged.iter_batches(batch_format="pyarrow"))
+    batches = [b for b in merged.iter_batches(batch_format="pyarrow") if b.num_rows]
     t = (
         pa.concat_tables(batches)
         if batches
@@ -119,7 +182,7 @@ def _merge_partials(partials: ray.data.Dataset, k: int, id_col: str,
                 "query_id": pa.array([], type=pa.int64()),
                 "rank": pa.array([], type=pa.int32()),
                 id_col: pa.array([], type=pa.int64()),
-                score_col: pa.array([], type=pa.float64()),
+                score_col: pa.array([], type=score_type or pa.float64()),
             }
         )
     )
@@ -179,6 +242,79 @@ def brute_force_knn(
     if metric == "l2":  # internal -dist^2 -> the actual Euclidean distance
         d = np.sqrt(np.maximum(-out.column("l2").to_numpy(zero_copy_only=False), 0.0))
         out = out.set_column(out.schema.get_field_index("l2"), "l2", pa.array(d))
+    return out
+
+
+def brute_force_knn_int(
+    ds: ray.data.Dataset,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: np.ndarray | None = None,
+    metric: str = "l2",
+    dtype: str = "uint8",
+) -> pa.Table:
+    """Exact top-k over int8/uint8 vectors with PURE INTEGER distance
+    arithmetic — the quantized-dtype instantiation of the reference
+    (include/flatnav/util/Datatype.h:126-137 int8_t/uint8_t index templates,
+    python-bindings/src/flatnav/bindings.cpp:488-497): nothing is promoted
+    to float anywhere, so scores are exact int64 and SQL-hash-checkable.
+
+    metric='l2' returns the SQUARED Euclidean distance (`l2sq`, int64,
+    smaller = nearer — the reference's SquaredL2Distance never takes the
+    root either); metric='ip' returns the raw integer inner product (`ip`,
+    int64, bigger = better). The corpus column may be int8/uint8 lists (the
+    .u8bin/.i8bin reader output) — floats are rejected, quantize explicitly
+    with quantize_batch first. Same broadcast/partial-topk/merge shape as
+    brute_force_knn. Ties (score best-first, vec_id asc)."""
+    if metric not in ("l2", "ip"):
+        raise ValueError(f"unknown int metric {metric!r}; one of l2|ip")
+    np_dtype = np.uint8 if dtype == "uint8" else np.int8
+    q = np.asarray(query_vectors)
+    if not np.issubdtype(q.dtype, np.integer):
+        raise TypeError(
+            f"integer query vectors required (got {q.dtype}); quantize first"
+        )
+    q = q.astype(np.int64)
+    score_col = "l2sq" if metric == "l2" else "ip"
+    qids = (
+        np.asarray(query_ids, dtype=np.int64)
+        if query_ids is not None
+        else np.arange(q.shape[0], dtype=np.int64)
+    )
+    qq = (q * q).sum(axis=1)  # ||q||^2, int64
+    q_ref = ray.put((qids, q, qq))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids_, q_, qq_ = ray.get(q_ref)
+        col = batch.column(vec_col)
+        vt = col.type.value_type if isinstance(col, pa.ChunkedArray) else col.type.value_type
+        if not (pa.types.is_integer(vt)):
+            raise TypeError(
+                f"brute_force_knn_int needs an integer vector column (got {vt}); "
+                "apply quantize_batch upstream"
+            )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_int_matrix(col, np_dtype).astype(np.int64)
+        qv = q_ @ m.T  # integer matmul: exact, no float path
+        if metric == "l2":
+            # -l2sq so bigger = better for the shared partial top-k
+            sims = 2 * qv
+            sims -= qq_[:, None]
+            sims -= (m * m).sum(axis=1)[None, :]
+        else:
+            sims = qv
+        return _batch_topk_partial(sims, ids, qids_, k, id_col, score_col=score_col)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = _merge_partials(partials, k, id_col, score_col=score_col,
+                          score_type=pa.int64())
+    if metric == "l2":  # internal -l2sq -> the actual squared distance
+        v = -out.column("l2sq").to_numpy(zero_copy_only=False)
+        out = out.set_column(
+            out.schema.get_field_index("l2sq"), "l2sq", pa.array(v, type=pa.int64())
+        )
     return out
 
 

@@ -162,6 +162,69 @@ class TestKnn:
             got_ip = out_ip.filter(pa.compute.equal(out_ip.column("query_id"), qi))
             assert got_ip.column("vec_id").to_pylist() == exp_ip.tolist()
 
+    def test_int_knn_exact_vs_python_ints(self, emb_ds):
+        """brute_force_knn_int (uint8 l2 / int8 ip) must equal an exact
+        Python big-int oracle computed on the SAME quantized vectors —
+        scores included (they are exact int64, the SQL-checkable part)."""
+        from flatnav_ray.stages.knn import (
+            brute_force_knn_int,
+            quantize_batch,
+            quantize_vectors,
+        )
+
+        ds, mat = emb_ds
+        m32 = mat.astype(np.float32).astype(np.float64)
+        for dtype, metric, score in (("uint8", "l2", "l2sq"), ("int8", "ip", "ip")):
+            zq = quantize_vectors(m32[:5], dtype).astype(object)  # python ints
+            zm_np = quantize_vectors(m32, dtype)
+            zm = zm_np.astype(object)
+            qds = ds.map_batches(
+                quantize_batch, batch_format="pyarrow", zero_copy_batch=True,
+                fn_kwargs={"dtype": dtype},
+            )
+            out = brute_force_knn_int(qds, quantize_vectors(m32[:5], dtype),
+                                      k=10, metric=metric, dtype=dtype)
+            assert out.column(score).type == pa.int64()
+            if metric == "l2":
+                sc = ((zq[:, None, :] - zm[None, :, :]) ** 2).sum(axis=2)
+                order_key = 1  # asc
+            else:
+                sc = zq @ zm.T
+                order_key = -1  # desc
+            for qi in range(5):
+                exp = np.lexsort((np.arange(200), order_key * sc[qi].astype(np.int64)))[:10]
+                got = out.filter(pa.compute.equal(out.column("query_id"), qi))
+                assert got.column("vec_id").to_pylist() == exp.tolist(), (dtype, qi)
+                assert got.column(score).to_pylist() == [int(sc[qi][j]) for j in exp]
+
+    def test_int_knn_rejects_float_inputs(self, emb_ds):
+        from flatnav_ray.stages.knn import brute_force_knn_int
+
+        ds, mat = emb_ds
+        with pytest.raises(TypeError, match="integer query vectors"):
+            brute_force_knn_int(ds, mat[:2], k=5)
+
+    def test_int_knn_reads_u8bin_source(self, ray_session, tmp_path):
+        """End-to-end over the .u8bin reader: the integer path consumes the
+        reader's fixed_size_list<uint8> column directly (no float hop)."""
+        import ray.data
+
+        from flatnav_ray.sources.vectors import read_vectors
+
+        rng = np.random.default_rng(3)
+        vecs = rng.integers(0, 255, size=(50, 8), dtype=np.uint8)
+        p = tmp_path / "v.u8bin"
+        with open(p, "wb") as f:
+            np.array([50, 8], dtype=np.int32).tofile(f)
+            vecs.tofile(f)
+        ds = read_vectors(str(p))
+        from flatnav_ray.stages.knn import brute_force_knn_int
+
+        out = brute_force_knn_int(ds, vecs[:3].astype(np.int64), k=1, metric="l2")
+        # nearest neighbour of each query is itself at distance 0
+        assert out.column("vec_id").to_pylist() == [0, 1, 2]
+        assert out.column("l2sq").to_pylist() == [0, 0, 0]
+
     def test_ivf_recall_reasonable(self, emb_ds):
         from flatnav_ray.stages.knn import IvfIndex, brute_force_knn
 
