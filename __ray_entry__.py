@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
         "embedding_dups": d.embedding_dups,
         "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
+        "media_features": d.media_features,       # rows-only (real PNG/WAV decode)
         # recall-floor gates for the approximate family: hash-checkable
         # (exact top-k rows + clamped overlap; see _recall_floor_table)
         "knn_ivf_recall": d.knn_ivf_recall,

@@ -297,6 +297,41 @@ def knn_ip_i8(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
     return _knn_int(sf_dir, "ip", "int8", k, n_queries)
 
 
+def media_features(sf_dir: str, n: int = 100) -> pa.Table:
+    """Multimodal real-decode pipeline (rows-only: binary decode is not
+    SQL-expressible): synthesize deterministic PNG/WAV payloads (media count
+    scales with the documents table), decode them FOR REAL (stdlib PNG/WAV
+    decoders, functions/media.py; PIL/soundfile preferred when importable)
+    in an actor-pool map_batches stage, and emit per-media feature evidence:
+    payload byte count and the dominant feature band."""
+    import ray.data
+
+    from ..stages.multimodal import MediaFeatureExtractor, synth_decodable_media_table
+
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    media = synth_decodable_media_table(min(n, n_docs))
+    out = pa.concat_tables(
+        ray.data.from_arrow(media)
+        .map_batches(
+            MediaFeatureExtractor, concurrency=2, batch_size=32,
+            fn_constructor_kwargs={"decoder": "real", "dim": 16},
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("media_id")
+    feats = np.array(out.column("embedding").to_pylist(), dtype=np.float32)
+    return pa.table(
+        {
+            "media_id": out.column("media_id"),
+            "media_type": out.column("media_type"),
+            "payload_bytes": out.column("payload_bytes"),
+            "feat_argmax": pa.array(feats.argmax(axis=1).astype(np.int64)),
+        }
+    )
+
+
 def knn_ivf(sf_dir: str, k: int = 10, n_queries: int = 10, nprobe: int = 4) -> pa.Table:
     """IVF ANN variant (recall<1 scale path) — rows-only check."""
     from ..stages.knn import IvfIndex

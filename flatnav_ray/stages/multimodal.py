@@ -4,11 +4,11 @@ Media payloads are opaque `binary` columns with typed metadata, processed by
 stateful actor-pool `map_batches` stages (model load once per actor in
 __init__ — the reference's load-once/serve-many lifecycle, Index.h:442-479).
 
-The image/audio decode libraries are NOT in this container, so the decoders
-are STUBBED (BASELINE instructions): `decoder="real"` raises
-NotImplementedError at the exact integration point; `decoder="fake"` derives
-a deterministic feature vector from the payload bytes so the Ray-side plumbing
-(schema, batch sizing, actor signature, output layout) is real and tested.
+Decoders (functions/media.py): `decoder="real"` ACTUALLY decodes — PNG/BMP/
+PNM images and WAV audio via stdlib+numpy (PIL / soundfile are preferred when
+importable, giving JPEG etc. on a real cluster image), then extracts real
+pixel-grid / FFT-spectrum features. `decoder="fake"` derives a deterministic
+vector from payload bytes only — the zero-dependency plumbing mode.
 """
 
 from __future__ import annotations
@@ -59,17 +59,40 @@ class MediaFeatureExtractor:
                 / 2**64
             )
         elif decoder == "real":
-            # integration point for PIL / torchvision / ffmpeg etc.
-            raise NotImplementedError(
-                "real media decoding requires image/audio libraries not present "
-                "in this environment; use decoder='fake' for plumbing tests"
-            )
+            # once-per-actor setup: resolve decoders (PIL/soundfile when
+            # importable, stdlib PNG/BMP/PNM/WAV otherwise) and the feature
+            # kernels — nothing re-imports per batch
+            from ..functions import media as _media
+
+            self._media = _media
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
 
+    def _real_features(self, payloads: list[bytes], types: list[str]) -> np.ndarray:
+        out = np.empty((len(payloads), self.dim), dtype=np.float32)
+        for i, (p, t) in enumerate(zip(payloads, types)):
+            if t == "image":
+                out[i] = self._media.image_grid_features(
+                    self._media.decode_image(p), self.dim
+                )
+            elif t == "audio":
+                samples, _rate = self._media.decode_audio(p)
+                out[i] = self._media.audio_spectrum_features(samples, self.dim)
+            else:  # video container parsing needs ffmpeg — not in scope
+                raise NotImplementedError(
+                    f"real decode for media_type={t!r} requires ffmpeg-class "
+                    "tooling; sample frames with FrameSampler and decode those"
+                )
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = _fake_features(payloads, self.dim)
+        if self.decoder == "real":
+            feats = self._real_features(
+                payloads, batch.column("media_type").to_pylist()
+            )
+        else:
+            feats = _fake_features(payloads, self.dim)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -114,6 +137,60 @@ class FrameSampler:
                 "frame_payload": pa.array(frames, type=pa.binary()),
             }
         )
+
+
+def synth_decodable_media_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic media corpus with REAL decodable payloads: even ids get
+    an 8x8 RGB PNG whose pixels derive from splitmix64(media_id), odd ids a
+    0.25 s WAV tone whose frequency derives from the id. Drives the real
+    decoder end-to-end with zero external data."""
+    import io
+    import struct as st
+    import wave
+    import zlib
+
+    ids = np.arange(n, dtype=np.int64)
+    types, payloads, widths, heights, durs = [], [], [], [], []
+    for mid in ids:
+        if mid % 2 == 0:
+            px = (
+                splitmix64(np.uint64(seed * 7919 + mid) + np.arange(8 * 8 * 3, dtype=np.uint64))
+                & np.uint64(0xFF)
+            ).astype(np.uint8).reshape(8, 8, 3)
+            raw = b"".join(b"\x00" + px[y].tobytes() for y in range(8))
+
+            def chunk(t, b):
+                return st.pack(">I", len(b)) + t + b + st.pack(">I", zlib.crc32(t + b))
+
+            payloads.append(
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", st.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+            types.append("image")
+            widths.append(8); heights.append(8); durs.append(0)
+        else:
+            freq = 200.0 + float(int(mid) % 37) * 50.0
+            t = np.arange(2000, dtype=np.float64) / 8000.0
+            sig = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(8000)
+                wf.writeframes(sig.tobytes())
+            payloads.append(buf.getvalue())
+            types.append("audio")
+            widths.append(0); heights.append(0); durs.append(250)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(types, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "duration_ms": pa.array(durs, type=pa.int32()),
+        }
+    )
 
 
 def synth_media_table(n: int, seed: int = 5) -> pa.Table:
