@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": d.jaccard_pairs,
         "minhash_clusters": d.minhash_clusters,
         "simhash_dups": d.simhash_dups,
+        "minhash_clusters_stream": d.minhash_clusters_stream,  # Dataset label path
+        "simhash_dups_stream": d.simhash_dups_stream,          # Dataset label path
         "fingerprints": d.fingerprints,
         # embeddings / similarity search
         "knn_cosine": d.knn_cosine,
@@ -795,6 +797,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": _fingerprint_sql(),
         "minhash_clusters": _minhash_sql(),
         "simhash_dups": _simhash_sql(),
+        # streamed (Dataset-returning) label assembly — identical values, so
+        # the same oracles gate the 100-TB return path end-to-end
+        "minhash_clusters_stream": _minhash_sql(),
+        "simhash_dups_stream": _simhash_sql(),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),

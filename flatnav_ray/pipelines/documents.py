@@ -169,6 +169,23 @@ def simhash_dups(sf_dir: str) -> pa.Table:
     return simhash_clusters(_docs(sf_dir))
 
 
+def minhash_clusters_stream(sf_dir: str):
+    """Dataset-returning minhash clustering (the 100-TB return path): labels
+    stream back onto the corpus via a distributed left-outer join and never
+    assemble on the driver. Same values as minhash_clusters (same oracle);
+    sorted by doc_id for a deterministic row order at the hash gate."""
+    from ..stages.dedup import minhash_lsh_clusters
+
+    return minhash_lsh_clusters(_docs(sf_dir), output="dataset").sort("doc_id")
+
+
+def simhash_dups_stream(sf_dir: str):
+    """Dataset-returning simhash clustering; same values as simhash_dups."""
+    from ..stages.dedup import simhash_clusters
+
+    return simhash_clusters(_docs(sf_dir), output="dataset").sort("doc_id")
+
+
 def docs_sample(sf_dir: str, modulus: int = 20, residue: int = 3) -> pa.Table:
     """Deterministic 1-in-20 systematic sample of the documents table
     (O3 strided sampling; doc_id % 20 == 3)."""

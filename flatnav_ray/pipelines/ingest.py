@@ -97,12 +97,24 @@ def recover_generation(index_dir: str) -> str | None:
     return "back"
 
 
+def stack_size_bytes(index_dir: str) -> tuple[int, int]:
+    """(base_bytes, delta_bytes): on-disk index bytes of the base generation
+    vs the sum of all stacked deltas — the tiered-compaction policy input."""
+    from ..stages.introspect import index_size_bytes
+
+    gens = list_generations(index_dir)
+    base = sum(index_size_bytes(gens[0]).values())
+    deltas = sum(sum(index_size_bytes(g).values()) for g in gens[1:])
+    return base, deltas
+
+
 def add_documents(
     index_dir: str,
     pages: ray.data.Dataset,
     out_dir: str | None = None,
     mode: str = "compact",
     compact_threshold: int = 4,
+    compact_ratio: float | None = None,
 ) -> dict:
     """Add `pages` to an existing doc-layout index.
 
@@ -111,8 +123,12 @@ def add_documents(
     as `_delta-<seq>-<tag>/` inside index_dir and register it atomically in
     generations.json; serve with `StackedSearchSession(list_generations(d))`.
     When the stack (base + deltas) would exceed `compact_threshold`
-    generations, everything compacts into a fresh single-generation index
-    first. Returns the newest generation's stats dict.
+    generations — or, with `compact_ratio` set, when the deltas' combined
+    on-disk bytes reach `compact_ratio` × the base's (the Lucene tiered-merge
+    analog: many small deltas accumulate cheaply; compaction amortizes
+    against a base at least 1/ratio their size) — everything compacts into a
+    fresh single-generation index first. Returns the newest generation's
+    stats dict.
 
     mode="compact" (default): fold [delta, base] into a new generation and
     either write it to `out_dir` or swap it into `index_dir`. The swap is
@@ -143,7 +159,12 @@ def add_documents(
         for n in os.listdir(index_dir):
             if n.startswith("_delta-") and n not in stack:
                 shutil.rmtree(os.path.join(index_dir, n), ignore_errors=True)
-        if len(gens) + 1 > compact_threshold:
+        over_count = len(gens) + 1 > compact_threshold
+        over_ratio = False
+        if compact_ratio is not None and len(gens) > 1:
+            base_b, delta_b = stack_size_bytes(index_dir)
+            over_ratio = delta_b >= compact_ratio * base_b
+        if over_count or over_ratio:
             _compact_stack(index_dir, cfg)
             gens = [index_dir]
             stack = []

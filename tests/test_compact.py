@@ -199,6 +199,57 @@ def test_stack_compaction_threshold(ray_session, tmp_path):
         s_union.shutdown()
 
 
+def test_stack_compaction_size_ratio(ray_session, tmp_path):
+    """Tiered trigger: once the stacked deltas' on-disk bytes reach
+    compact_ratio x the base's, the next add compacts first — even though the
+    generation COUNT stays far below compact_threshold. Results unchanged."""
+    import pyarrow as pa
+    import ray.data
+
+    from flatnav_ray.pipelines.ingest import (
+        add_documents,
+        list_generations,
+        stack_size_bytes,
+    )
+    from flatnav_ray.sources.synth import PagesGenerator, queries_table
+    from flatnav_ray.stages.search import SearchSession, StackedSearchSession
+
+    gen = PagesGenerator(seed=23, vocab_size=1500, mean_len=40, dup_rate=0.0)
+    base = gen.chunk(0, 100)
+    deltas = [gen.chunk(i, 100) for i in range(1, 4)]  # each delta ~ base-sized
+    cfg = IndexConfig(num_partitions=4)
+    ix = str(tmp_path / "ratio")
+    build_index(ray.data.from_arrow(base), ix, cfg)
+    # first delta stacks (no deltas on disk yet -> ratio can't trigger)
+    add_documents(ix, ray.data.from_arrow(deltas[0]), mode="stack",
+                  compact_threshold=100, compact_ratio=0.5)
+    assert len(list_generations(ix)) == 2
+    base_b, delta_b = stack_size_bytes(ix)
+    assert delta_b >= 0.5 * base_b  # a base-sized delta trips the 0.5 ratio
+    # second add: ratio trips -> compact, then stack the fresh delta
+    add_documents(ix, ray.data.from_arrow(deltas[1]), mode="stack",
+                  compact_threshold=100, compact_ratio=0.5)
+    gens = list_generations(ix)
+    assert len(gens) == 2  # compacted base + the fresh delta
+    add_documents(ix, ray.data.from_arrow(deltas[2]), mode="stack",
+                  compact_threshold=100, compact_ratio=0.5)
+    gens = list_generations(ix)
+    assert len(gens) == 2
+
+    ix_u = str(tmp_path / "u_ratio")
+    build_index(ray.data.from_arrow(pa.concat_tables([base] + deltas)), ix_u, cfg)
+    q = queries_table(10, seed=11, vocab_size=1500)
+    sess = StackedSearchSession(gens, num_actors=2)
+    s_union = SearchSession(ix_u, num_actors=2)
+    try:
+        assert sess.search(q, QueryConfig(k=10)).equals(
+            s_union.search(q, QueryConfig(k=10))
+        )
+    finally:
+        sess.shutdown()
+        s_union.shutdown()
+
+
 def test_recover_generation_rolls_forward_and_back(ray_session, tmp_path):
     """Crash between the two swap renames leaves index_dir missing with
     .old-<tag> (and maybe a complete .gen-<tag>) beside it; opening the index
