@@ -356,9 +356,19 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
         cmd = [sys.executable, os.path.abspath(__file__), "--json-only"]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)
+        # one retry: a leg is a multi-minute memory-heavy subprocess on a
+        # co-tenant host — transient worker deaths happen; a failed leg must
+        # not kill the whole interleaved probe (and its stderr must surface)
+        for attempt in (0, 1):
+            out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+            sys.stderr.write(
+                f"[scaling] leg cpus={cpus} phase={phase} attempt {attempt} "
+                f"died (rc={out.returncode}); stderr tail:\n{out.stderr[-3000:]}\n"
+            )
+        raise RuntimeError(f"scaling leg cpus={cpus} phase={phase} failed twice")
 
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     results: dict[int, dict] = {}

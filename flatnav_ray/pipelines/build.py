@@ -167,7 +167,66 @@ def build_index(
                 "spill_dir": spill_dir,
             },
         )
-        mapped.count()  # drives the map phase; partials land on disk
+        # Drive the map phase. With consolidation on (default), merge-type
+        # work OVERLAPS the map phase: partition P's final merge legally
+        # needs every map task's spill, but consolidating P's already-landed
+        # runs into one bigger pre-sorted run (combine_partials is
+        # associative) is valid at any time — so background bandwidth-slot
+        # tasks fold batches of raw partials into consolidated runs while
+        # the map is still producing, and the post-barrier merge sees a few
+        # big runs instead of hundreds of small ones. iter_batches() is the
+        # streaming driver loop (one tiny partition-ids table per map task);
+        # count() is the plain barrier when consolidation is off.
+        consolidate = os.environ.get("FLATNAV_CONSOLIDATE", "1") != "0"
+        if consolidate:
+            from ..stages.twophase import consolidate_spilled_runs
+
+            min_run = int(os.environ.get("FLATNAV_CONSOLIDATE_MIN_FILES", "48"))
+            cons_remote = _ray.remote(num_cpus=2)(consolidate_spilled_runs)
+            # each task holds a ~2-core bandwidth slot (same sizing rationale
+            # as the merge); cap the pool so map tasks keep most of the node
+            max_inflight = max(1, int(_ray.cluster_resources().get("CPU", 8)) // 8)
+            inflight: dict = {}   # ObjectRef -> partition
+            skip: set[int] = set()  # partitions whose pack widths overflowed
+
+            def _harvest(block: bool = False) -> None:
+                while inflight:
+                    ready, _ = _ray.wait(
+                        list(inflight), num_returns=1, timeout=None if block else 0
+                    )
+                    if not ready:
+                        return
+                    p = inflight.pop(ready[0])
+                    try:
+                        if _ray.get(ready[0]) == 0:
+                            skip.add(p)
+                    except Exception:
+                        skip.add(p)  # originals remain; the merge reads them
+
+            def _kick() -> None:
+                busy = set(inflight.values())
+                for p in range(cfg.num_partitions):
+                    if len(inflight) >= max_inflight:
+                        return
+                    if p in busy or p in skip:
+                        continue
+                    d = os.path.join(spill_dir, f"part={p:05d}")
+                    if not os.path.isdir(d):
+                        continue
+                    fs = sorted(
+                        os.path.join(d, f)
+                        for f in os.listdir(d)
+                        if f.startswith("partial-") and f.endswith(".arrows")
+                    )
+                    if len(fs) >= min_run:
+                        inflight[cons_remote.remote(p, spill_dir, fs)] = p
+
+            for _ in mapped.iter_batches(batch_size=None, batch_format="pyarrow"):
+                _harvest()
+                _kick()
+            _harvest(block=True)
+        else:
+            mapped.count()  # drives the map phase; partials land on disk
         _t1 = _time.perf_counter()
 
         # merge tasks are DRAM-bandwidth-bound, not core-bound: running one

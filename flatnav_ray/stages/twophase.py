@@ -267,6 +267,174 @@ def merge_spilled_partition(
     )
 
 
+def combine_partials(grp: pa.Table) -> pa.Table | None:
+    """Associative partial->partial combiner: merge m partial rows of ONE
+    partition into a single partial row (same PARTIAL_SCHEMA, same
+    invariants), so spill runs can be consolidated WHILE the map phase is
+    still producing them (the map/merge overlap the build barrier forbids
+    otherwise — partition P's final merge can only start once every map
+    task has spilled, but consolidating P's already-landed runs into one
+    bigger run is legal at any time).
+
+    Correctness rests on the winner rule being an associative lexicographic
+    max per doc_id: winner(winner(A,B),C) == winner(A,B,C), and postings of
+    losers are dropped exactly as the final merge would drop them. The
+    output keeps the SORTED-RUN INVARIANT (lex-sorted dictionary, postings
+    sorted by (term code, doc ordinal)): both the code remap (lex-sorted
+    local dict -> lex-sorted union dict) and the ordinal remap (ascending
+    doc_ids -> ascending union doc_ids) are monotone, so each input arrives
+    as a sorted run and the output is their k-way merge.
+
+    Returns None when code/ordinal/tf widths cannot pack into one uint64
+    sort word (the caller then leaves the original spill files untouched —
+    the merge handles any mix of consolidated and raw runs identically)."""
+    n_partials = len(grp)
+    if n_partials <= 1:
+        return grp
+
+    v_dm_ids = _bin_row_views(grp.column("dm_doc_ids"))
+    v_dm_lens = _bin_row_views(grp.column("dm_doc_lens"))
+    v_dm_ts = _bin_row_views(grp.column("dm_warc_ts"))
+    v_dm_th = _bin_row_views(grp.column("dm_text_hash"))
+    v_p_ord = _bin_row_views(grp.column("p_doc_ord"))
+    v_p_tfs = _bin_row_views(grp.column("p_tfs"))
+    v_p_codes = _bin_row_views(grp.column("p_term_idx"))
+
+    # 1. winner per doc_id across inputs (same lexicographic-max rule and
+    # the same code shape as _merge_one_partition step 1)
+    dm_ids = [v.view(np.int64) for v in v_dm_ids]
+    all_ids = np.concatenate(dm_ids)
+    all_ts = np.concatenate([v.view(np.int64) for v in v_dm_ts])
+    all_th = np.concatenate([v.view(np.int64) for v in v_dm_th])
+    all_lens = np.concatenate([v.view(np.int32) for v in v_dm_lens])
+    all_partial = np.concatenate(
+        [np.full(ids.size, i, dtype=np.int32) for i, ids in enumerate(dm_ids)]
+    )
+    order = np.lexsort((-all_th, -all_ts, all_ids))
+    s_ids = all_ids[order]
+    first = np.ones(s_ids.size, dtype=bool)
+    first[1:] = s_ids[1:] != s_ids[:-1]
+    win_rows = order[first]          # concatenated-row index per winner, doc_id-asc
+    win_sorted = s_ids[first]        # ascending unique doc_ids
+    win_partial = all_partial[win_rows]
+
+    # 2. union dictionary (lex-sorted) + per-input monotone code remap
+    terms_col = grp.column("terms")
+    terms_list = terms_col.combine_chunks() if isinstance(terms_col, pa.ChunkedArray) else terms_col
+    all_dicts = terms_list.flatten()
+    dict_offs = np.concatenate(
+        ([0], np.cumsum([len(terms_col[i]) for i in range(n_partials)]))
+    ).astype(np.int64)
+    if len(all_dicts):
+        u = pa.compute.unique(all_dicts)
+        vocab = u.take(pa.compute.sort_indices(u))
+        dict_inv = pa.compute.index_in(all_dicts, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    else:
+        vocab = pa.array([], type=pa.string())
+        dict_inv = np.empty(0, dtype=np.int64)
+
+    # 3. winnow losers, remap, merge the m sorted runs on one packed word
+    bits_ord = max(1, int(win_sorted.size - 1).bit_length()) if win_sorted.size > 1 else 1
+    bits_code = max(1, int(len(vocab) - 1).bit_length()) if len(vocab) > 1 else 1
+    tf_bound = 1
+    for v in v_p_tfs:
+        if v.size:
+            tf_bound = max(tf_bound, int(v.view(np.int32).max()))
+    bits_tf = max(1, tf_bound.bit_length())
+    if bits_code + bits_ord + bits_tf > 64:
+        return None
+    sh_ord, sh_code = np.uint64(bits_tf), np.uint64(bits_tf + bits_ord)
+    runs: list[np.ndarray] = []
+    for i in range(n_partials):
+        ords = v_p_ord[i].view(np.int32)
+        if ords.size == 0:
+            continue
+        g = np.searchsorted(win_sorted, dm_ids[i])   # old ordinal -> new ordinal
+        keep_doc = win_partial[g] == i
+        keep = keep_doc[ords]
+        if not keep.any():
+            continue
+        doc_word = g.astype(np.uint64) << sh_ord
+        remap_w = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.uint64) << sh_code
+        runs.append(
+            remap_w[v_p_codes[i].view(np.int32)[keep]]
+            | doc_word[ords[keep]]
+            | v_p_tfs[i].view(np.int32)[keep].astype(np.uint64)
+        )
+    word = _merge_sorted_runs(runs)
+    new_codes = (word >> sh_code).astype(np.int32)
+    new_ords = ((word >> sh_ord) & np.uint64((1 << bits_ord) - 1)).astype(np.int32)
+    new_tfs = (word & np.uint64((1 << bits_tf) - 1)).astype(np.int32)
+    del word
+
+    take_idx = pa.array(win_rows.astype(np.int64))
+    urls_concat = pa.concat_arrays(
+        [grp.column("dm_urls")[i].values for i in range(n_partials)]
+    )
+    langs_concat = pa.concat_arrays(
+        [grp.column("dm_langs")[i].values for i in range(n_partials)]
+    )
+
+    def _one_list(arr: pa.Array) -> pa.ListArray:
+        return pa.ListArray.from_arrays(pa.array([0, len(arr)], type=pa.int32()), arr)
+
+    return pa.table(
+        [
+            grp.column("partition").slice(0, 1).combine_chunks()
+            if isinstance(grp.column("partition"), pa.ChunkedArray)
+            else grp.column("partition").slice(0, 1),
+            pa.array([win_sorted.tobytes()], type=pa.binary()),
+            pa.array([all_lens[win_rows].tobytes()], type=pa.binary()),
+            pa.array([all_ts[win_rows].tobytes()], type=pa.binary()),
+            pa.array([all_th[win_rows].tobytes()], type=pa.binary()),
+            _one_list(urls_concat.take(take_idx)),
+            _one_list(langs_concat.take(take_idx)),
+            _one_list(vocab),
+            pa.array([new_codes.tobytes()], type=pa.binary()),
+            pa.array([new_ords.tobytes()], type=pa.binary()),
+            pa.array([new_tfs.tobytes()], type=pa.binary()),
+        ],
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def consolidate_spilled_runs(partition: int, spill_dir: str, files: list[str]) -> int:
+    """Merge an explicit snapshot of part=P spill files into ONE consolidated
+    run file, then delete the originals. Run as a raw Ray task concurrently
+    with the map phase (the driver passes a snapshot list, so files still
+    being written never enter; map-side writes are atomic tmp+rename).
+
+    Crash-safe without coordination: if the task dies after the rename but
+    before the deletes, the final merge sees a doc both in the consolidated
+    run and in an original file — identical (doc_id, warc_ts, text_hash)
+    rows whose winner resolution picks either copy with identical postings,
+    so the output segment is unchanged. Returns merged postings rows."""
+    import pyarrow.ipc as ipc
+    import uuid
+
+    _clamp_worker_threads()
+    tables = []
+    for f in files:
+        with ipc.open_stream(f) as r:
+            tables.append(r.read_all())
+    grp = pa.concat_tables(tables)
+    del tables
+    out = combine_partials(grp)
+    if out is None:  # unpackable widths: leave the originals for the merge
+        return 0
+    d = os.path.join(spill_dir, f"part={partition:05d}")
+    opts = ipc.IpcWriteOptions(compression="lz4")
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with ipc.new_stream(tmp, out.schema, options=opts) as w:
+        w.write_table(out)
+    os.replace(tmp, os.path.join(d, f"run-{uuid.uuid4().hex}.arrows"))
+    for f in files:
+        os.remove(f)
+    return int(_bin_row_views(out.column("p_tfs"))[0].size // 4)
+
+
 def merge_partials_block(
     block: pa.Table, index_dir: str, cfg: IndexConfig, resume: set[int] | None = None
 ) -> pa.Table:
