@@ -167,17 +167,24 @@ def build_index(
                 "spill_dir": spill_dir,
             },
         )
-        # Drive the map phase. With consolidation on (default), merge-type
-        # work OVERLAPS the map phase: partition P's final merge legally
-        # needs every map task's spill, but consolidating P's already-landed
-        # runs into one bigger pre-sorted run (combine_partials is
-        # associative) is valid at any time — so background bandwidth-slot
-        # tasks fold batches of raw partials into consolidated runs while
-        # the map is still producing, and the post-barrier merge sees a few
-        # big runs instead of hundreds of small ones. iter_batches() is the
-        # streaming driver loop (one tiny partition-ids table per map task);
-        # count() is the plain barrier when consolidation is off.
-        consolidate = os.environ.get("FLATNAV_CONSOLIDATE", "1") != "0"
+        # Drive the map phase. With FLATNAV_CONSOLIDATE=1, merge-type work
+        # OVERLAPS the map phase: partition P's final merge legally needs
+        # every map task's spill, but consolidating P's already-landed runs
+        # into one bigger pre-sorted run (combine_partials is associative)
+        # is valid at any time — background bandwidth-slot tasks fold
+        # batches of raw partials into consolidated runs while the map is
+        # still producing, so the post-barrier merge sees a few big runs
+        # instead of hundreds of small ones. Default OFF on this single-bus
+        # box: the interleaved A/B (tools/ab_consolidate.py, recorded in
+        # BENCH/metrics.json) measured it neutral at 8 cpus and ~9% net
+        # SLOWER at 32 — the extra read+write pass over every posting costs
+        # more than the overlap buys when map and consolidation share one
+        # memory controller. On a real multi-node cluster each node folds
+        # its own spill against its own bus, which is the case the knob is
+        # kept for. iter_batches() is the streaming driver loop (one tiny
+        # partition-ids table per map task); count() is the plain barrier
+        # when consolidation is off.
+        consolidate = os.environ.get("FLATNAV_CONSOLIDATE", "0") == "1"
         if consolidate:
             from ..stages.twophase import consolidate_spilled_runs
 
