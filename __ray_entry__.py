@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
+        "bm25_topk_synonyms": d.bm25_topk_synonyms,  # SynonymQuery pooled-tf groups
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
@@ -416,6 +417,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2), ",
     )
     assert multi_sql != bm25_sql
+    # synonym groups (Lucene SynonymQuery): same i/(i+10) term pairs as
+    # multi, but the pair scores as ONE pseudo-term — tf POOLED per doc
+    # (sum before the saturation formula), df = max of the two dfs. One
+    # group per query means a single accumulation: order-exactness is
+    # trivial, and the hash check proves the pooled-tf semantics differ
+    # from multi's per-term disjunction.
+    syn_sql = bm25_sql.replace(
+        "scored AS (SELECT qt.query_id, tf.doc_id, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+        "gm AS (SELECT query_id % 10 AS query_id, term FROM qt), "
+        "gtf AS (SELECT gm.query_id, tf.doc_id, sum(tf.tf) AS tf "
+        "FROM gm JOIN tf ON tf.term = gm.term GROUP BY 1, 2), "
+        "gdf AS (SELECT gm.query_id, max(df.df) AS df "
+        "FROM gm JOIN df ON df.term = gm.term GROUP BY 1), "
+        "scored AS (SELECT g.query_id, g.doc_id, "
+        "ln(1 + (s.n - gd.df + 0.5) / (gd.df + 0.5)) * (g.tf * 2.2) / "
+        "(g.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM gtf g JOIN gdf gd ON gd.query_id = g.query_id "
+        "JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN stats s), ",
+    )
+    assert syn_sql != bm25_sql and "gtf" in syn_sql
     # conjunctive AND: same 2-term matrix, but a doc must match BOTH terms —
     # the per-(query, doc) fold sees exactly one row per matched term, so
     # HAVING count(*) = 2 is the intersection predicate.
@@ -897,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,
+        "bm25_topk_synonyms": syn_sql,
         "bm25_topk_and": and_sql,
         "bm25_topk_msm": msm_sql,
         "bm25_topk_not": neg_sql,

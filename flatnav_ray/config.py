@@ -99,6 +99,14 @@ class QueryConfig:
     filter_len_max: int | None = None
     concurrency: int = 8
     scorer: str = "bm25"
+    # query-time synonym map (Lucene SynonymQuery): token -> synonym terms.
+    # Each query token scores as ONE group over {token} | synonyms[token]:
+    # per-doc tf = sum of member tfs, df = max of member global dfs — BM25
+    # saturation applies once to the pooled tf (NOT a disjunction of
+    # independently-scored terms; that is what fuzzy does). The index stays
+    # literal; expansion is query-side only. Default scoring methods only
+    # (taat/maxscore); mutually exclusive with fuzzy_max_edits / must_text.
+    synonyms: dict[str, tuple[str, ...]] | None = None
     # quality/speed knob — the ef_search graft (reference: bindings.cpp:432-473,
     # Index.h:387-409 `max(ef_search, K)` beam width). 1.0 = exact top-k.
     # >1.0 inflates the wand pruning threshold: more blocks skipped, recall

@@ -710,6 +710,28 @@ def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_synonyms(sf_dir: str, k: int = 10) -> pa.Table:
+    """Query-time synonym groups (Lucene SynonymQuery): query i's single
+    token (df rank i) declares the df-rank-(i+10) term its synonym, so the
+    pair scores as ONE pseudo-term — per-doc tf summed over both members,
+    df = max of the two dfs, BM25 saturation applied once to the pooled tf.
+    Distinct from bm25_topk_multi's disjunction (each term saturates alone);
+    the oracle SQL pools tf with a GROUP BY before the score formula."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=20)
+    texts = single.column("text").to_pylist()
+    qs = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array([texts[i] for i in range(10)], type=pa.string()),
+        }
+    )
+    syn = {texts[i]: (texts[i + 10],) for i in range(10)}
+    out = search_to_table(ix, qs, QueryConfig(k=k, synonyms=syn))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     """Conjunctive-AND retrieval (SURVEY.md §2.7 — posting-list intersection):
     the same 2-term query matrix as bm25_topk_multi, but a doc must contain

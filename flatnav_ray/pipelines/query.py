@@ -35,7 +35,10 @@ from ..state.stats import load_stats, lookup_term_df
 DRIVER_MERGE_MAX_ROWS = 5_000_000
 
 
-def plan_for(index_dir: str, queries: pa.Table, k: int, fuzzy_max_edits: int = 0):
+def plan_for(
+    index_dir: str, queries: pa.Table, k: int, fuzzy_max_edits: int = 0,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
+):
     stats = load_stats(index_dir)
     text_terms: set[str] = set()
     for t in queries.column("text").to_pylist():
@@ -54,11 +57,17 @@ def plan_for(index_dir: str, queries: pa.Table, k: int, fuzzy_max_edits: int = 0
         expansions = fuzzy_expand_terms(index_dir, sorted(text_terms), fuzzy_max_edits)
         for s in expansions.values():
             distinct.update(s)
+    if not synonyms:
+        synonyms = None  # empty map == no synonym mode (plain term path)
+    else:
+        # group members need their true global df (group df = max member df)
+        for tok in text_terms:
+            distinct.update(synonyms.get(tok, ()))
     term_df = lookup_term_df(index_dir, sorted(distinct))
     return (
         make_query_plan(
             queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k,
-            expansions=expansions,
+            expansions=expansions, synonyms=synonyms,
         ),
         stats,
     )
@@ -76,11 +85,19 @@ def search_partials(
             "fuzzy matching is supported on the default scoring methods "
             f"(taat/maxscore), not method={query_cfg.method!r}"
         )
+    syn = getattr(query_cfg, "synonyms", None)
+    if syn and query_cfg.method not in ("taat", "maxscore"):
+        raise ValueError(
+            "synonyms are supported on the default scoring methods "
+            f"(taat/maxscore), not method={query_cfg.method!r}"
+        )
+    if syn and fz:
+        raise ValueError("synonyms cannot combine with fuzzy_max_edits")
     # pagination: shards must return top-(offset+k) partials for the final
     # slice to be exact (direct callers merge + slice themselves)
     plan, stats = plan_for(
         index_dir, queries, query_cfg.k + getattr(query_cfg, "offset", 0),
-        fuzzy_max_edits=fz,
+        fuzzy_max_edits=fz, synonyms=syn,
     )
     plan_ref = ray.put(plan)
     parts = [{"partition": int(p)} for p in stats["partitions"]]
@@ -204,11 +221,13 @@ def search_with_snippets(
             "snippet_start", pa.array([], type=pa.int64())
         ).append_column("snippet_len", pa.array([], type=pa.int64()))
     # the snippet plan must see the SAME term set the search used — with
-    # fuzzy on, a result may match only via an expansion, and the window
-    # must cover the expanded term that actually occurs in the doc
+    # fuzzy/synonyms on, a result may match only via an expansion, and the
+    # window must cover the expanded term that actually occurs in the doc
+    # (synonym members flatten into query_terms, which drives the window)
     plan, stats = plan_for(
         index_dir, queries, query_cfg.k,
         fuzzy_max_edits=getattr(query_cfg, "fuzzy_max_edits", 0),
+        synonyms=getattr(query_cfg, "synonyms", None),
     )
     plan_ref = ray.put(plan)
     ncpu = int(ray.cluster_resources().get("CPU", concurrency))

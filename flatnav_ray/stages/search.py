@@ -72,11 +72,19 @@ class QueryPlan:
     # O(offset+k) — the cursor is the 100-TB deep-paging path). Built from
     # optional `after_score`/`after_doc` queries columns.
     query_after: list[tuple[float, int] | None] | None = None
+    # synonym groups (Lucene SynonymQuery semantics): per query, a sorted
+    # list of (members, qtf) scoring UNITS. A group scores as ONE pseudo-term
+    # over the UNION of its members' postings: per-doc tf = sum of member
+    # tfs, df = max of member global dfs — BM25's tf saturation applies once
+    # to the pooled tf, which is what distinguishes a synonym group from a
+    # plain disjunction (bm25_topk_multi). None = no synonym mode.
+    query_syn_groups: list[list[tuple[tuple[str, ...], int]]] | None = None
 
 
 def make_query_plan(
     queries: pa.Table, term_df: dict[str, int], n_docs: int, avgdl: float, k: int,
     expansions: dict[str, set[str]] | None = None,
+    synonyms: dict[str, tuple[str, ...]] | None = None,
 ) -> QueryPlan:
     """Tokenize the query table (same analyzer as build — SURVEY.md M5) and
     pre-compute idf. Terms within a query are sorted lexicographically: the
@@ -86,7 +94,13 @@ def make_query_plan(
     terms it matches (levenshtein <= 1, functions/fuzzy.py); each match
     scores with its OWN df/idf and the doc's score is the ordered sum over
     matched terms — Lucene's fuzzy-as-disjunction rewrite. A token with no
-    dictionary neighbour contributes nothing."""
+    dictionary neighbour contributes nothing.
+
+    `synonyms` (SynonymQuery): maps a query token to its synonym terms; the
+    token and its synonyms form ONE scoring group (see QueryPlan
+    .query_syn_groups). Each token's group is {token} | synonyms[token] —
+    the analyzer's synonym-graph analog, applied query-side only (the index
+    stays literal). Mutually exclusive with fuzzy expansions."""
     qids = queries.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
     texts = queries.column("text").to_pylist()
     # boolean MUST: required terms score like should terms but also gate the
@@ -96,19 +110,41 @@ def make_query_plan(
         if "must_text" in queries.column_names
         else None
     )
+    if synonyms is not None and expansions is not None:
+        raise ValueError("synonyms cannot combine with fuzzy expansions")
+    if synonyms is not None and must_texts is not None:
+        # must terms score through the PLAIN term path (folded into
+        # query_terms), which the group scorer replaces — combining would
+        # silently drop their score contribution
+        raise ValueError("synonyms cannot combine with must_text queries")
     qmusts: list[list[str]] | None = [] if must_texts is not None else None
     qterms: list[list[tuple[str, int]]] = []
+    qgroups: list[list[tuple[tuple[str, ...], int]]] | None = (
+        [] if synonyms is not None else None
+    )
     qseqs: list[list[str]] = []
     distinct: set[str] = set()
     for i, t in enumerate(texts):
         toks = tokenize_py(t)
         counts: dict[str, int] = {}
-        for tok in toks:
-            if expansions is not None:
-                for e in expansions.get(tok, ()):
-                    counts[e] = counts.get(e, 0) + 1
-            else:
-                counts[tok] = counts.get(tok, 0) + 1
+        if qgroups is not None:
+            # each token expands to one GROUP {token} | synonyms[token];
+            # duplicate tokens raise the group's qtf, not its tf pooling
+            gcounts: dict[tuple[str, ...], int] = {}
+            for tok in toks:
+                grp = tuple(sorted({tok, *synonyms.get(tok, ())}))
+                gcounts[grp] = gcounts.get(grp, 0) + 1
+            qgroups.append(sorted(gcounts.items()))
+            for grp, c in gcounts.items():
+                for m in grp:  # flattened members: df loading + introspection
+                    counts[m] = counts.get(m, 0) + c
+        else:
+            for tok in toks:
+                if expansions is not None:
+                    for e in expansions.get(tok, ()):
+                        counts[e] = counts.get(e, 0) + 1
+                else:
+                    counts[tok] = counts.get(tok, 0) + 1
         if must_texts is not None:
             mtoks = tokenize_py(must_texts[i] or "")
             for tok in mtoks:  # must terms score too (no fuzzy on must)
@@ -156,7 +192,7 @@ def make_query_plan(
     return QueryPlan(
         query_ids=qids, query_terms=qterms, term_idf=tidf, term_df=tdf,
         n_docs=n_docs, avgdl=avgdl, k=k, query_seqs=qseqs, query_neg_terms=qnegs,
-        query_after=qafter, query_must_terms=qmusts,
+        query_after=qafter, query_must_terms=qmusts, query_syn_groups=qgroups,
     )
 
 
@@ -228,6 +264,8 @@ class _ShardState:
                 self._dead_pos = dead
         # caches (query-independent once (scorer, stats) fixed)
         self._contrib: dict[str, tuple[np.ndarray, np.ndarray, int] | None] = {}
+        # synonym-group cache: members tuple -> (positions, contrib, blocks)
+        self._gcontrib: dict[tuple[str, ...], tuple[np.ndarray, np.ndarray, int] | None] = {}
         self._live_df: dict[str, int] = {}
         self._stats_key: tuple | None = None
         # reusable scratch (the VisitedSetPool analog, SURVEY.md T3)
@@ -277,6 +315,56 @@ class _ShardState:
         if len(self._contrib) > 100_000:  # bounded actor memory (arena-sizing analog)
             self._contrib.clear()
         self._contrib[term] = out
+        return out
+
+    def group_contrib(self, members: tuple[str, ...], plan: QueryPlan, scorer):
+        """(local_positions, contribution, n_blocks) for ONE synonym group
+        (Lucene SynonymQuery): union of member postings, per-doc tf = sum of
+        member tfs, df = max of member GLOBAL dfs — BM25 saturation applies
+        once to the pooled tf. Decoded + scored once, cached per group."""
+        key = (plan.n_docs, plan.avgdl, scorer.name)
+        if key != self._stats_key:
+            self._contrib.clear()
+            self._gcontrib.clear()
+            self._stats_key = key
+        hit = self._gcontrib.get(members)
+        if hit is not None or members in self._gcontrib:
+            return hit
+        df_g = max((plan.term_df.get(m, 0) for m in members), default=0)
+        parts: list[tuple[np.ndarray, np.ndarray]] = []
+        n_blocks = 0
+        if df_g > 0:
+            for m in members:
+                p = self._postings_row(m)
+                if p is None:
+                    continue
+                pos, tfs = decode_postings(
+                    p["doc_blob"], p["tf_blob"], p["block_last_doc"],
+                    block_size=self.block_size,
+                )
+                if self._dead_pos is not None:
+                    keep = ~self._dead_pos[pos]
+                    pos, tfs = pos[keep], tfs[keep]
+                if pos.size:
+                    parts.append((pos, tfs))
+                n_blocks += len(p["block_last_doc"])
+        if not parts:
+            out = None
+        else:
+            if len(parts) == 1:
+                upos, utf = parts[0]
+            else:
+                allpos = np.concatenate([p for p, _ in parts])
+                alltf = np.concatenate([t for _, t in parts])
+                upos, inv = np.unique(allpos, return_inverse=True)
+                # tf sums are small ints: float64 bincount is exact
+                utf = np.bincount(inv, weights=alltf).astype(np.int64)
+            dls = self.docmap_lens[upos]
+            contrib = scorer.term_scores(utf, dls, df_g, plan.n_docs, plan.avgdl)
+            out = (upos, contrib, n_blocks)
+        if len(self._gcontrib) > 100_000:
+            self._gcontrib.clear()
+        self._gcontrib[members] = out
         return out
 
     def live_counts(self) -> tuple[int, int]:
@@ -417,6 +505,15 @@ class _ShardState:
                 "must terms (must_text) are supported on the default scoring "
                 f"methods (taat/maxscore), not method={method!r}/msm={msm}"
             )
+        syn_lists = getattr(plan, "query_syn_groups", None)
+        if (
+            syn_lists is not None
+            and (method not in ("taat", "maxscore") or msm > 0 or sort_by is not None)
+        ):
+            raise ValueError(
+                "synonym groups are supported on the default scoring methods "
+                f"(taat/maxscore), not method={method!r}/msm={msm}/sort_by={sort_by!r}"
+            )
         sort_vals: np.ndarray | None = None
         if sort_by is not None:
             if method not in ("taat", "maxscore") or msm > 0:
@@ -448,14 +545,25 @@ class _ShardState:
             else:
                 entries = []
                 n_blocks = 0
-                for term, qtf in plan.query_terms[qi]:
-                    if plan.term_idf.get(term, 0.0) <= 0.0:
-                        continue
-                    hit = self.term_contrib(term, plan, scorer)
-                    if hit is None:
-                        continue
-                    entries.append((qtf, hit[0], hit[1]))
-                    n_blocks += hit[2]
+                if syn_lists is not None:
+                    # synonym mode: one entry per GROUP (pooled tf, max df);
+                    # group order is the sorted members tuple — the pinned
+                    # accumulation order, same discipline as plain terms
+                    for members, qtf in syn_lists[qi]:
+                        hit = self.group_contrib(tuple(members), plan, scorer)
+                        if hit is None:
+                            continue
+                        entries.append((qtf, hit[0], hit[1]))
+                        n_blocks += hit[2]
+                else:
+                    for term, qtf in plan.query_terms[qi]:
+                        if plan.term_idf.get(term, 0.0) <= 0.0:
+                            continue
+                        hit = self.term_contrib(term, plan, scorer)
+                        if hit is None:
+                            continue
+                        entries.append((qtf, hit[0], hit[1]))
+                        n_blocks += hit[2]
                 if not entries:
                     continue
                 # negation: mark excluded docmap rows in the shared touched
@@ -1831,6 +1939,17 @@ class SearchSession:
             expansions = self._fuzzy_expand(sorted(text_terms), fz)
             for s in expansions.values():
                 distinct.update(s)
+        syn = getattr(query_cfg, "synonyms", None) or None
+        if syn:
+            if query_cfg.method not in ("taat", "maxscore"):
+                raise ValueError(
+                    "synonyms are supported on the default scoring methods "
+                    f"(taat/maxscore), not method={query_cfg.method!r}"
+                )
+            if fz:
+                raise ValueError("synonyms cannot combine with fuzzy_max_edits")
+            for tok in text_terms:
+                distinct.update(syn.get(tok, ()))
         missing = sorted(distinct - self._df_cache.keys())
         if missing:
             self._df_cache.update(self._lookup_missing_df(missing))
@@ -1839,7 +1958,7 @@ class SearchSession:
         term_df = {t: self._df_cache[t] for t in distinct}
         plan = make_query_plan(
             queries, term_df, self._n_docs, self._avgdl, query_cfg.k,
-            expansions=expansions,
+            expansions=expansions, synonyms=syn,
         )
         plan_ref = ray.put(plan)
         futs = [
