@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
         "bm25_topk_synonyms": d.bm25_topk_synonyms,  # SynonymQuery pooled-tf groups
+        "bm25_topk_boost": d.bm25_topk_boost,     # per-term query boosts (term^3.0)
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
@@ -441,6 +442,17 @@ def oracle_sql() -> dict[str, str]:
         "JOIN dl ON dl.doc_id = g.doc_id CROSS JOIN stats s), ",
     )
     assert syn_sql != bm25_sql and "gtf" in syn_sql
+    # per-term boosts (Lucene term^boost): the multi 2-term queries with the
+    # second term's stream scaled 3.0x AFTER tf saturation — one float
+    # multiply on one stream, then the commutative-exact 2-double sum.
+    boost_sql = multi_sql.replace(
+        "scored AS (SELECT query_id % 10 AS query_id, doc_id, sum(score) AS score "
+        "FROM scored1 GROUP BY 1, 2), ",
+        "scored AS (SELECT query_id % 10 AS query_id, doc_id, "
+        "sum(CASE WHEN query_id >= 10 THEN score * 3.0 ELSE score END) AS score "
+        "FROM scored1 GROUP BY 1, 2), ",
+    )
+    assert boost_sql != multi_sql
     # conjunctive AND: same 2-term matrix, but a doc must match BOTH terms —
     # the per-(query, doc) fold sees exactly one row per matched term, so
     # HAVING count(*) = 2 is the intersection predicate.
@@ -923,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,
         "bm25_topk_synonyms": syn_sql,
+        "bm25_topk_boost": boost_sql,
         "bm25_topk_and": and_sql,
         "bm25_topk_msm": msm_sql,
         "bm25_topk_not": neg_sql,

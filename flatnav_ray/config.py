@@ -107,6 +107,11 @@ class QueryConfig:
     # literal; expansion is query-side only. Default scoring methods only
     # (taat/maxscore); mutually exclusive with fuzzy_max_edits / must_text.
     synonyms: dict[str, tuple[str, ...]] | None = None
+    # per-term query boosts (Lucene term^boost): term -> multiplier applied
+    # to that term's score contribution AFTER tf saturation. Keyed on
+    # literal index terms (under fuzzy, the expanded term). Default scoring
+    # methods only (taat/maxscore); mutually exclusive with synonyms.
+    boosts: dict[str, float] | None = None
     # quality/speed knob — the ef_search graft (reference: bindings.cpp:432-473,
     # Index.h:387-409 `max(ef_search, K)` beam width). 1.0 = exact top-k.
     # >1.0 inflates the wand pruning threshold: more blocks skipped, recall

@@ -732,6 +732,29 @@ def bm25_topk_synonyms(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_boost(sf_dir: str, k: int = 10) -> pa.Table:
+    """Per-term query boosts (Lucene term^boost): the bm25_topk_multi 2-term
+    queries (ranks i and i+10) with boost 3.0 on the SECOND term — its score
+    stream scales by 3.0 after tf saturation, the first stays 1.0. Oracle:
+    the multi-stream SQL with the boost factor applied to the rank>=10
+    stream before the per-doc sum."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=20)
+    texts = single.column("text").to_pylist()
+    multi = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array(
+                [f"{texts[i]} {texts[i + 10]}" for i in range(10)], type=pa.string()
+            ),
+        }
+    )
+    boosts = {texts[i + 10]: 3.0 for i in range(10)}
+    out = search_to_table(ix, multi, QueryConfig(k=k, boosts=boosts))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     """Conjunctive-AND retrieval (SURVEY.md §2.7 — posting-list intersection):
     the same 2-term query matrix as bm25_topk_multi, but a doc must contain

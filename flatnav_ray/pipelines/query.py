@@ -38,6 +38,7 @@ DRIVER_MERGE_MAX_ROWS = 5_000_000
 def plan_for(
     index_dir: str, queries: pa.Table, k: int, fuzzy_max_edits: int = 0,
     synonyms: dict[str, tuple[str, ...]] | None = None,
+    boosts: dict[str, float] | None = None,
 ):
     stats = load_stats(index_dir)
     text_terms: set[str] = set()
@@ -67,7 +68,7 @@ def plan_for(
     return (
         make_query_plan(
             queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k,
-            expansions=expansions, synonyms=synonyms,
+            expansions=expansions, synonyms=synonyms, boosts=(boosts or None),
         ),
         stats,
     )
@@ -93,11 +94,17 @@ def search_partials(
         )
     if syn and fz:
         raise ValueError("synonyms cannot combine with fuzzy_max_edits")
+    boosts = getattr(query_cfg, "boosts", None)
+    if boosts and query_cfg.method not in ("taat", "maxscore"):
+        raise ValueError(
+            "term boosts are supported on the default scoring methods "
+            f"(taat/maxscore), not method={query_cfg.method!r}"
+        )
     # pagination: shards must return top-(offset+k) partials for the final
     # slice to be exact (direct callers merge + slice themselves)
     plan, stats = plan_for(
         index_dir, queries, query_cfg.k + getattr(query_cfg, "offset", 0),
-        fuzzy_max_edits=fz, synonyms=syn,
+        fuzzy_max_edits=fz, synonyms=syn, boosts=boosts,
     )
     plan_ref = ray.put(plan)
     parts = [{"partition": int(p)} for p in stats["partitions"]]

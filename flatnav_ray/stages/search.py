@@ -79,12 +79,18 @@ class QueryPlan:
     # to the pooled tf, which is what distinguishes a synonym group from a
     # plain disjunction (bm25_topk_multi). None = no synonym mode.
     query_syn_groups: list[list[tuple[tuple[str, ...], int]]] | None = None
+    # per-term boosts (Lucene term^boost): multiplies that term's score
+    # contribution AFTER tf saturation, exactly Lucene's query-time boost.
+    # Keyed on literal index terms (under fuzzy, on the EXPANDED term).
+    # None/missing term = 1.0. Default scoring methods only.
+    query_boosts: dict[str, float] | None = None
 
 
 def make_query_plan(
     queries: pa.Table, term_df: dict[str, int], n_docs: int, avgdl: float, k: int,
     expansions: dict[str, set[str]] | None = None,
     synonyms: dict[str, tuple[str, ...]] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> QueryPlan:
     """Tokenize the query table (same analyzer as build — SURVEY.md M5) and
     pre-compute idf. Terms within a query are sorted lexicographically: the
@@ -112,6 +118,9 @@ def make_query_plan(
     )
     if synonyms is not None and expansions is not None:
         raise ValueError("synonyms cannot combine with fuzzy expansions")
+    if boosts is not None and synonyms is not None:
+        # a boost keyed on one member of a pooled group is ambiguous
+        raise ValueError("boosts cannot combine with synonyms")
     if synonyms is not None and must_texts is not None:
         # must terms score through the PLAIN term path (folded into
         # query_terms), which the group scorer replaces — combining would
@@ -193,6 +202,7 @@ def make_query_plan(
         query_ids=qids, query_terms=qterms, term_idf=tidf, term_df=tdf,
         n_docs=n_docs, avgdl=avgdl, k=k, query_seqs=qseqs, query_neg_terms=qnegs,
         query_after=qafter, query_must_terms=qmusts, query_syn_groups=qgroups,
+        query_boosts=(dict(boosts) if boosts else None),
     )
 
 
@@ -514,6 +524,12 @@ class _ShardState:
                 "synonym groups are supported on the default scoring methods "
                 f"(taat/maxscore), not method={method!r}/msm={msm}/sort_by={sort_by!r}"
             )
+        boosts = getattr(plan, "query_boosts", None)
+        if boosts and (method not in ("taat", "maxscore") or msm > 0):
+            raise ValueError(
+                "term boosts are supported on the default scoring methods "
+                f"(taat/maxscore), not method={method!r}/msm={msm}"
+            )
         sort_vals: np.ndarray | None = None
         if sort_by is not None:
             if method not in ("taat", "maxscore") or msm > 0:
@@ -562,7 +578,11 @@ class _ShardState:
                         hit = self.term_contrib(term, plan, scorer)
                         if hit is None:
                             continue
-                        entries.append((qtf, hit[0], hit[1]))
+                        # Lucene term^boost: scales the term's contribution
+                        # after tf saturation (weight rides the existing
+                        # qtf multiply — float-exact, one multiply per term)
+                        w = qtf * boosts[term] if boosts and term in boosts else qtf
+                        entries.append((w, hit[0], hit[1]))
                         n_blocks += hit[2]
                 if not entries:
                     continue
@@ -1950,6 +1970,12 @@ class SearchSession:
                 raise ValueError("synonyms cannot combine with fuzzy_max_edits")
             for tok in text_terms:
                 distinct.update(syn.get(tok, ()))
+        boosts = getattr(query_cfg, "boosts", None) or None
+        if boosts and query_cfg.method not in ("taat", "maxscore"):
+            raise ValueError(
+                "term boosts are supported on the default scoring methods "
+                f"(taat/maxscore), not method={query_cfg.method!r}"
+            )
         missing = sorted(distinct - self._df_cache.keys())
         if missing:
             self._df_cache.update(self._lookup_missing_df(missing))
@@ -1958,7 +1984,7 @@ class SearchSession:
         term_df = {t: self._df_cache[t] for t in distinct}
         plan = make_query_plan(
             queries, term_df, self._n_docs, self._avgdl, query_cfg.k,
-            expansions=expansions, synonyms=syn,
+            expansions=expansions, synonyms=syn, boosts=boosts,
         )
         plan_ref = ray.put(plan)
         futs = [
