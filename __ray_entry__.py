@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
         "bm25_topk_synonyms": d.bm25_topk_synonyms,  # SynonymQuery pooled-tf groups
         "bm25_topk_boost": d.bm25_topk_boost,     # per-term query boosts (term^3.0)
+        "bm25_explain": d.bm25_explain,           # per-result score breakdown (explain)
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
@@ -453,6 +454,27 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2), ",
     )
     assert boost_sql != multi_sql
+    # Lucene explain: per (query, top-k doc, term) contribution rows — the
+    # per-term score streams (each engine addend) joined onto the summed
+    # top-10 ranking of the same 2-term queries.
+    _prefix = bm25_sql.split("scored AS (")[0]
+    explain_sql = _prefix + (
+        "scored1 AS (SELECT qt.query_id, qt.term, tf.doc_id, df.df AS dfv, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT query_id % 10 AS query_id, doc_id, sum(score) AS score "
+        "FROM scored1 GROUP BY 1, 2), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+        "SELECT s1.query_id % 10 AS query_id, s1.doc_id AS doc_id, s1.term AS term, "
+        "s1.dfv AS df, s1.score AS contribution "
+        "FROM scored1 s1 JOIN ranked r ON r.query_id = s1.query_id % 10 "
+        "AND r.doc_id = s1.doc_id WHERE r.rank < 10 "
+        "ORDER BY query_id, s1.doc_id, s1.term"
+    )
+    assert "tf AS (" in _prefix and "qt AS (" in _prefix
     # conjunctive AND: same 2-term matrix, but a doc must match BOTH terms —
     # the per-(query, doc) fold sees exactly one row per matched term, so
     # HAVING count(*) = 2 is the intersection predicate.
@@ -936,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_multi": multi_sql,
         "bm25_topk_synonyms": syn_sql,
         "bm25_topk_boost": boost_sql,
+        "bm25_explain": explain_sql,
         "bm25_topk_and": and_sql,
         "bm25_topk_msm": msm_sql,
         "bm25_topk_not": neg_sql,

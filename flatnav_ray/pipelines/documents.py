@@ -755,6 +755,27 @@ def bm25_topk_boost(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_explain(sf_dir: str, k: int = 10) -> pa.Table:
+    """Lucene `explain` analog over the bm25_topk_multi 2-term queries: per
+    (query, top-k doc, term) contribution rows whose per-doc sum reproduces
+    the search score bit-for-bit. Oracle: the per-term score streams joined
+    onto the summed top-k ranking."""
+    from ..pipelines.query import explain_to_table
+
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=20)
+    texts = single.column("text").to_pylist()
+    multi = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array(
+                [f"{texts[i]} {texts[i + 10]}" for i in range(10)], type=pa.string()
+            ),
+        }
+    )
+    return explain_to_table(ix, multi, QueryConfig(k=k))
+
+
 def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
     """Conjunctive-AND retrieval (SURVEY.md §2.7 — posting-list intersection):
     the same 2-term query matrix as bm25_topk_multi, but a doc must contain

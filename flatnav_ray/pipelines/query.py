@@ -211,6 +211,68 @@ def facet_counts(
     return out.sort_by([("query_id", "ascending"), (facet, "ascending")])
 
 
+def explain_to_table(
+    index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None
+) -> pa.Table:
+    """Lucene `explain` analog: run the search, then emit per (query_id,
+    doc_id, term) rows (df, contribution) for every TOP-K result — the
+    contribution is exactly the addend the search accumulated, so
+    sum(contribution) over a doc's rows (lexicographic term order)
+    reproduces its search score bit-for-bit. One raw Ray task per owning
+    partition (doc_id % P), each touching only its top-k rows — O(k·Q)
+    total, never the corpus. Plain disjunctive queries (optionally boosted)
+    on the default scoring methods."""
+    import numpy as np
+
+    from ..stages.search import explain_rows
+
+    query_cfg = query_cfg or QueryConfig()
+    if query_cfg.method not in ("taat", "maxscore"):
+        raise ValueError(
+            "explain supports the default scoring methods (taat/maxscore), "
+            f"not method={query_cfg.method!r}"
+        )
+    if getattr(query_cfg, "fuzzy_max_edits", 0) or getattr(query_cfg, "synonyms", None):
+        raise ValueError("explain does not support fuzzy/synonym expansion")
+    for col in ("neg_text", "must_text", "after_score", "after_doc"):
+        if col in queries.column_names:
+            raise ValueError(f"explain does not support the {col} query column")
+    results = search_to_table(index_dir, queries, query_cfg)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "contribution": pa.array([], type=pa.float64()),
+        }
+    )
+    if len(results) == 0:
+        return empty
+    plan, stats = plan_for(
+        index_dir, queries, query_cfg.k, boosts=getattr(query_cfg, "boosts", None)
+    )
+    num_p = int(stats["num_partitions"])
+    qids = results.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = results.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    owner = (docs % num_p).astype(np.int64)
+    plan_ref = ray.put(plan)
+    task = ray.remote(explain_rows)
+    futs = []
+    for p in np.unique(owner):
+        sel = owner == p
+        futs.append(
+            task.remote(
+                index_dir, int(p), int(stats["block_size"]), plan_ref,
+                query_cfg.scorer, qids[sel], docs[sel],
+            )
+        )
+    out = pa.concat_tables(ray.get(futs))
+    return out.sort_by(
+        [("query_id", "ascending"), ("doc_id", "ascending"), ("term", "ascending")]
+    )
+
+
 def search_with_snippets(
     index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None,
     concurrency: int = 8,

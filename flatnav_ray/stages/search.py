@@ -1343,6 +1343,58 @@ class _ShardState:
         return out
 
 
+def explain_rows(
+    index_dir: str, partition: int, block_size: int, plan: QueryPlan,
+    scorer_name: str, qids: np.ndarray, docs: np.ndarray,
+) -> pa.Table:
+    """Lucene `explain` analog for one partition: per (query, result doc,
+    term) score-contribution rows. A row's `contribution` is EXACTLY the
+    addend the search accumulated (qtf/boost multiplied), so summing a
+    doc's rows in lexicographic term order reproduces its search score
+    bit-for-bit. Runs over top-k result rows only — O(k) per query, never
+    the corpus."""
+    st = _ShardState(index_dir, partition, block_size, sorted(plan.term_idf.keys()))
+    scorer = SCORERS[scorer_name]
+    boosts = getattr(plan, "query_boosts", None) or {}
+    dpos = np.searchsorted(st.docmap_ids, np.asarray(docs, dtype=np.int64))
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for q, d, dp in zip(qids, docs, dpos):
+        by_q.setdefault(int(q), []).append((int(d), int(dp)))
+    qi_of = {int(q): i for i, q in enumerate(plan.query_ids)}
+    out_q: list[int] = []
+    out_d: list[int] = []
+    out_t: list[str] = []
+    out_df: list[int] = []
+    out_c: list[float] = []
+    for q, pairs in by_q.items():
+        qi = qi_of[q]
+        for term, qtf in plan.query_terms[qi]:
+            if plan.term_idf.get(term, 0.0) <= 0.0:
+                continue
+            hit = st.term_contrib(term, plan, scorer)
+            if hit is None:
+                continue
+            pos, contrib = hit[0], hit[1]
+            w = qtf * boosts[term] if term in boosts else qtf
+            for d, dp in pairs:
+                j = int(np.searchsorted(pos, dp))
+                if j < pos.size and pos[j] == dp:
+                    out_q.append(q)
+                    out_d.append(d)
+                    out_t.append(term)
+                    out_df.append(plan.term_df[term])
+                    out_c.append(float(contrib[j]) if w == 1 else float(w * contrib[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "term": pa.array(out_t, type=pa.string()),
+            "df": pa.array(out_df, type=pa.int64()),
+            "contribution": pa.array(out_c, type=pa.float64()),
+        }
+    )
+
+
 class ShardSearcher:
     """Dataset-mode actor stage: batches of {partition} rows -> partial top-k.
 
