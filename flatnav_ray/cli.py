@@ -75,6 +75,25 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Per-result score breakdown (the Lucene explain analog): one row per
+    (query, top-k doc, term) whose contributions sum to the search score."""
+    import pyarrow.parquet as pq
+
+    from .config import QueryConfig
+    from .pipelines.query import explain_to_table
+
+    _ray_init()
+    queries = pq.read_table(args.queries)
+    t0 = time.perf_counter()
+    out = explain_to_table(args.index, queries, QueryConfig(k=args.k))
+    pq.write_table(out, args.out)
+    print(json.dumps({"stage": "explain", "n_queries": len(queries),
+                      "rows": len(out),
+                      "sec": round(time.perf_counter() - t0, 3), "out": args.out}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Merge several same-config indexes into one (S8 graft — the
     segment-merge compaction stage)."""
@@ -194,6 +213,13 @@ def main(argv=None) -> int:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--method", choices=["taat", "maxscore", "wand"], default="maxscore")
     q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("explain")
+    e.add_argument("--index", required=True)
+    e.add_argument("--queries", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--k", type=int, default=10)
+    e.set_defaults(fn=cmd_explain)
 
     c = sub.add_parser("compact")
     c.add_argument("--src", nargs="+", required=True)
