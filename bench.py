@@ -372,10 +372,22 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
 
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     results: dict[int, dict] = {}
+    legs: list[dict] = []  # per-leg trace: throughput + the leg's own
+    # bandwidth probe, so a reader can attribute a weak pair to a
+    # contended window instead of guessing (host-noise note, BASELINE.md)
     for rep in range(reps):
         for cpus in (cpus_lo, cpus_hi):
             r = _run_level(cpus, "build")
             r.update({k: v for k, v in _run_level(cpus, "query").items() if k.startswith("query")})
+            legs.append(
+                {
+                    "rep": rep,
+                    "cpus": cpus,
+                    "build_docs_per_sec": r.get("build_docs_per_sec"),
+                    "query_qps": r.get("query_qps"),
+                    "bw_gbs": r.get("bandwidth_probe_gbs"),
+                }
+            )
             best = results.get(cpus)
             if best is None:
                 results[cpus] = r
@@ -398,6 +410,7 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
         },
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
+        "legs": legs,
         "sf": _sf(sf_dir),
         "num_cpus": cpus_hi,
     }
