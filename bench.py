@@ -56,6 +56,39 @@ def _bandwidth_probe_gbs() -> float:
     return (src.nbytes * 2 / best) / 1e9
 
 
+def _agg_worker(q):
+    import numpy as np
+
+    src = np.ones(256 * 1024 * 1024 // 8, dtype=np.int64)
+    dst = np.empty_like(src)
+    np.copyto(dst, src)  # warm pages
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.copyto(dst, src)
+    q.put(src.nbytes * 2 * 3 / (time.perf_counter() - t0))
+
+
+def _aggregate_bandwidth_probe_gbs(nproc: int = 8) -> float:
+    """AGGREGATE DRAM-bandwidth probe: nproc concurrent memcpy processes,
+    summed GB/s. The single-stream probe (_bandwidth_probe_gbs) cannot see
+    co-tenant pressure on the shared memory controller — one stream cannot
+    saturate it, so it reads 'healthy' even while a neighbor caps the
+    aggregate; the 32-way build feels exactly that cap (r4 probe 4: all
+    single-stream legs 18-21 GB/s, 32-level still 30-40% under its
+    same-binary capability). This probe is the direct test."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_agg_worker, args=(q,)) for _ in range(nproc)]
+    for p in procs:
+        p.start()
+    vals = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=10)
+    return round(sum(vals) / 1e9, 3)
+
+
 def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     # Honest parallelism accounting: ray.init(num_cpus=N) only bounds task
     # scheduling — Arrow/BLAS pools would still use every physical core, which
@@ -370,6 +403,7 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
             )
         raise RuntimeError(f"scaling leg cpus={cpus} phase={phase} failed twice")
 
+    agg_bw_start = _aggregate_bandwidth_probe_gbs()
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     results: dict[int, dict] = {}
     legs: list[dict] = []  # per-leg trace: throughput + the leg's own
@@ -411,6 +445,8 @@ def run_scaling(sf_dir: str, pages_n: int, cpus_lo: int = 8, cpus_hi: int = 32) 
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
         "legs": legs,
+        "agg_bw_gbs_start": agg_bw_start,
+        "agg_bw_gbs_end": _aggregate_bandwidth_probe_gbs(),
         "sf": _sf(sf_dir),
         "num_cpus": cpus_hi,
     }
