@@ -94,6 +94,28 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Dump index stats + per-partition manifest summary (S9 introspection)."""
+    from .state.manifest import read_manifest
+    from .state.stats import load_stats
+
+    stats = load_stats(args.index)
+    parts = [
+        m
+        for p in stats.get("partitions", [])
+        if (m := read_manifest(args.index, int(p))) is not None
+    ]
+    out = {
+        "stage": "info",
+        **{k: stats[k] for k in sorted(stats) if k != "partitions"},
+        "n_partitions": len(stats.get("partitions", [])),
+        "manifest_bytes": sum(p.bytes for p in parts),
+        "manifest_terms": sum(p.n_terms for p in parts),
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Merge several same-config indexes into one (S8 graft — the
     segment-merge compaction stage)."""
@@ -220,6 +242,10 @@ def main(argv=None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--k", type=int, default=10)
     e.set_defaults(fn=cmd_explain)
+
+    inf = sub.add_parser("info")
+    inf.add_argument("--index", required=True)
+    inf.set_defaults(fn=cmd_info)
 
     c = sub.add_parser("compact")
     c.add_argument("--src", nargs="+", required=True)
