@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
+        "bm25_topk_deleted": d.bm25_topk_deleted,  # tombstone deletes (live stats)
         "bm25_topk_dense": d.bm25_topk_dense,     # dense_url docid reorder (O4)
         "bm25_topk_gorder": d.bm25_topk_gorder,   # Gorder docid reorder (O5, rows-only)
         "bm25_topk_rcm": d.bm25_topk_rcm,         # gorder+rcm sequenced reorder (rows-only)
@@ -390,6 +391,41 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored s JOIN dense d ON d.doc_id = s.doc_id) ",
     )
     assert dense_sql != bm25_sql
+    # tombstone deletes: docs with doc_id % 7 == 3 deleted after the build —
+    # scoring stats (tf/dl/n/avgdl/df) come from the LIVE corpus only, while
+    # the query set still derives from FULL-corpus df (the engine derives its
+    # queries from the undeleted base index, like bm25_topk_incremental).
+    deleted_sql = (
+        bm25_sql.replace(
+            f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) "
+            "GROUP BY doc_id, term), ",
+            f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) "
+            "WHERE doc_id % 7 <> 3 GROUP BY doc_id, term), ",
+        )
+        .replace(
+            f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), ",
+            f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents "
+            "WHERE doc_id % 7 <> 3), ",
+        )
+        .replace(
+            "(SELECT count(*) FROM documents) AS n",
+            "(SELECT count(*) FROM documents WHERE doc_id % 7 <> 3) AS n",
+        )
+        .replace(
+            f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) "
+            "GROUP BY term), ",
+            f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) "
+            "WHERE doc_id % 7 <> 3 GROUP BY term), "
+            f"fdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) "
+            "GROUP BY term), ",
+        )
+        .replace(
+            "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df)",
+            "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM fdf)",
+        )
+    )
+    assert deleted_sql != bm25_sql and "fdf" in deleted_sql
+    assert deleted_sql.count("doc_id % 7 <> 3") == 4
     # pagination (page 2): same scoring, ranks 10..19 with GLOBAL rank
     # numbers — the engine fetches top-(offset+k) partials and slices.
     page2_sql = bm25_sql.replace(
@@ -980,5 +1016,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,
+        "bm25_topk_deleted": deleted_sql,
         "bm25_topk_dense": dense_sql,
     }

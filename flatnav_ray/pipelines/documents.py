@@ -664,6 +664,40 @@ def bm25_topk_incremental(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_deleted(sf_dir: str, k: int = 10) -> pa.Table:
+    """Delete surface (Lucene deleteDocuments — absent from the reference,
+    whose arena only grows, Index.h:262-272): build a full-corpus index,
+    tombstone every doc with ext_doc_id % 7 == 3 through
+    `delete_documents` (the urls stream in as a Dataset), and serve through
+    the tombstone-aware `open_session` — live n_docs / avgdl / df make the
+    ranking identical to rebuilding without those docs, which is what the
+    oracle SQL computes. Queries stay the FULL-corpus df top-20 (derived from
+    the shared base index, like bm25_topk_incremental)."""
+    from .ingest import delete_documents, list_tombstone_files, open_session
+
+    cfg = IndexConfig(num_partitions=8)
+    ix = _index_dir_for(sf_dir, cfg) + "-deleted"
+    if not os.path.exists(os.path.join(ix, "stats.json")):
+        shutil.rmtree(ix, ignore_errors=True)
+        build_index(documents_as_pages(sf_dir), ix, cfg, resume=False)
+    if not list_tombstone_files(ix):
+        def _dead(b: pa.Table) -> pa.Table:
+            ids = b.column("ext_doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 7 == 3)).select(["url"])
+
+        delete_documents(
+            ix, urls=documents_as_pages(sf_dir).map_batches(_dead, batch_format="pyarrow")
+        )
+    queries = derived_queries(build_documents_index(sf_dir))
+    sess = open_session(ix, num_actors=8)
+    try:
+        out = sess.search(queries, QueryConfig(k=k))
+    finally:
+        sess.shutdown()
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_dense(sf_dir: str, k: int = 10) -> pa.Table:
     """dense_url docid strategy (SURVEY.md O4 — the reference's reorder()
     cache-locality graft, Index.h:412-427): per-partition url-sorted dense ids

@@ -33,7 +33,8 @@ from .build import (
 )
 
 
-def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConfig) -> dict:
+def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConfig,
+               exclude_per_src: list | None = None) -> dict:
     _clamp_worker_threads()
     import pyarrow.compute as pc
 
@@ -45,8 +46,18 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
         if not os.path.exists(dmp):
             continue
         dm = pq.read_table(dmp)
-        dm_parts.append((si, dm))
+        # posting positions index the UNFILTERED docmap — keep the full id
+        # vector for position->id resolution; tombstoned rows are dropped
+        # from the winner table only (their postings then fail the
+        # id-equality guard below and vanish from the merged segment)
         src_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = exclude_per_src[si] if exclude_per_src is not None else None
+        if excl is not None and len(excl):
+            excl = np.asarray(excl, dtype=np.int64)
+            epos = np.searchsorted(excl, src_ids)
+            epos[epos == excl.size] = excl.size - 1
+            dm = dm.filter(pa.array(excl[epos] != src_ids))
+        dm_parts.append((si, dm))
         seg = pq.read_table(segment_path(src, partition))
         # bulk-decode the whole segment (no per-term Python); blobs hold
         # docmap positions — resolve to real ids through the source's docmap
@@ -96,7 +107,13 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
     for ci, trow, d, tf in post_parts:
         si = dm_parts[ci][0]
         wpos = np.searchsorted(win_ids, d)
-        keep = win_src[wpos] == si
+        # id-equality guard: a tombstone-excluded doc_id is absent from
+        # win_ids entirely — searchsorted then points at some OTHER winner,
+        # which must not capture the dead doc's postings
+        np.minimum(wpos, max(win_ids.size - 1, 0), out=wpos)
+        if win_ids.size == 0:
+            continue
+        keep = (win_ids[wpos] == d) & (win_src[wpos] == si)
         if keep.any():
             codes_parts.append(code_of[ci][trow[keep]])
             pos_parts.append(wpos[keep])
@@ -180,9 +197,15 @@ def _merge_one(partition: int, src_dirs: list[str], out_dir: str, cfg: IndexConf
     }
 
 
-def merge_indexes(src_dirs: list[str], out_dir: str, cfg: IndexConfig | None = None) -> dict:
+def merge_indexes(src_dirs: list[str], out_dir: str, cfg: IndexConfig | None = None,
+                  exclude_per_src: list | None = None) -> dict:
     """Compact several same-config indexes into one (raw Ray tasks, one per
-    partition). Returns the merged stats dict (also written to out_dir)."""
+    partition). Returns the merged stats dict (also written to out_dir).
+
+    `exclude_per_src` (optional, aligned with src_dirs): per-source sorted
+    int64 doc_id arrays to DROP — the tombstone-apply path of compaction
+    (pipelines/ingest.delete_documents): excluded docs leave the docmap and
+    their postings leave the segments, physically reclaiming the space."""
     import ray
 
     from ..pipelines.build import _build_term_stats
@@ -212,7 +235,9 @@ def merge_indexes(src_dirs: list[str], out_dir: str, cfg: IndexConfig | None = N
                             int(ray.cluster_resources().get("CPU", 1))))
     task = ray.remote(num_cpus=merge_cpus)(_merge_one)
     parts = sorted({int(p) for s in src_dirs for p in load_stats(s)["partitions"]})
-    out = ray.get([task.remote(p, src_dirs, out_dir, cfg) for p in parts])
+    out = ray.get(
+        [task.remote(p, src_dirs, out_dir, cfg, exclude_per_src) for p in parts]
+    )
     n_docs = sum(o["n_docs"] for o in out)
     sum_dl = sum(o["sum_doc_len"] for o in out)
     _build_term_stats(out_dir)

@@ -405,6 +405,21 @@ class _ShardState:
         self._live_df[term] = n
         return n
 
+    def live_term_doc_ids(self, term: str) -> np.ndarray:
+        """Sorted doc_ids of LIVE documents containing `term` — the match
+        set primitive behind delete_by_query (pipelines/ingest.py): postings
+        decoded once, shadow/tombstone mask applied, ids resolved through
+        the docmap."""
+        p = self._postings_row(term)
+        if p is None:
+            return np.empty(0, dtype=np.int64)
+        pos, _ = decode_postings(
+            p["doc_blob"], p["tf_blob"], p["block_last_doc"], block_size=self.block_size
+        )
+        if self._dead_pos is not None:
+            pos = pos[~self._dead_pos[pos]]
+        return self.docmap_ids[pos]
+
     def _lang_mask(self, lang: str) -> np.ndarray:
         """Boolean docmap-row mask for one lang (filtered search) — computed
         once per shard per lang, cached in the facet cache's sibling slot."""
@@ -1825,15 +1840,26 @@ def _shard_actor_cls():
         num_partitions, so a collision always lands in the SAME partition —
         the mask is computable shard-locally)."""
 
-        def __init__(self, index_dirs, partitions: list[int], block_size: int):
+        def __init__(self, index_dirs, partitions: list[int], block_size: int,
+                     tombstones=None):
             dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+            # tombstones: per-generation sorted int64 arrays (aligned with
+            # dirs, oldest-first) of doc_ids DELETED from that generation —
+            # delete_documents records which generations each tombstone file
+            # covers, so a doc re-added by a LATER delta stays live. Masked
+            # exactly like newer-generation shadows (dead_ids).
             self.states: dict[tuple[int, int], _ShardState] = {}
             for p in partitions:
                 seen: np.ndarray | None = None
                 for g in range(len(dirs) - 1, -1, -1):  # newest first
                     if not os.path.exists(segment_path(dirs[g], p)):
                         continue
-                    st = _ShardState(dirs[g], p, block_size, dead_ids=seen)
+                    dead = seen
+                    tomb = tombstones[g] if tombstones is not None else None
+                    if tomb is not None and len(tomb):
+                        tomb = np.asarray(tomb, dtype=np.int64)
+                        dead = tomb if dead is None else np.union1d(dead, tomb)
+                    st = _ShardState(dirs[g], p, block_size, dead_ids=dead)
                     self.states[(g, p)] = st
                     if len(dirs) > 1:
                         seen = (
@@ -2118,7 +2144,8 @@ class StackedSearchSession(SearchSession):
         stack (one RPC per cold term, cached per session).
     """
 
-    def __init__(self, index_dirs: list[str], num_actors: int | None = None):
+    def __init__(self, index_dirs: list[str], num_actors: int | None = None,
+                 tombstones: list | None = None):
         import ray
 
         from ..state.stats import load_stats
@@ -2126,6 +2153,10 @@ class StackedSearchSession(SearchSession):
         assert index_dirs, "empty generation stack"
         self.index_dir = index_dirs[-1]  # newest generation
         self.index_dirs = list(index_dirs)
+        # per-generation deleted doc_ids (oldest-first, aligned with
+        # index_dirs) from pipelines.ingest.load_tombstones — masked inside
+        # the shard actors exactly like newer-generation shadows
+        self._tombstones = tombstones
         all_stats = [load_stats(d) for d in index_dirs]
         self.stats = dict(all_stats[-1])
         for st in all_stats:  # same config contract as compact.merge_indexes
@@ -2141,7 +2172,8 @@ class StackedSearchSession(SearchSession):
         for i, p in enumerate(parts):
             assign[i % n].append(p)
         self.actors = [
-            cls.remote(self.index_dirs, a, int(self.stats["block_size"]))
+            cls.remote(self.index_dirs, a, int(self.stats["block_size"]),
+                       tombstones=self._tombstones)
             for a in assign
         ]
         counts = ray.get([a.live_counts.remote() for a in self.actors])
