@@ -453,14 +453,29 @@ def merge_partials_block(
 
 def _bin_row_views(col) -> list[np.ndarray]:
     """Zero-copy per-row uint8 views of a Binary column (no .as_py copies —
-    the merge touches GBs; copies here showed up as kernel page-fault storms)."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + len(arr) + 1
-    ]
-    vals = arr.buffers()[2]
-    buf = np.frombuffer(vals, dtype=np.uint8) if vals is not None else np.empty(0, np.uint8)
-    return [buf[offs[i]: offs[i + 1]] for i in range(len(arr))]
+    the merge touches GBs; copies here showed up as kernel page-fault storms).
+
+    Chunk-aware: a merge task's input is `pa.concat_tables` over one table
+    per spill file, i.e. a ChunkedArray with many small chunks. Views are
+    taken per chunk so the decompressed spill buffers are referenced IN
+    PLACE — the old `combine_chunks()` re-copied every byte into one fresh
+    buffer, doubling the merge task's peak RSS for zero benefit."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[np.ndarray] = []
+    for arr in chunks:
+        if len(arr) == 0:
+            continue
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ]
+        vals = arr.buffers()[2]
+        buf = (
+            np.frombuffer(vals, dtype=np.uint8)
+            if vals is not None
+            else np.empty(0, np.uint8)
+        )
+        out.extend(buf[offs[i]: offs[i + 1]] for i in range(len(arr)))
+    return out
 
 
 def _merge_sorted_runs(runs: list[np.ndarray]) -> np.ndarray:
