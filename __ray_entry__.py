@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
         "bm25_topk_lenfilter": d.bm25_topk_lenfilter,    # doc_len range candidate filter
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
+        "bm25_topk_lmd": d.bm25_topk_lmd,         # LM Dirichlet (cf-based, 3rd scorer)
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
         "bm25_topk_deleted": d.bm25_topk_deleted,  # tombstone deletes (live stats)
@@ -376,6 +377,31 @@ def oracle_sql() -> dict[str, str]:
         "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf / dl.dl) AS score",
     )
     assert tfidf_sql != bm25_sql
+    # LM Dirichlet similarity (mu=2000): needs a cf CTE (collection term
+    # frequency) + corpus token total; per-term contribution clamped at 0
+    # (Lucene LMDirichletSimilarity). Float-op association mirrors
+    # LmDirichletScorer exactly: mup = 2000.0 * (cf / total), then
+    # ln(1 + tf/mup) + ln(2000/(2000+dl)), every ln through libm on both
+    # engines (DuckDB ln == libm log; the scorer uses math.log per distinct
+    # operand).
+    lmd_sql = bm25_sql.replace(
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, "
+        "(SELECT avg(dl) FROM dl) AS avgdl), ",
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, "
+        "(SELECT avg(dl) FROM dl) AS avgdl, (SELECT sum(dl) FROM dl) AS total), "
+        f"cf AS (SELECT term, count(*) AS cf FROM ({terms}) GROUP BY term), ",
+    ).replace(
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+        "greatest(ln(1 + (tf.tf / (2000.0 * (cf.cf / s.total)))) "
+        "+ ln(2000.0 / (2000.0 + dl.dl)), 0.0) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN cf ON cf.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
+    )
+    assert lmd_sql != bm25_sql and "cf AS" in lmd_sql and "greatest" in lmd_sql
     # dense_url docid strategy (O4): scores unchanged, but exact-score ties
     # break by the DENSE id = rank-of-url-within-partition * P + partition
     # (P = 8, partition = doc_id % 8, url = source || '/' || doc_id) — the
@@ -1014,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_filtered": filtered_sql,
         "bm25_topk_lenfilter": lenfilter_sql,
         "bm25_topk_tfidf": tfidf_sql,
+        "bm25_topk_lmd": lmd_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,
         "bm25_topk_deleted": deleted_sql,

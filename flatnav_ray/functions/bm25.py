@@ -76,10 +76,11 @@ class Bm25Scorer:
     b: float = B_DEFAULT
     name: str = "bm25"
 
-    def term_scores(self, tfs, doc_lens, df, n_docs, avgdl):
+    def term_scores(self, tfs, doc_lens, df, n_docs, avgdl, term=None, plan=None):
         return bm25_term_scores(tfs, doc_lens, df, n_docs, avgdl, self.k1, self.b)
 
-    def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl):
+    def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl,
+                    term=None, plan=None):
         return bm25_block_upper_bound(block_max_tf, block_min_dl, df, n_docs, avgdl, self.k1, self.b)
 
 
@@ -94,16 +95,79 @@ class TfIdfScorer:
 
     name: str = "tfidf"
 
-    def term_scores(self, tfs, doc_lens, df, n_docs, avgdl):
+    def term_scores(self, tfs, doc_lens, df, n_docs, avgdl, term=None, plan=None):
         w = float(idf(float(df), n_docs))
         return w * (tfs.astype(np.float64) / np.maximum(doc_lens.astype(np.float64), 1.0))
 
-    def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl):
+    def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl,
+                    term=None, plan=None):
         w = float(idf(float(df), n_docs))
         return w * (block_max_tf.astype(np.float64) / np.maximum(block_min_dl.astype(np.float64), 1.0))
 
 
-SCORERS = {"bm25": Bm25Scorer(), "tfidf": TfIdfScorer()}
+@dataclass(frozen=True)
+class LmDirichletScorer:
+    """LM Dirichlet similarity (Lucene LMDirichletSimilarity; Zhai & Lafferty
+    2001) — the third pluggable similarity, exercising a scorer that needs
+    COLLECTION frequency, not just df: per matching term,
+
+        score = max(0, ln(1 + tf / (mu * p_t)) + ln(mu / (mu + dl)))
+
+    with p_t = cf_t / total_len (collection language model). cf arrives on
+    the broadcast QueryPlan (`term_cf`, loaded lazily for the plan's distinct
+    terms by a pruned per-partition read — segments are NOT rescanned per
+    posting), total_len = sum_doc_len from the index stats.
+
+    Determinism contract: every ln goes through libm (math.log) per DISTINCT
+    operand — numpy's SIMD log differs from libm in the last ULP for a few
+    inputs, and the driver's DuckDB oracle hashes exact float64 values. The
+    per-call unique() loops are bounded by distinct tf values (tiny) and
+    distinct doc lengths (cached per scorer instance across terms/queries)."""
+
+    mu: float = 2000.0
+    name: str = "lmd"
+    needs_cf: bool = True
+
+    def _mup(self, term, plan) -> float:
+        cf = plan.term_cf.get(term, 0) if plan.term_cf else 0
+        if cf <= 0:
+            return 0.0
+        # association mirrors the oracle SQL exactly: mu * (cf / total)
+        return self.mu * (cf / plan.total_len)
+
+    def term_scores(self, tfs, doc_lens, df, n_docs, avgdl, term=None, plan=None):
+        if plan is None or plan.term_cf is None or plan.total_len is None:
+            raise ValueError("scorer 'lmd' needs term_cf/total_len on the QueryPlan")
+        mup = self._mup(term, plan)
+        if mup <= 0.0:
+            return np.zeros(tfs.shape[0], dtype=np.float64)
+        utf, tinv = np.unique(tfs.astype(np.float64), return_inverse=True)
+        tfpart = np.fromiter(
+            (math.log(1.0 + (t / mup)) for t in utf), dtype=np.float64, count=utf.size
+        )[tinv]
+        udl, dinv = np.unique(doc_lens.astype(np.float64), return_inverse=True)
+        dlpart = np.fromiter(
+            (math.log(self.mu / (self.mu + d)) for d in udl),
+            dtype=np.float64, count=udl.size,
+        )[dinv]
+        return np.maximum(tfpart + dlpart, 0.0)
+
+    def block_bound(self, block_max_tf, block_min_dl, df, n_docs, avgdl,
+                    term=None, plan=None):
+        if plan is None or plan.term_cf is None or plan.total_len is None:
+            raise ValueError("scorer 'lmd' needs term_cf/total_len on the QueryPlan")
+        mup = self._mup(term, plan)
+        if mup <= 0.0:
+            return np.zeros(np.asarray(block_max_tf).shape[0], dtype=np.float64)
+        raw = np.log1p(block_max_tf.astype(np.float64) / mup) + np.log(
+            self.mu / (self.mu + block_min_dl.astype(np.float64))
+        )
+        # numpy's SIMD log can land 1 ULP BELOW libm's; inflate so the bound
+        # stays a true upper bound of the libm-exact per-posting scores
+        return np.maximum(raw, 0.0) * (1.0 + 1e-9) + 1e-12
+
+
+SCORERS = {"bm25": Bm25Scorer(), "tfidf": TfIdfScorer(), "lmd": LmDirichletScorer()}
 
 
 def bm25_score_py(tf: int, dl: int, df: int, n_docs: int, avgdl: float,

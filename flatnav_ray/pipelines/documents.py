@@ -597,6 +597,19 @@ def bm25_topk_tfidf(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_lmd(sf_dir: str, k: int = 10) -> pa.Table:
+    """Third pluggable similarity — LM Dirichlet (Lucene
+    LMDirichletSimilarity, mu=2000): same index, same queries, but the
+    scorer needs COLLECTION frequency, exercising the lazy per-term cf load
+    (stages/search.load_term_cf — a pruned per-partition segment read, never
+    a vocabulary scan). Oracle SQL mirrors the formula with a cf CTE."""
+    ix = build_documents_index(sf_dir)
+    queries = derived_queries(ix)
+    out = search_to_table(ix, queries, QueryConfig(k=k, scorer="lmd"))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_compacted(sf_dir: str, k: int = 10) -> pa.Table:
     """External import / merge surface (SURVEY.md S8 — the reference's
     allocate_nodes + build_graph_links bulk path, bindings.cpp:308-324):

@@ -39,6 +39,7 @@ def plan_for(
     index_dir: str, queries: pa.Table, k: int, fuzzy_max_edits: int = 0,
     synonyms: dict[str, tuple[str, ...]] | None = None,
     boosts: dict[str, float] | None = None,
+    scorer: str = "bm25",
 ):
     stats = load_stats(index_dir)
     text_terms: set[str] = set()
@@ -65,13 +66,28 @@ def plan_for(
         for tok in text_terms:
             distinct.update(synonyms.get(tok, ()))
     term_df = lookup_term_df(index_dir, sorted(distinct))
-    return (
-        make_query_plan(
-            queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k,
-            expansions=expansions, synonyms=synonyms, boosts=(boosts or None),
-        ),
-        stats,
+    plan = make_query_plan(
+        queries, term_df, int(stats["n_docs"]), float(stats["avgdl"]), k,
+        expansions=expansions, synonyms=synonyms, boosts=(boosts or None),
     )
+    from ..functions.bm25 import SCORERS
+
+    if getattr(SCORERS[scorer], "needs_cf", False):
+        # cf-based similarities (LM Dirichlet): collection frequency for the
+        # plan's distinct terms, loaded via a pruned per-partition read
+        import dataclasses
+
+        from ..stages.search import load_term_cf
+
+        plan = dataclasses.replace(
+            plan,
+            term_cf=load_term_cf(
+                index_dir, stats["partitions"], sorted(plan.term_idf.keys()),
+                int(stats["block_size"]),
+            ),
+            total_len=int(stats["sum_doc_len"]),
+        )
+    return plan, stats
 
 
 def search_partials(
@@ -94,6 +110,13 @@ def search_partials(
         )
     if syn and fz:
         raise ValueError("synonyms cannot combine with fuzzy_max_edits")
+    from ..functions.bm25 import SCORERS as _SC
+
+    if syn and getattr(_SC[query_cfg.scorer], "needs_cf", False):
+        raise ValueError(
+            f"synonyms are unsupported with scorer {query_cfg.scorer!r} "
+            "(pooled-group cf semantics are ambiguous)"
+        )
     boosts = getattr(query_cfg, "boosts", None)
     if boosts and query_cfg.method not in ("taat", "maxscore"):
         raise ValueError(
@@ -104,7 +127,7 @@ def search_partials(
     # slice to be exact (direct callers merge + slice themselves)
     plan, stats = plan_for(
         index_dir, queries, query_cfg.k + getattr(query_cfg, "offset", 0),
-        fuzzy_max_edits=fz, synonyms=syn, boosts=boosts,
+        fuzzy_max_edits=fz, synonyms=syn, boosts=boosts, scorer=query_cfg.scorer,
     )
     plan_ref = ray.put(plan)
     parts = [{"partition": int(p)} for p in stats["partitions"]]

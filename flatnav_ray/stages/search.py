@@ -84,6 +84,51 @@ class QueryPlan:
     # Keyed on literal index terms (under fuzzy, on the EXPANDED term).
     # None/missing term = 1.0. Default scoring methods only.
     query_boosts: dict[str, float] | None = None
+    # collection frequency per distinct query term + total corpus token count
+    # — populated ONLY for scorers with needs_cf (LM Dirichlet): cf is loaded
+    # lazily for the plan's terms via a pruned per-partition read
+    # (load_term_cf), never by a full-vocabulary scan.
+    term_cf: dict[str, int] | None = None
+    total_len: int | None = None
+
+
+def load_term_cf(
+    index_dir: str, partitions: list[int], terms: list[str], block_size: int
+) -> dict[str, int]:
+    """Global collection frequency for a SMALL term set (the query plan's
+    distinct terms): one Ray task per partition reads only those terms'
+    segment rows (parquet row filter), decodes their tf blobs, and returns
+    per-term sums; the driver adds the dicts. O(|terms| × partitions), never
+    O(vocabulary)."""
+    import ray
+
+    terms = sorted(set(terms))
+    if not terms:
+        return {}
+
+    def _one(index_dir: str, p: int, block_size: int, terms: list[str]) -> dict:
+        st = _ShardState(index_dir, p, block_size, terms)
+        out: dict[str, int] = {}
+        for t in terms:
+            row = st._postings_row(t)
+            if row is None:
+                continue
+            _, tfs = decode_postings(
+                row["doc_blob"], row["tf_blob"], row["block_last_doc"],
+                block_size=block_size,
+            )
+            out[t] = int(tfs.sum())
+        return out
+
+    task = ray.remote(num_cpus=1)(_one)
+    parts = ray.get(
+        [task.remote(index_dir, int(p), block_size, terms) for p in partitions]
+    )
+    cf: dict[str, int] = {t: 0 for t in terms}
+    for d in parts:
+        for t, v in d.items():
+            cf[t] += v
+    return cf
 
 
 def make_query_plan(
@@ -320,7 +365,10 @@ class _ShardState:
             keep = ~self._dead_pos[pos]
             pos, tfs = pos[keep], tfs[keep]
         dls = self.docmap_lens[pos]
-        contrib = scorer.term_scores(tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl)
+        contrib = scorer.term_scores(
+            tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl,
+            term=term, plan=plan,
+        )
         out = (pos, contrib, len(p["block_last_doc"]))
         if len(self._contrib) > 100_000:  # bounded actor memory (arena-sizing analog)
             self._contrib.clear()
@@ -332,6 +380,10 @@ class _ShardState:
         (Lucene SynonymQuery): union of member postings, per-doc tf = sum of
         member tfs, df = max of member GLOBAL dfs — BM25 saturation applies
         once to the pooled tf. Decoded + scored once, cached per group."""
+        if getattr(scorer, "needs_cf", False):
+            # pooled-group cf semantics are ambiguous (sum vs max of member
+            # cfs); keep the cf-based similarity on the plain term path
+            raise ValueError(f"synonyms are unsupported with scorer {scorer.name!r}")
         key = (plan.n_docs, plan.avgdl, scorer.name)
         if key != self._stats_key:
             self._contrib.clear()
@@ -1243,7 +1295,7 @@ class _ShardState:
             ub = qtf * float(
                 scorer.block_bound(
                     p["block_max_tf"], p["block_min_dl"], plan.term_df[term],
-                    plan.n_docs, plan.avgdl,
+                    plan.n_docs, plan.avgdl, term=term, plan=plan,
                 ).max()
             )
             tps.append((term, qtf, p, ub))
@@ -1279,7 +1331,8 @@ class _ShardState:
             n_blocks += len(p["block_last_doc"])
             dls = self.docmap_lens[pos]
             scores[pos] += qtf * scorer.term_scores(
-                tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl
+                tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl,
+                term=term, plan=plan,
             )
             pos_parts.append(pos)
             # candidate set tracked incrementally (O(postings-so-far), not an
@@ -1314,7 +1367,8 @@ class _ShardState:
             pos_d, tfs = pos_d[valid], tfs[valid]
             dls = self.docmap_lens[pos_d]
             scores[pos_d] += qtf * scorer.term_scores(
-                tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl
+                tfs, dls, plan.term_df[term], plan.n_docs, plan.avgdl,
+                term=term, plan=plan,
             )
 
         docs, ssc = topk_select(scores[cand], cand_ids, k)
@@ -1353,7 +1407,8 @@ class _ShardState:
             valid[valid] = pos_d[pin[valid]] == dpos[valid]
             dls = self.docmap_lens[dpos[valid]]
             out[valid] += qtf * scorer.term_scores(
-                tfs[pin[valid]], dls, plan.term_df[term], plan.n_docs, plan.avgdl
+                tfs[pin[valid]], dls, plan.term_df[term], plan.n_docs, plan.avgdl,
+                term=term, plan=plan,
             )
         return out
 
@@ -2046,6 +2101,11 @@ class SearchSession:
                 )
             if fz:
                 raise ValueError("synonyms cannot combine with fuzzy_max_edits")
+            if getattr(SCORERS[query_cfg.scorer], "needs_cf", False):
+                raise ValueError(
+                    f"synonyms are unsupported with scorer {query_cfg.scorer!r} "
+                    "(pooled-group cf semantics are ambiguous)"
+                )
             for tok in text_terms:
                 distinct.update(syn.get(tok, ()))
         boosts = getattr(query_cfg, "boosts", None) or None
@@ -2064,6 +2124,20 @@ class SearchSession:
             queries, term_df, self._n_docs, self._avgdl, query_cfg.k,
             expansions=expansions, synonyms=syn, boosts=boosts,
         )
+        if getattr(SCORERS[query_cfg.scorer], "needs_cf", False):
+            import dataclasses
+
+            from ..state.stats import load_stats as _ls
+
+            st = _ls(self.index_dir)
+            plan = dataclasses.replace(
+                plan,
+                term_cf=load_term_cf(
+                    self.index_dir, st["partitions"],
+                    sorted(plan.term_idf.keys()), int(st["block_size"]),
+                ),
+                total_len=int(st["sum_doc_len"]),
+            )
         plan_ref = ray.put(plan)
         futs = [
             a.search.remote(
