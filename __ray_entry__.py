@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_lenfilter": d.bm25_topk_lenfilter,    # doc_len range candidate filter
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_lmd": d.bm25_topk_lmd,         # LM Dirichlet (cf-based, 3rd scorer)
+        "bm25_topk_rescored": d.bm25_topk_rescored,  # two-pass rescore window
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
         "bm25_topk_deleted": d.bm25_topk_deleted,  # tombstone deletes (live stats)
@@ -402,6 +403,30 @@ def oracle_sql() -> dict[str, str]:
         "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
     )
     assert lmd_sql != bm25_sql and "cf AS" in lmd_sql and "greatest" in lmd_sql
+    # two-pass rescore (Lucene/ES rescore window): bm25 top-30 window,
+    # exact tfidf second pass on those pairs, final = 1.0*bm25 + 2.0*tfidf
+    # re-ranked WITHIN the window (docs outside can never enter).
+    rescored_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "scored AS (SELECT qt.query_id, tf.doc_id, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf / dl.dl) AS score2 "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "win AS (SELECT query_id, doc_id, score, score2, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS r FROM scored), "
+        "final AS (SELECT query_id, doc_id, 1.0 * score + 2.0 * score2 AS fs "
+        "FROM win WHERE r < 30), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY fs DESC, doc_id ASC) - 1 AS rank FROM final) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
     # dense_url docid strategy (O4): scores unchanged, but exact-score ties
     # break by the DENSE id = rank-of-url-within-partition * P + partition
     # (P = 8, partition = doc_id % 8, url = source || '/' || doc_id) — the
@@ -1041,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_lenfilter": lenfilter_sql,
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_lmd": lmd_sql,
+        "bm25_topk_rescored": rescored_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,
         "bm25_topk_deleted": deleted_sql,

@@ -610,6 +610,24 @@ def bm25_topk_lmd(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_rescored(sf_dir: str, k: int = 10) -> pa.Table:
+    """Two-pass rescore window (Lucene/ES rescore — no reference analog;
+    flatnav re-ranks only via its ef_search beam, Index.h:90-117): BM25
+    top-30 window per query, exact TF-IDF secondary pass over just those
+    pairs, final = 1.0*bm25 + 2.0*tfidf re-ranked within the window. Oracle:
+    the bm25 ranked CTE capped at 30 joined to a tfidf-scored CTE."""
+    from .query import rescore_topk
+
+    ix = build_documents_index(sf_dir)
+    queries = derived_queries(ix)
+    out = rescore_topk(
+        ix, queries, k=k, window=30, scorer="bm25", rescore_scorer="tfidf",
+        query_weight=1.0, rescore_weight=2.0,
+    )
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_compacted(sf_dir: str, k: int = 10) -> pa.Table:
     """External import / merge surface (SURVEY.md S8 — the reference's
     allocate_nodes + build_graph_links bulk path, bindings.cpp:308-324):

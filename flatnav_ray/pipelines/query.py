@@ -296,6 +296,77 @@ def explain_to_table(
     )
 
 
+def rescore_topk(
+    index_dir: str, queries: pa.Table, k: int = 10, window: int = 30,
+    scorer: str = "bm25", rescore_scorer: str = "tfidf",
+    query_weight: float = 1.0, rescore_weight: float = 1.0,
+) -> pa.Table:
+    """Two-pass rescoring (the Lucene/ES `rescore` window): retrieve the
+    GLOBAL top-`window` per query under the primary scorer, compute exact
+    secondary scores for just those (query, doc) pairs — one raw Ray task
+    per owning partition (doc_id % P), O(window × Q) pairs total, never the
+    corpus — and re-rank the window by
+
+        final = query_weight * primary + rescore_weight * secondary
+
+    (ties: final desc, doc_id asc), keeping top-k. Docs outside the window
+    can never enter the result (ES rescore semantics). The secondary pass
+    re-accumulates in lexicographic term order, so both addends are
+    bit-identical to full searches under their scorers — the combined score
+    is DuckDB-oracle-checkable (driver entry `bm25_topk_rescored`).
+    Requires the hash docid_strategy (owner routing by doc_id % P)."""
+    import numpy as np
+
+    from ..stages.search import score_docs_rows
+
+    first = search_to_table(index_dir, queries, QueryConfig(k=window, scorer=scorer))
+    if len(first) == 0:
+        return first
+    plan, stats = plan_for(index_dir, queries, window, scorer=rescore_scorer)
+    if stats.get("docid_strategy", "hash") != "hash":
+        raise ValueError("rescore_topk requires the hash docid_strategy")
+    num_p = int(stats["num_partitions"])
+    qids = first.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    docs = first.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    owner = (docs % num_p).astype(np.int64)
+    plan_ref = ray.put(plan)
+    task = ray.remote(score_docs_rows)
+    futs = [
+        task.remote(
+            index_dir, int(p), int(stats["block_size"]), plan_ref,
+            rescore_scorer, qids[owner == p], docs[owner == p],
+        )
+        for p in np.unique(owner)
+    ]
+    sec = pa.concat_tables(ray.get(futs))
+    joined = first.join(sec, keys=["query_id", "doc_id"], join_type="left outer")
+    s1 = joined.column("score").to_numpy(zero_copy_only=False)
+    s2c = joined.column("score2").to_numpy(zero_copy_only=False)
+    s2 = np.where(np.isnan(s2c.astype(np.float64)), 0.0, s2c)
+    final = query_weight * s1 + rescore_weight * s2
+    joined = (
+        joined.drop_columns(["rank", "score", "score2"])
+        .append_column("score", pa.array(final, type=pa.float64()))
+    )
+    jq = joined.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    jd = joined.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    jf = joined.column("score").to_numpy(zero_copy_only=False)
+    order = np.lexsort((jd, -jf, jq))
+    qs = jq[order]
+    # rank within query: position minus the query group's start offset
+    starts = np.r_[0, np.flatnonzero(np.diff(qs)) + 1]
+    grp_start = np.repeat(starts, np.diff(np.r_[starts, qs.size]))
+    rank = np.arange(qs.size, dtype=np.int64) - grp_start
+    keep = order[rank < k]
+    out = joined.take(pa.array(keep)).append_column(
+        "rank", pa.array(rank[rank < k], type=pa.int64())
+    )
+    cols = ["query_id", "rank", "doc_id", "score"] + [
+        c for c in out.column_names if c not in ("query_id", "rank", "doc_id", "score")
+    ]
+    return out.select(cols)
+
+
 def search_with_snippets(
     index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None,
     concurrency: int = 8,

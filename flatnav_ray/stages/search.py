@@ -1413,6 +1413,49 @@ class _ShardState:
         return out
 
 
+def score_docs_rows(
+    index_dir: str, partition: int, block_size: int, plan: QueryPlan,
+    scorer_name: str, qids: np.ndarray, docs: np.ndarray,
+) -> pa.Table:
+    """Exact full-query scores for given (query, doc) pairs in ONE partition
+    — the second pass of the rescore pipeline (pipelines/query.rescore_topk):
+    per query, `_rescore_exact` re-accumulates the doc set in lexicographic
+    term order, so the secondary score is bit-identical to what a full
+    search under that scorer would produce. O(pairs), never the corpus.
+    Docs must belong to this partition (doc_id % P routing — the hash
+    docid_strategy invariant)."""
+    st = _ShardState(index_dir, partition, block_size, sorted(plan.term_idf.keys()))
+    scorer = SCORERS[scorer_name]
+    qi_of = {int(q): i for i, q in enumerate(plan.query_ids)}
+    by_q: dict[int, list[int]] = {}
+    for q, d in zip(qids, docs):
+        by_q.setdefault(int(q), []).append(int(d))
+    out_q: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for q, ds in by_q.items():
+        arr = np.asarray(sorted(ds), dtype=np.int64)
+        sc = st._rescore_exact(plan, qi_of[q], arr, scorer)
+        out_q.append(np.full(arr.size, q, dtype=np.int64))
+        out_d.append(arr)
+        out_s.append(sc)
+    if not out_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score2": pa.array([], type=pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "doc_id": pa.array(np.concatenate(out_d)),
+            "score2": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
 def explain_rows(
     index_dir: str, partition: int, block_size: int, plan: QueryPlan,
     scorer_name: str, qids: np.ndarray, docs: np.ndarray,
