@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": d.more_like_this,       # MLT: top tf-idf terms -> search, self excluded
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
+        "bm25_len_histogram": d.bm25_len_histogram,  # numeric range facet (doc_len buckets)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
@@ -731,6 +732,16 @@ def oracle_sql() -> dict[str, str]:
         "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
         "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2"
     )
+    # numeric range facet: same match set, bucketed by doc_len // 20
+    # (integer division — DuckDB // == numpy int64 //, exact)
+    lenhist_sql = facets_sql.replace(
+        "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+        "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
+        f"SELECT m.query_id, len({toks}) // 20 AS bucket, count(*) AS n_docs "
+        "FROM matches m JOIN documents d ON d.doc_id = m.doc_id "
+        "GROUP BY 1, 2 ORDER BY 1, 2",
+    )
+    assert lenhist_sql != facets_sql and "bucket" in lenhist_sql
     hits_sql = facets_sql.replace(
         "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
         "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
@@ -1054,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": mlt_sql,
         "bm25_topk_phrase": phrase_sql,
         "bm25_facets": facets_sql,
+        "bm25_len_histogram": lenhist_sql,
         "bm25_hit_counts": hits_sql,
         "bm25_collapse_lang": collapse_sql,
         "prefix_hit_counts": prefix_sql,

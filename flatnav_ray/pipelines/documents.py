@@ -1041,6 +1041,17 @@ def bm25_facets(sf_dir: str) -> pa.Table:
     return facet_counts(ix, _multi_term_queries(ix), facet="lang")
 
 
+def bm25_len_histogram(sf_dir: str, width: int = 20) -> pa.Table:
+    """Numeric range facet (Lucene RangeFacetCounts / ES histogram
+    aggregation): per 2-term query, matching-doc counts per doc_len bucket
+    (bucket = doc_len // width) over the FULL match set. Exact integers —
+    shards count disjoint doc sets and the merge is a plain sum."""
+    from .query import facet_counts
+
+    ix = build_documents_index(sf_dir)
+    return facet_counts(ix, _multi_term_queries(ix), facet=f"len:{width}")
+
+
 def bm25_hit_counts(sf_dir: str) -> pa.Table:
     """Total-hits per query (count of matching docs, not top-k) — the
     `total_hits` surface. Derived from the same per-shard disjoint counts."""

@@ -193,6 +193,8 @@ def facet_counts(
     (query_id, <facet>, n_docs), sorted."""
     from ..stages.search import ShardFacets
 
+    numeric = facet.startswith("len:")
+    fcol = "bucket" if numeric else facet
     plan, stats = plan_for(index_dir, queries, k=1)
     plan_ref = ray.put(plan)
     parts = [{"partition": int(p)} for p in stats["partitions"]]
@@ -214,7 +216,7 @@ def facet_counts(
     empty = pa.table(
         {
             "query_id": pa.array([], type=pa.int64()),
-            facet: pa.array([], type=pa.string()),
+            fcol: pa.array([], type=pa.int64() if numeric else pa.string()),
             "n_docs": pa.array([], type=pa.int64()),
         }
     )
@@ -223,15 +225,15 @@ def facet_counts(
     t = pa.concat_tables(batches)
     if len(t) == 0:
         return empty
-    g = t.group_by(["query_id", facet]).aggregate([("n_docs", "sum")])
+    g = t.group_by(["query_id", fcol]).aggregate([("n_docs", "sum")])
     out = pa.table(
         {
             "query_id": g.column("query_id"),
-            facet: g.column(facet),
+            fcol: g.column(fcol),
             "n_docs": g.column("n_docs_sum"),  # name-based (column order varies)
         }
     )
-    return out.sort_by([("query_id", "ascending"), (facet, "ascending")])
+    return out.sort_by([("query_id", "ascending"), (fcol, "ascending")])
 
 
 def explain_to_table(

@@ -881,9 +881,20 @@ class _ShardState:
             return hit
         import pyarrow.compute as pc
 
+        if facet.startswith("len:"):
+            # numeric range facet (Lucene RangeFacetCounts / ES histogram
+            # aggregation): bucket = doc_len // width, exact integers
+            width = int(facet.split(":", 1)[1])
+            if width <= 0:
+                raise ValueError(f"invalid bucket width in facet {facet!r}")
+            buckets = self.docmap_lens.astype(np.int64) // width
+            vals_arr, codes = np.unique(buckets, return_inverse=True)
+            out = (codes.astype(np.int64), [int(v) for v in vals_arr])
+            self._facet_cache[facet] = out
+            return out
         col = {"lang": self.docmap_langs}.get(facet)
         if col is None:
-            raise ValueError(f"unknown facet {facet!r} (supported: lang)")
+            raise ValueError(f"unknown facet {facet!r} (supported: lang, len:<width>)")
         enc = pc.dictionary_encode(
             col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         )
@@ -923,10 +934,13 @@ class _ShardState:
                 q_out.append(int(plan.query_ids[qi]))
                 f_out.append(vals[j])
                 n_out.append(int(cnt[j]))
+        numeric = facet.startswith("len:")
         return pa.table(
             {
                 "query_id": pa.array(q_out, type=pa.int64()),
-                facet: pa.array(f_out, type=pa.string()),
+                ("bucket" if numeric else facet): pa.array(
+                    f_out, type=pa.int64() if numeric else pa.string()
+                ),
                 "n_docs": pa.array(n_out, type=pa.int64()),
             }
         )

@@ -139,3 +139,33 @@ def test_facet_empty_query_and_absent_terms(facet_index):
     )
     got = facet_counts(ix, queries, facet="lang")
     assert len(got) == 0
+
+
+def test_len_histogram_matches_oracle(facet_index):
+    """Numeric range facet (len:<width>): bucket = doc_len // width over the
+    full match set, exact integer counts."""
+    ix, pages = facet_index
+    queries = queries_table(15, seed=5, vocab_size=800)
+    got = facet_counts(ix, queries, facet="len:16")
+
+    docs = dedup_latest(prepare_batch(pages, 4, None))
+    toks_per_doc = [tokenize_py(t) for t in docs.column("text").to_pylist()]
+    want: Counter = Counter()
+    for qid, qtext in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        qterms = set(tokenize_py(qtext))
+        for toks in toks_per_doc:
+            if qterms & set(toks):
+                want[(qid, len(toks) // 16)] += 1
+    got_map = {
+        (q, b): n
+        for q, b, n in zip(
+            got.column("query_id").to_pylist(),
+            got.column("bucket").to_pylist(),
+            got.column("n_docs").to_pylist(),
+        )
+    }
+    assert got_map == dict(want)
+    assert len(got) > 0
+    assert got.schema.field("bucket").type == pa.int64()
