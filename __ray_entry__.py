@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_pred": d.langid_pred,
         "top_docs_per_lang": d.top_docs_per_lang,
         "docs_sample": d.docs_sample,
+        "docs_split": d.docs_split,               # deterministic hash train/test split
+        "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
         "jaccard_pairs": d.jaccard_pairs,
@@ -905,6 +907,36 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id % 20 = 3 ORDER BY doc_id"
+        ),
+        # hash split: bucket = splitmix64(doc_id) % 100 (bit-exact splitmix
+        # replica, same as the MinHash oracle), split = test iff bucket < 10
+        "docs_split": (
+            "WITH h AS (SELECT doc_id, "
+            + _sm_cols_sql("doc_id::UBIGINT", "h64", "sp")
+            + " FROM documents) "
+            "SELECT doc_id, (h64 % 100)::BIGINT AS bucket, "
+            "CASE WHEN h64 % 100 < 10 THEN 'test' ELSE 'train' END AS split "
+            "FROM h ORDER BY doc_id"
+        ),
+        # Gopher repetition signals (token-level): dup_token_frac =
+        # (n_tokens - n_distinct)/n_tokens; top_bigram_frac = 2.0*maxc/n —
+        # identical float-op association as repetition_stats
+        "doc_repetition": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+            "dl AS (SELECT doc_id, len(toks) AS n_tokens FROM t), "
+            "dist AS (SELECT doc_id, count(DISTINCT term) AS nd FROM "
+            f"({_TERMS}) GROUP BY doc_id), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS bgram FROM t WHERE len(toks) >= 2), "
+            "bgc AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2), "
+            "bmax AS (SELECT doc_id, max(c) AS maxc FROM bgc GROUP BY 1) "
+            "SELECT dl.doc_id, dl.n_tokens, "
+            "CASE WHEN dl.n_tokens > 0 THEN (dl.n_tokens - coalesce(dist.nd, 0)) "
+            "/ dl.n_tokens ELSE 0.0 END AS dup_token_frac, "
+            "CASE WHEN dl.n_tokens >= 2 THEN 2.0 * coalesce(bmax.maxc, 0) / dl.n_tokens "
+            "ELSE 0.0 END AS top_bigram_frac "
+            "FROM dl LEFT JOIN dist ON dist.doc_id = dl.doc_id "
+            "LEFT JOIN bmax ON bmax.doc_id = dl.doc_id ORDER BY dl.doc_id"
         ),
         "top_docs_per_lang": (
             "WITH r AS (SELECT lang, doc_id, n_chars, row_number() OVER "

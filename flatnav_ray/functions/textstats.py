@@ -173,3 +173,79 @@ def token_shingles(texts: pa.Array | pa.ChunkedArray, n: int = 3) -> tuple[np.nd
         sh = splitmix64(sh) ^ th[off : off + sh.size]
         ok &= parents[off : off + sh.size] == parents[: sh.size]
     return parents[: sh.size][ok], sh[ok]
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per doc (Rae et al. 2021, app. A1.1,
+    token-level variants): appends
+
+      n_tokens        — analyzed token count (same analyzer as the index)
+      dup_token_frac  — (n_tokens - n_distinct_tokens) / n_tokens
+      top_bigram_frac — 2 * count(most frequent adjacent token 2-gram)
+                         / n_tokens  (0.0 when < 2 tokens)
+
+    Exact integer counts, float64 ratios with the same op association the
+    DuckDB oracle uses ((a - b) / a; (2.0 * maxc) / n). Fully vectorized:
+    one dictionary-encode of the exploded tokens, np.unique over packed
+    (doc, code) / (doc, code, code) keys — no Python loop over rows."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    parents, toks = explode_tokens(texts)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    np.add.at(n_tokens, parents, 1)
+
+    dup_frac = np.zeros(n, dtype=np.float64)
+    top_bg = np.zeros(n, dtype=np.float64)
+    if parents.size:
+        codes = (
+            pc.dictionary_encode(toks)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = int(codes.max()) + 1
+        # distinct tokens per doc
+        key = parents * v + codes
+        uniq_parents = np.unique(key) // v
+        n_distinct = np.zeros(n, dtype=np.int64)
+        np.add.at(n_distinct, uniq_parents, 1)
+        nz = n_tokens > 0
+        dup_frac[nz] = (n_tokens[nz] - n_distinct[nz]) / n_tokens[nz]
+
+        # adjacent bigrams within a doc (parents are non-decreasing)
+        same = parents[1:] == parents[:-1]
+        if same.any():
+            bp = parents[:-1][same]
+            # pack (doc, code1, code2) into one int64 when it fits
+            # (n * v^2 < 2^62); otherwise lexsort-group (no overflow)
+            if v < (1 << 31) and v * v * int(n) < (1 << 62):
+                bkey = codes[:-1][same] * v + codes[1:][same]
+                packed = bp * (v * v) + bkey
+                u, cnt = np.unique(packed, return_counts=True)
+                up = u // (v * v)
+            else:
+                order = np.lexsort((codes[1:][same], codes[:-1][same], bp))
+                sb = bp[order]
+                k1 = codes[:-1][same][order]
+                k2 = codes[1:][same][order]
+                newgrp = np.r_[
+                    True,
+                    (sb[1:] != sb[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]),
+                ]
+                starts = np.flatnonzero(newgrp)
+                cnt = np.diff(np.r_[starts, sb.size])
+                up = sb[starts]
+            maxc = np.zeros(n, dtype=np.int64)
+            np.maximum.at(maxc, up, cnt)
+            nz2 = n_tokens >= 2
+            top_bg[nz2] = (2.0 * maxc[nz2]) / n_tokens[nz2]
+
+    out = batch
+    for name, arr, typ in [
+        ("n_tokens", n_tokens, pa.int64()),
+        ("dup_token_frac", dup_frac, pa.float64()),
+        ("top_bigram_frac", top_bg, pa.float64()),
+    ]:
+        out = out.append_column(name, pa.array(arr, type=typ))
+    return out

@@ -204,6 +204,32 @@ def docs_sample(sf_dir: str, modulus: int = 20, residue: int = 3) -> pa.Table:
     return t.sort_by([("doc_id", "ascending")])
 
 
+def docs_split(sf_dir: str, test_pct: int = 10) -> pa.Table:
+    """Deterministic hash train/test split (stages/relational.hash_split):
+    bucket = splitmix64(doc_id) % 100, split = 'test' iff bucket < pct.
+    Stable under reruns/re-executed tasks — the resumable-split property a
+    100-TB corpus needs. Only doc_id leaves storage (column-pruned read)."""
+    from ..stages.relational import hash_split
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    out = _concat(hash_split(ds, test_pct=test_pct))
+    return out.sort_by("doc_id")
+
+
+def doc_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition quality signals (Rae et al. 2021 A1.1,
+    token-level): per doc, dup_token_frac and top adjacent-bigram fraction —
+    the repetition filters a training-data pipeline runs before dedup.
+    Vectorized batch kernel (functions/textstats.repetition_stats)."""
+    from ..functions.textstats import repetition_stats
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = _concat(ds.map_batches(repetition_stats, batch_format="pyarrow"))
+    return out.select(
+        ["doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"]
+    ).sort_by("doc_id")
+
+
 def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
     """Grouped top-k: per lang the k longest documents (n_chars DESC, doc_id
     ASC ties). Map-side bounded top-k per batch, final per-group re-select."""

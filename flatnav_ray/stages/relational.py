@@ -127,6 +127,34 @@ def strided_sample(
     return ds.map_batches(_keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_split(
+    ds: ray.data.Dataset,
+    test_pct: int = 10,
+    key_col: str = "doc_id",
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/test split for training-data pipelines: bucket =
+    splitmix64(key) % 100 (the same bit-exact splitmix the MinHash oracle
+    replicates in DuckDB); rows with bucket < test_pct get 'test', the rest
+    'train'. Pure map_batches — no shuffle, no RNG state, stable under any
+    partitioning and across reruns/resumes (the property a 100-TB split
+    needs: a re-executed task assigns identical splits). Appends
+    (bucket int64, split string)."""
+    if not 0 <= test_pct <= 100:
+        raise ValueError(f"test_pct {test_pct} not in [0, 100]")
+    from ..functions.hashes import splitmix64
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (splitmix64(k.view(np.uint64)) % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < test_pct, "test", "train")
+        return batch.append_column(
+            "bucket", pa.array(bucket, type=pa.int64())
+        ).append_column(out_col, pa.array(split, type=pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def range_join_window(
     ds: ray.data.Dataset,
     left_type: str,

@@ -758,3 +758,84 @@ class TestVectorizedSignatures:
         sigs = ((votes > 0).astype(np.uint64) * pow2[None, :]).sum(axis=1, dtype=np.uint64)
         for i in range(nb):
             assert int(sigs[i]) == simhash64(th[parents == i]), i
+
+
+class TestRepetitionStats:
+    def test_repetition_signals_vs_hand_counts(self):
+        from flatnav_ray.functions.textstats import repetition_stats
+
+        t = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "a b a b a b",        # 6 toks, 2 distinct; 'a b' x3 of 5 bigrams
+                        "x y z",              # all distinct, each bigram once
+                        "solo",               # 1 token: no bigrams
+                        "",                   # empty
+                        "w w w w",            # one token repeated
+                    ]
+                )
+            }
+        )
+        r = repetition_stats(t)
+        assert r.column("n_tokens").to_pylist() == [6, 3, 1, 0, 4]
+        dup = r.column("dup_token_frac").to_pylist()
+        assert dup[0] == (6 - 2) / 6
+        assert dup[1] == 0.0
+        assert dup[2] == 0.0
+        assert dup[3] == 0.0
+        assert dup[4] == (4 - 1) / 4
+        bg = r.column("top_bigram_frac").to_pylist()
+        assert bg[0] == (2.0 * 3) / 6   # 'a b' occurs 3x
+        assert bg[1] == (2.0 * 1) / 3
+        assert bg[2] == 0.0 and bg[3] == 0.0
+        assert bg[4] == (2.0 * 3) / 4   # 'w w' occurs 3x
+
+    def test_repetition_bigrams_do_not_cross_docs(self):
+        from flatnav_ray.functions.textstats import repetition_stats
+
+        # 'b a' would only exist across the doc boundary
+        t = pa.table({"text": pa.array(["a b", "a b"])})
+        r = repetition_stats(t)
+        assert r.column("top_bigram_frac").to_pylist() == [1.0, 1.0]
+
+
+class TestHashSplit:
+    def test_split_deterministic_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.stages.relational import hash_split
+
+        ids = pa.table({"doc_id": pa.array(list(range(2000)), type=pa.int64())})
+        a = (
+            hash_split(ray.data.from_arrow(ids), test_pct=10)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_split(ray.data.from_arrow(ids).repartition(7), test_pct=10)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (a["split"] == b["split"]).all()
+        assert (a["bucket"] == b["bucket"]).all()
+        frac = (a["split"] == "test").mean()
+        assert 0.05 < frac < 0.15  # ~10% with hash variance
+        assert set(a["bucket"]) <= set(range(100))
+
+    def test_split_matches_scalar_splitmix(self, ray_session):
+        import ray.data
+
+        from flatnav_ray.functions.hashes import splitmix64
+        from flatnav_ray.stages.relational import hash_split
+
+        ids = pa.table({"doc_id": pa.array([0, 1, 42, 999999], type=pa.int64())})
+        out = (
+            hash_split(ray.data.from_arrow(ids), test_pct=50)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        want = splitmix64(np.array([0, 1, 42, 999999], dtype=np.uint64)) % np.uint64(100)
+        assert list(out["bucket"]) == [int(w) for w in want]
