@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_tfidf": d.bm25_topk_tfidf,     # alternate scorer (M7)
         "bm25_topk_lmd": d.bm25_topk_lmd,         # LM Dirichlet (cf-based, 3rd scorer)
         "bm25_topk_rescored": d.bm25_topk_rescored,  # two-pass rescore window
+        "bm25_topk_fielded": d.bm25_topk_fielded,    # BM25F weighted-field index
         "bm25_topk_compacted": d.bm25_topk_compacted,  # merge_indexes path (S8)
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
         "bm25_topk_deleted": d.bm25_topk_deleted,  # tombstone deletes (live stats)
@@ -406,6 +407,31 @@ def oracle_sql() -> dict[str, str]:
         "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), ",
     )
     assert lmd_sql != bm25_sql and "cf AS" in lmd_sql and "greatest" in lmd_sql
+    # BM25F integer-weight fielded index == plain BM25 over the weighted
+    # pseudo-document toks2 = first-8-tokens || toks (title 2x, body 1x).
+    # df is UNCHANGED by the duplication (doc membership is), so the qt
+    # query-derivation CTE stays on the original terms — identical queries
+    # to bm25_topk (the engine derives them from the base index).
+    fielded_sql = (
+        f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
+        "t2 AS (SELECT doc_id, tk[1:8] || tk AS toks2 FROM t), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM "
+        "(SELECT doc_id, unnest(toks2) AS term FROM t2) GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, len(toks2) AS dl FROM t2), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, "
+        "(SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "scored AS (SELECT qt.query_id, tf.doc_id, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM qt JOIN tf ON tf.term = qt.term JOIN df ON df.term = qt.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
     # two-pass rescore (Lucene/ES rescore window): bm25 top-30 window,
     # exact tfidf second pass on those pairs, final = 1.0*bm25 + 2.0*tfidf
     # re-ranked WITHIN the window (docs outside can never enter).
@@ -1111,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_tfidf": tfidf_sql,
         "bm25_topk_lmd": lmd_sql,
         "bm25_topk_rescored": rescored_sql,
+        "bm25_topk_fielded": fielded_sql,
         "bm25_topk_compacted": bm25_sql,
         "bm25_topk_incremental": bm25_sql,
         "bm25_topk_deleted": deleted_sql,

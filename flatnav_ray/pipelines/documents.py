@@ -1153,6 +1153,49 @@ def bm25_topk_stopfilter(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_fielded(sf_dir: str, k: int = 10, title_len: int = 8) -> pa.Table:
+    """BM25F-style fielded indexing (Lucene/ES combined_fields with integer
+    weights): title = the doc's first `title_len` analyzed tokens, weighted
+    2×, body 1×. Integer-weight BM25F over (title, body) is EXACTLY BM25
+    over the weighted pseudo-document `title + full_text` (field tf and
+    length both scale with the repetition — Robertson et al., "Simple BM25
+    extension to multiple weighted fields", CIKM 2004), so the index is
+    built over that transform and everything downstream (stats, WAND
+    bounds, oracle SQL: toks[1:8] || toks) is ordinary BM25. Vectorized
+    reassembly: one tokenize+explode, ListArray slice, binary_join."""
+    from ..functions.tokenize import token_positions
+
+    def _fielded(b: pa.Table) -> pa.Table:
+        texts = b.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parents, flat, pos = token_positions(texts)
+        n = len(texts)
+        sel = pos < title_len
+        tp, tflat = parents[sel], flat.filter(pa.array(sel))
+        t_counts = np.zeros(n, dtype=np.int64)
+        np.add.at(t_counts, tp, 1)
+        t_offsets = np.r_[0, np.cumsum(t_counts)]
+        title_list = pa.ListArray.from_arrays(
+            pa.array(t_offsets, type=pa.int32()), tflat
+        )
+        title_str = pc.binary_join(title_list, " ")
+        weighted = pc.binary_join_element_wise(title_str, texts, " ")
+        return b.set_column(b.schema.get_field_index("text"), "text", weighted)
+
+    cfg = IndexConfig(num_partitions=8)
+    ix = _index_dir_for(sf_dir, cfg) + "-fielded"
+    if not os.path.exists(os.path.join(ix, "stats.json")):
+        build_index(
+            documents_as_pages(sf_dir).map_batches(_fielded, batch_format="pyarrow"),
+            ix, cfg, resume=False,
+        )
+    queries = derived_queries(build_documents_index(sf_dir))
+    out = search_to_table(ix, queries, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def prefix_hit_counts(sf_dir: str) -> pa.Table:
     """Wildcard `term*` queries: per prefix (first 3 chars of the top-10
     df-ranked terms), count docs containing ANY term with that prefix —
