@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": d.more_like_this,       # MLT: top tf-idf terms -> search, self excluded
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
+        "percolate_matches": d.percolate_matches,  # reverse search (stored queries)
         "bm25_len_histogram": d.bm25_len_histogram,  # numeric range facet (doc_len buckets)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
@@ -770,6 +771,20 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY 1, 2 ORDER BY 1, 2",
     )
     assert lenhist_sql != facets_sql and "bucket" in lenhist_sql
+    # percolator: doc matches stored 2-term query iff it contains BOTH
+    # distinct terms (conjunctive MUST) — count(DISTINCT term) == per-query
+    # required count handles a query whose two df-ranks share one term
+    percolate_sql = (
+        f"WITH df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id % 10 AS query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "need AS (SELECT query_id, count(DISTINCT term) AS n FROM qt GROUP BY 1), "
+        f"dt AS (SELECT DISTINCT doc_id, term FROM ({terms})), "
+        "hit AS (SELECT qt.query_id, dt.doc_id, count(DISTINCT dt.term) AS c "
+        "FROM qt JOIN dt ON dt.term = qt.term GROUP BY 1, 2) "
+        "SELECT h.doc_id, h.query_id FROM hit h JOIN need n ON n.query_id = h.query_id "
+        "WHERE h.c = n.n ORDER BY h.doc_id, h.query_id"
+    )
     hits_sql = facets_sql.replace(
         "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
         "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
@@ -1124,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_phrase": phrase_sql,
         "bm25_facets": facets_sql,
         "bm25_len_histogram": lenhist_sql,
+        "percolate_matches": percolate_sql,
         "bm25_hit_counts": hits_sql,
         "bm25_collapse_lang": collapse_sql,
         "prefix_hit_counts": prefix_sql,

@@ -249,3 +249,73 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ]:
         out = out.append_column(name, pa.array(arr, type=typ))
     return out
+
+
+class Percolator:
+    """Reverse search (the Lucene/ES percolator): a SMALL set of stored
+    queries matched against a STREAM of documents — `map_batches` callable
+    class, stored-query state compiled once per actor in __init__ (the
+    actor-pool pattern for stateful stages).
+
+    A document matches a stored query iff it contains EVERY distinct query
+    term (conjunctive percolation — BooleanQuery MUST semantics). Matching
+    is fully vectorized: the union vocabulary of all stored queries is
+    mapped to bit positions; each doc folds its tokens into a per-doc
+    bitmask (np.bitwise_or.at over uint64 words) and a query matches when
+    doc_mask & query_mask == query_mask. O(tokens + docs × words), no
+    per-row Python.
+
+    Emits (doc_id, query_id) pairs sorted within the batch."""
+
+    def __init__(self, queries: list[tuple[int, list[str]]]):
+        vocab: dict[str, int] = {}
+        self._qids: list[int] = []
+        qterms: list[list[int]] = []
+        for qid, terms in queries:
+            idxs = []
+            for t in sorted(set(terms)):
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+                idxs.append(vocab[t])
+            self._qids.append(int(qid))
+            qterms.append(idxs)
+        self._vocab_arr = pa.array(sorted(vocab, key=vocab.get), type=pa.string())
+        self._n_words = max(1, (len(vocab) + 63) // 64)
+        self._qmasks = np.zeros((len(queries), self._n_words), dtype=np.uint64)
+        for qi, idxs in enumerate(qterms):
+            for ix in idxs:
+                self._qmasks[qi, ix // 64] |= np.uint64(1) << np.uint64(ix % 64)
+        # a stored query with no terms matches nothing (mask 0 would match all)
+        self._nonempty = self._qmasks.any(axis=1)
+
+    def __call__(self, batch: pa.Table, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n = len(texts)
+        parents, toks = explode_tokens(texts)
+        masks = np.zeros((n, self._n_words), dtype=np.uint64)
+        if parents.size:
+            hit = pc.index_in(toks, value_set=self._vocab_arr)
+            ok = pc.is_valid(hit).to_numpy(zero_copy_only=False)
+            idx_ok = (
+                pc.filter(hit, pa.array(ok))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            par_ok = parents[ok]
+            bits = (np.uint64(1) << (idx_ok % 64).astype(np.uint64))
+            np.bitwise_or.at(masks, (par_ok, (idx_ok // 64)), bits)
+        # doc x query conjunctive containment: AND over words
+        m = (masks[:, None, :] & self._qmasks[None, :, :]) == self._qmasks[None, :, :]
+        match = m.all(axis=2) & self._nonempty[None, :]
+        di, qi = np.nonzero(match)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        qids = np.asarray(self._qids, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[di], type=pa.int64()),
+                "query_id": pa.array(qids[qi], type=pa.int64()),
+            }
+        )

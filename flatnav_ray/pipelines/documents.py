@@ -1057,6 +1057,29 @@ def _multi_term_queries(ix: str) -> pa.Table:
     )
 
 
+def percolate_matches(sf_dir: str) -> pa.Table:
+    """Reverse search (the Lucene/ES percolator): the 10 stored 2-term
+    queries are compiled ONCE per actor (functions/textstats.Percolator) and
+    the document corpus STREAMS through map_batches — a doc matches a stored
+    query iff it contains every distinct query term (MUST semantics). The
+    100-TB shape: stored queries are tiny actor state, docs never shuffle.
+    Output: (doc_id, query_id) match pairs."""
+    from ..functions.textstats import Percolator
+    from ..functions.tokenize import tokenize_py
+
+    ix = build_documents_index(sf_dir)
+    qt = _multi_term_queries(ix)
+    stored = [
+        (int(q), tokenize_py(t))
+        for q, t in zip(qt.column("query_id").to_pylist(), qt.column("text").to_pylist())
+    ]
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        Percolator, batch_format="pyarrow", concurrency=4,
+        fn_constructor_kwargs={"queries": stored},
+    )
+    return _concat(ds).sort_by([("doc_id", "ascending"), ("query_id", "ascending")])
+
+
 def bm25_facets(sf_dir: str) -> pa.Table:
     """Faceted search: per 2-term query, matching-doc counts per language
     over the FULL match set (the aggregations surface of a fulltext engine).

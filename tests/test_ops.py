@@ -839,3 +839,53 @@ class TestHashSplit:
         )
         want = splitmix64(np.array([0, 1, 42, 999999], dtype=np.uint64)) % np.uint64(100)
         assert list(out["bucket"]) == [int(w) for w in want]
+
+
+class TestPercolator:
+    def test_conjunctive_matches_hand_counts(self):
+        from flatnav_ray.functions.textstats import Percolator
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma",
+                        "alpha delta",
+                        "beta beta alpha",
+                        "unrelated words only",
+                    ]
+                ),
+            }
+        )
+        p = Percolator(
+            queries=[(0, ["alpha", "beta"]), (1, ["delta"]), (2, ["alpha"]), (3, [])]
+        )
+        out = p(docs)
+        pairs = sorted(
+            zip(out.column("doc_id").to_pylist(), out.column("query_id").to_pylist())
+        )
+        assert pairs == [(1, 0), (1, 2), (2, 1), (2, 2), (3, 0), (3, 2)]
+
+    def test_vocab_beyond_64_terms_multiword_masks(self):
+        from flatnav_ray.functions.textstats import Percolator
+
+        # 150 distinct terms -> 3 uint64 mask words; one query needs terms
+        # from different words
+        terms = [f"t{i:03d}" for i in range(150)]
+        queries = [(0, [terms[3], terms[70], terms[140]]), (1, [terms[149]])]
+        p = Percolator(queries=queries)
+        docs = pa.table(
+            {
+                "doc_id": pa.array([10, 11], type=pa.int64()),
+                "text": pa.array(
+                    [" ".join([terms[3], terms[70], terms[140], "x"]),
+                     " ".join([terms[3], terms[70], terms[149]])]
+                ),
+            }
+        )
+        out = p(docs)
+        pairs = sorted(
+            zip(out.column("doc_id").to_pylist(), out.column("query_id").to_pylist())
+        )
+        assert pairs == [(10, 0), (11, 1)]
