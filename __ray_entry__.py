@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
         "bm25_facets": d.bm25_facets,             # per-lang match counts (aggregations)
         "percolate_matches": d.percolate_matches,  # reverse search (stored queries)
+        "fetch_stored_docs": d.fetch_stored_docs,   # stored-fields get-by-id
         "bm25_len_histogram": d.bm25_len_histogram,  # numeric range facet (doc_len buckets)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
@@ -1140,6 +1141,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_facets": facets_sql,
         "bm25_len_histogram": lenhist_sql,
         "percolate_matches": percolate_sql,
+        # stored fields: docmap rows for the strided-sample ids; url is the
+        # documents->pages adapter reconstruction, doc_len the analyzed count
+        "fetch_stored_docs": (
+            f"SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS url, "
+            f"len({_TOKS}) AS doc_len, lang FROM documents "
+            "WHERE doc_id % 20 = 3 ORDER BY doc_id"
+        ),
         "bm25_hit_counts": hits_sql,
         "bm25_collapse_lang": collapse_sql,
         "prefix_hit_counts": prefix_sql,

@@ -1057,6 +1057,22 @@ def _multi_term_queries(ix: str) -> pa.Table:
     )
 
 
+def fetch_stored_docs(sf_dir: str, modulus: int = 20, residue: int = 3) -> pa.Table:
+    """Stored-fields retrieval (Lucene StoredFields.document): the strided
+    sample's ids fetched BACK from the index's own docmaps — owner-routed
+    pruned reads, no corpus scan. Oracle: documents rows with the adapter's
+    url reconstruction (source || '/' || doc_id)."""
+    from .query import fetch_docs
+
+    ix = build_documents_index(sf_dir)
+    docs = _docs(sf_dir).select_columns(["doc_id"])
+    ids = [
+        i for i in _concat(docs).column("doc_id").to_pylist()
+        if i % modulus == residue
+    ]
+    return fetch_docs(ix, ids)
+
+
 def percolate_matches(sf_dir: str) -> pa.Table:
     """Reverse search (the Lucene/ES percolator): the 10 stored 2-term
     queries are compiled ONCE per actor (functions/textstats.Percolator) and

@@ -17,6 +17,8 @@ For repeated query batches over one index use stages.search.SearchSession
 
 from __future__ import annotations
 
+import os
+
 import ray
 import ray.data
 import pyarrow as pa
@@ -296,6 +298,58 @@ def explain_to_table(
     return out.sort_by(
         [("query_id", "ascending"), ("doc_id", "ascending"), ("term", "ascending")]
     )
+
+
+def fetch_docs(index_dir: str, doc_ids) -> pa.Table:
+    """Stored-fields retrieval by id (Lucene IndexReader.document /
+    StoredFields.document): resolve doc_ids to their docmap rows
+    (doc_id, url, doc_len, lang) — one pruned-read Ray task per OWNING
+    partition (doc_id % P), the id set broadcast once via ray.put. O(ids),
+    never a corpus scan; absent ids are silently omitted (Lucene's deleted /
+    never-indexed semantics). Requires the hash docid_strategy."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.build import docmap_path
+    from ..state.stats import load_stats
+
+    stats = load_stats(index_dir)
+    if stats.get("docid_strategy", "hash") != "hash":
+        raise ValueError("fetch_docs requires the hash docid_strategy")
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if ids.size == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "url": pa.array([], type=pa.string()),
+                "doc_len": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+            }
+        )
+    num_p = int(stats["num_partitions"])
+    owner = ids % num_p
+    ids_ref = ray.put(ids)
+
+    def _one(index_dir: str, p: int, want) -> pa.Table:
+        dm = pq.read_table(docmap_path(index_dir, p))
+        return dm.filter(pc.is_in(dm.column("doc_id"), value_set=pa.array(want)))
+
+    task = ray.remote(num_cpus=1)(_one)
+    futs = [
+        task.remote(index_dir, int(p), ids_ref)
+        for p in sorted(set(int(x) for x in owner))
+        if os.path.exists(docmap_path(index_dir, int(p)))
+    ]
+    out = pa.concat_tables(ray.get(futs)) if futs else None
+    if out is None or len(out) == 0:
+        return fetch_docs(index_dir, [])
+    out = out.set_column(
+        out.schema.get_field_index("doc_len"),
+        "doc_len",
+        out.column("doc_len").cast(pa.int64()),
+    )
+    return out.select(["doc_id", "url", "doc_len", "lang"]).sort_by("doc_id")
 
 
 def rescore_topk(
