@@ -129,6 +129,43 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone deletes (the Lucene deleteDocuments surface): by url list,
+    by id list, or by query text (--query). O(delete-set) tombstone write —
+    no index rewrite; `compact` reclaims the space physically."""
+    from .pipelines.ingest import delete_by_query, delete_documents
+
+    _ray_init()
+    t0 = time.perf_counter()
+    if args.query:
+        n = delete_by_query(args.index, args.query)
+    elif args.ids:
+        n = delete_documents(args.index, doc_ids=[int(x) for x in args.ids])
+    else:
+        n = delete_documents(args.index, urls=args.urls)
+    print(json.dumps({"stage": "delete", "tombstoned": int(n),
+                      "sec": round(time.perf_counter() - t0, 2)}))
+    return 0
+
+
+def cmd_fetch(args) -> int:
+    """Stored-fields get-by-id (Lucene StoredFields.document): docmap rows
+    for the given doc_ids, owner-routed pruned reads."""
+    from .pipelines.query import fetch_docs
+
+    _ray_init()
+    out = fetch_docs(args.index, [int(x) for x in args.ids])
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(out, args.out)
+        print(json.dumps({"stage": "fetch", "rows": len(out), "out": args.out}))
+    else:
+        for row in out.to_pylist():
+            print(json.dumps(row))
+    return 0
+
+
 def _vectors_dataset(path: str):
     """Parquet dir/file or packed vector file -> Dataset(vec_id, embedding)."""
     import ray.data
@@ -251,6 +288,19 @@ def main(argv=None) -> int:
     c.add_argument("--src", nargs="+", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("index")
+    dl.add_argument("--urls", nargs="*", default=None)
+    dl.add_argument("--ids", nargs="*", default=None)
+    dl.add_argument("--query", default=None)
+    dl.set_defaults(fn=cmd_delete)
+
+    ft = sub.add_parser("fetch")
+    ft.add_argument("index")
+    ft.add_argument("--ids", nargs="+", required=True)
+    ft.add_argument("--out", default=None)
+    ft.set_defaults(fn=cmd_fetch)
 
     ab = sub.add_parser("ann-build")
     ab.add_argument("--vectors", required=True,
