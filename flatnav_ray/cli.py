@@ -290,14 +290,14 @@ def main(argv=None) -> int:
     c.set_defaults(fn=cmd_compact)
 
     dl = sub.add_parser("delete")
-    dl.add_argument("index")
+    dl.add_argument("--index", required=True)
     dl.add_argument("--urls", nargs="*", default=None)
     dl.add_argument("--ids", nargs="*", default=None)
     dl.add_argument("--query", default=None)
     dl.set_defaults(fn=cmd_delete)
 
     ft = sub.add_parser("fetch")
-    ft.add_argument("index")
+    ft.add_argument("--index", required=True)
     ft.add_argument("--ids", nargs="+", required=True)
     ft.add_argument("--out", default=None)
     ft.set_defaults(fn=cmd_fetch)
