@@ -345,6 +345,19 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     docp.bm25_topk(sf_dir)
     timings["bm25_topk_documents"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    docp.bm25_topk_rescored(sf_dir)
+    timings["bm25_rescored"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.percolate_matches(sf_dir)
+    timings["percolate"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.docs_split(sf_dir)
+    docp.doc_repetition(sf_dir)
+    timings["split_repetition"] = time.perf_counter() - t0
+
     ray.shutdown()
     return {
         "metric": "flatnav-ft build docs/sec + query qps (top-10 BM25) + operator suite",

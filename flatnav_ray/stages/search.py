@@ -2186,6 +2186,14 @@ class SearchSession:
 
             from ..state.stats import load_stats as _ls
 
+            if len(getattr(self, "index_dirs", [self.index_dir])) > 1:
+                # stacked stacks shadow upserts/tombstones per shard; a
+                # driver-side cf sum over generations would double-count
+                # shadowed docs — compact first to use a cf-based scorer
+                raise ValueError(
+                    f"scorer {query_cfg.scorer!r} is unsupported on a "
+                    "generation stack; compact the index first"
+                )
             st = _ls(self.index_dir)
             plan = dataclasses.replace(
                 plan,

@@ -118,3 +118,22 @@ def test_lmd_scores_nonnegative_and_sorted(lmd_index):
     out = search_to_table(ix, queries, QueryConfig(k=8, scorer="lmd"))
     sc = np.asarray(out.column("score").to_pylist())
     assert (sc >= 0.0).all()
+
+
+def test_lmd_rejected_on_generation_stack(ray_session, small_corpus, tmp_path_factory):
+    """cf over a stack would double-count shadowed docs — must raise."""
+    import ray.data
+
+    from flatnav_ray.pipelines.ingest import add_documents, open_session
+
+    pages, queries = small_corpus
+    ix = str(tmp_path_factory.mktemp("lmdstack") / "main")
+    half = len(pages) // 2
+    build_index(ray.data.from_arrow(pages.slice(0, half)), ix, IndexConfig(num_partitions=4))
+    add_documents(ix, ray.data.from_arrow(pages.slice(half)), mode="stack")
+    sess = open_session(ix, num_actors=2)
+    try:
+        with pytest.raises(ValueError, match="generation stack"):
+            sess.search(queries.slice(0, 2), QueryConfig(k=5, scorer="lmd"))
+    finally:
+        sess.shutdown()
