@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": d.top_docs_per_lang,
         "docs_sample": d.docs_sample,
         "docs_split": d.docs_split,               # deterministic hash train/test split
+        "mixture_sample": d.mixture_sample,       # per-source token-budget mixture cut
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
@@ -275,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_stream": d.minhash_clusters_stream,  # Dataset label path
         "simhash_dups_stream": d.simhash_dups_stream,          # Dataset label path
         "fingerprints": d.fingerprints,
+        "decontam_overlap": d.decontam_overlap,   # benchmark n-gram decontamination
         # embeddings / similarity search
         "knn_cosine": d.knn_cosine,
         "knn_l2": d.knn_l2,
@@ -315,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_stored_docs": d.fetch_stored_docs,   # stored-fields get-by-id
         "bm25_len_histogram": d.bm25_len_histogram,  # numeric range facet (doc_len buckets)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
+        "bm25_match_stats": d.bm25_match_stats,   # stats agg over the match set
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
@@ -960,6 +963,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN h64 % 100 < 10 THEN 'test' ELSE 'train' END AS split "
             "FROM h ORDER BY doc_id"
         ),
+        # token-budget mixture sampling: per source, keep the
+        # (splitmix64(doc_id), doc_id)-ordered prefix whose inclusive
+        # whitespace-token cumsum fits the 400-token budget — bit-exact
+        # splitmix replica + window cumsum
+        "mixture_sample": (
+            "WITH tc AS (SELECT doc_id, source, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents), "
+            "hh AS (SELECT doc_id, source, n_tokens, "
+            + _sm_cols_sql("doc_id::UBIGINT", "h64", "mx")
+            + " FROM tc), "
+            "c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER "
+            "(PARTITION BY source ORDER BY h64, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM hh) "
+            "SELECT doc_id, source, n_tokens FROM c WHERE cum <= 400 "
+            "ORDER BY doc_id"
+        ),
         # Gopher repetition signals (token-level): dup_token_frac =
         # (n_tokens - n_distinct)/n_tokens; top_bigram_frac = 2.0*maxc/n —
         # identical float-op association as repetition_stats
@@ -1050,6 +1069,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard "
             "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2 ORDER BY doc_a, doc_b"
+        ),
+        "decontam_overlap": (
+            # same 4-gram construction as the engine's token_shingles
+            # (distinct per doc; hashed engine-side — 64-bit collisions are
+            # negligible at this shingle count); benchmark slice is
+            # doc_id % 31 == 0, pooled DISTINCT n-grams; flagged docs carry
+            # their distinct-overlap count
+            f"WITH toksl AS (SELECT doc_id, {toks} AS t FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] "
+            "FOR i IN generate_series(1, len(t)-3)]) AS s FROM toksl WHERE len(t) >= 4), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0) "
+            "SELECT c.doc_id, count(*) AS n_overlap FROM sh c JOIN bench USING (s) "
+            "WHERE c.doc_id % 31 <> 0 GROUP BY c.doc_id ORDER BY c.doc_id"
         ),
         "knn_cosine": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "
@@ -1149,6 +1181,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 20 = 3 ORDER BY doc_id"
         ),
         "bm25_hit_counts": hits_sql,
+        # stats aggregation over the match set: exact integer count/min/max/
+        # sum of dl (same analyzer token count) + one final exact-int
+        # division for the mean (IEEE-identical on both engines)
+        "bm25_match_stats": facets_sql.replace(
+            "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+            "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
+            f", dl AS (SELECT doc_id, len({toks}) AS dl FROM documents) "
+            "SELECT m.query_id, count(*) AS n_docs, min(dl.dl) AS dl_min, "
+            "max(dl.dl) AS dl_max, CAST(sum(dl.dl) AS BIGINT) AS dl_sum, "
+            "CAST(sum(dl.dl) AS DOUBLE) / count(*) AS dl_avg "
+            "FROM matches m JOIN dl ON dl.doc_id = m.doc_id "
+            "GROUP BY 1 ORDER BY 1",
+        ),
         "bm25_collapse_lang": collapse_sql,
         "prefix_hit_counts": prefix_sql,
         "infix_hit_counts": infix_sql,

@@ -169,6 +169,35 @@ def simhash_dups(sf_dir: str) -> pa.Table:
     return simhash_clusters(_docs(sf_dir))
 
 
+def decontam_overlap(sf_dir: str, n: int = 4) -> pa.Table:
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher / LLaMA
+    n-gram-overlap pattern): the held-out 'benchmark' slice is
+    doc_id % 31 == 0; every OTHER doc sharing >= 1 distinct word n-gram
+    with the benchmark's pooled n-gram set is flagged with its
+    distinct-overlap count. Real decontamination runs n=8..13 against
+    megabyte-scale benchmarks; n=4 exercises the same machinery at the
+    synthetic corpus's overlap density. Broadcast path here (benchmark
+    shingles ship once via ray.put); the shuffle-join cutover is
+    pytest-equality-covered (tests/test_decontam.py)."""
+    from ..stages.decontam import benchmark_overlap
+
+    def _bench(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 31 == 0))
+
+    def _corpus(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 31 != 0))
+
+    docs = _docs(sf_dir)
+    out = benchmark_overlap(
+        docs.map_batches(_corpus, batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(_bench, batch_format="pyarrow", zero_copy_batch=True),
+        n=n,
+    )
+    return _concat(out).sort_by("doc_id")
+
+
 def minhash_clusters_stream(sf_dir: str):
     """Dataset-returning minhash clustering (the 100-TB return path): labels
     stream back onto the corpus via a distributed left-outer join and never
@@ -214,6 +243,19 @@ def docs_split(sf_dir: str, test_pct: int = 10) -> pa.Table:
     ds = _docs(sf_dir).select_columns(["doc_id"])
     out = _concat(hash_split(ds, test_pct=test_pct))
     return out.sort_by("doc_id")
+
+
+def mixture_sample(sf_dir: str, budget: int = 400) -> pa.Table:
+    """Token-budget mixture sampling (stages/mixture.token_budget_sample):
+    per source, keep the (splitmix64(doc_id), doc_id)-ordered prefix of docs
+    whose inclusive whitespace-token cumsum fits the budget — the data-
+    mixture composition step (Pile/Dolma static source weights). Exact
+    two-pass histogram cut; nothing group-sized touches the driver."""
+    from ..stages.mixture import token_budget_sample
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source", "text"])
+    out = token_budget_sample(ds, budget=budget)
+    return _concat(out).sort_by("doc_id")
 
 
 def doc_repetition(sf_dir: str) -> pa.Table:
@@ -1129,6 +1171,16 @@ def bm25_hit_counts(sf_dir: str) -> pa.Table:
         {"query_id": g.column("query_id"), "n_docs": g.column("n_docs_sum")}
     )
     return out.sort_by("query_id")
+
+
+def bm25_match_stats(sf_dir: str) -> pa.Table:
+    """ES `stats`-aggregation analog: per 2-term query, exact integer
+    doc_len stats (count/min/max/sum) over the FULL match set plus the
+    derived mean. Per-shard partials merge exactly (disjoint docs)."""
+    from .query import match_stats
+
+    ix = build_documents_index(sf_dir)
+    return match_stats(ix, _multi_term_queries(ix))
 
 
 def bm25_topk_filtered(sf_dir: str, k: int = 10) -> pa.Table:

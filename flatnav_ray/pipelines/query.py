@@ -238,6 +238,68 @@ def facet_counts(
     return out.sort_by([("query_id", "ascending"), (fcol, "ascending")])
 
 
+def match_stats(
+    index_dir: str, queries: pa.Table, concurrency: int = 8
+) -> pa.Table:
+    """Per-query doc_len stats over the FULL match set (the ES `stats`
+    aggregation): (query_id, n_docs, dl_min, dl_max, dl_sum, dl_avg).
+    Per-shard integer partials merge with sum/min/max/sum (exact under
+    disjoint doc partitioning); dl_avg divides the exact integers once at
+    the end, so even the float column hash-matches the SQL oracle."""
+    from ..stages.search import ShardMatchStats
+
+    plan, stats = plan_for(index_dir, queries, k=1)
+    plan_ref = ray.put(plan)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, len(parts), ncpu))
+    partials = ray.data.from_items(parts).map_batches(
+        ShardMatchStats,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (conc * 2) or 1),
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "block_size": int(stats["block_size"]),
+        },
+    )
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64()),
+            "dl_min": pa.array([], type=pa.int64()),
+            "dl_max": pa.array([], type=pa.int64()),
+            "dl_sum": pa.array([], type=pa.int64()),
+            "dl_avg": pa.array([], type=pa.float64()),
+        }
+    )
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["query_id"]).aggregate(
+        [("n_docs", "sum"), ("dl_min", "min"), ("dl_max", "max"), ("dl_sum", "sum")]
+    )
+    import numpy as np
+
+    n = g.column("n_docs_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = g.column("dl_sum_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    out = pa.table(
+        {
+            "query_id": g.column("query_id"),
+            "n_docs": g.column("n_docs_sum"),
+            "dl_min": g.column("dl_min_min"),
+            "dl_max": g.column("dl_max_max"),
+            "dl_sum": g.column("dl_sum_sum"),
+            "dl_avg": pa.array(s.astype(np.float64) / n, type=pa.float64()),
+        }
+    )
+    return out.sort_by("query_id")
+
+
 def explain_to_table(
     index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None
 ) -> pa.Table:

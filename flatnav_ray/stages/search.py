@@ -945,6 +945,52 @@ class _ShardState:
             }
         )
 
+    def match_stats(self, plan: QueryPlan) -> pa.Table:
+        """Per query, exact INTEGER doc_len statistics over the FULL match
+        set (the ES `stats` aggregation surface): (n_docs, dl_min, dl_max,
+        dl_sum). Shards partition docs disjointly, so the cross-shard merge
+        is sum / min / max / sum — all int64-exact, hash-checkable; the
+        derived mean divides once at the very end (one IEEE division on
+        exact integers, identical on both engines)."""
+        scorer = SCORERS["bm25"]  # contrib cache reused; scores ignored
+        q_out: list[int] = []
+        n_out: list[int] = []
+        mn_out: list[int] = []
+        mx_out: list[int] = []
+        sm_out: list[int] = []
+        for qi in range(plan.query_ids.size):
+            pos_lists = []
+            for term, _qtf in plan.query_terms[qi]:
+                if plan.term_idf.get(term, 0.0) <= 0.0:
+                    continue
+                hit = self.term_contrib(term, plan, scorer)
+                if hit is not None:
+                    pos_lists.append(hit[0])
+            if not pos_lists:
+                continue
+            cand = (
+                pos_lists[0]
+                if len(pos_lists) == 1
+                else np.unique(np.concatenate(pos_lists))
+            )
+            if cand.size == 0:
+                continue
+            dls = self.docmap_lens[cand]
+            q_out.append(int(plan.query_ids[qi]))
+            n_out.append(int(cand.size))
+            mn_out.append(int(dls.min()))
+            mx_out.append(int(dls.max()))
+            sm_out.append(int(dls.sum()))
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "n_docs": pa.array(n_out, type=pa.int64()),
+                "dl_min": pa.array(mn_out, type=pa.int64()),
+                "dl_max": pa.array(mx_out, type=pa.int64()),
+                "dl_sum": pa.array(sm_out, type=pa.int64()),
+            }
+        )
+
     def collapse_best(self, plan: QueryPlan, scorer, facet: str = "lang") -> pa.Table:
         """Field collapsing (the ES `collapse` surface): per query and facet
         value, the single BEST-scoring matching doc (score desc, doc_id-asc
@@ -1619,6 +1665,52 @@ class ShardFacets:
                     "query_id": pa.array([], type=pa.int64()),
                     self.facet: pa.array([], type=pa.string()),
                     "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+
+class ShardMatchStats:
+    """Dataset-mode match-set stats stage (actor pool over partition ids,
+    like ShardFacets): per-shard `_ShardState.match_stats` partials; callers
+    merge per query with sum/min/max/sum — exact under disjoint doc
+    partitioning."""
+
+    def __init__(self, index_dir: str, plan_ref, block_size: int):
+        import ray
+
+        self.index_dir = index_dir
+        self.plan: QueryPlan = (
+            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
+        )
+        self.block_size = block_size
+        self._states: dict[int, _ShardState] = {}
+        self._needed_terms = sorted(self.plan.term_idf.keys())
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            outs.append(self._state(part).match_stats(self.plan))
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "dl_min": pa.array([], type=pa.int64()),
+                    "dl_max": pa.array([], type=pa.int64()),
+                    "dl_sum": pa.array([], type=pa.int64()),
                 }
             )
         return pa.concat_tables(outs)
