@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": d.docs_sample,
         "docs_split": d.docs_split,               # deterministic hash train/test split
         "mixture_sample": d.mixture_sample,       # per-source token-budget mixture cut
+        "gopher_filter": d.gopher_filter,         # composite integer-exact quality gate
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
@@ -318,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_len_histogram": d.bm25_len_histogram,  # numeric range facet (doc_len buckets)
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "bm25_match_stats": d.bm25_match_stats,   # stats agg over the match set
+        "bm25_significant_terms": d.bm25_significant_terms,  # overrepresented terms
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
@@ -765,6 +767,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
         "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2"
     )
+    # significant terms: same match set; per (query, term) foreground df,
+    # background lift = (match_df::DOUBLE * N) / (match_n::DOUBLE * df) —
+    # two float64 products + ONE division, same association as the engine.
+    # top 5 per query by (lift desc, term asc).
+    sig_terms_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 20), "
+        "matches AS (SELECT DISTINCT qt.query_id % 10 AS query_id, tf.doc_id "
+        "FROM qt JOIN tf ON tf.term = qt.term), "
+        "mn AS (SELECT query_id, count(*) AS match_n FROM matches GROUP BY 1), "
+        "mt AS (SELECT m.query_id, t.term, count(DISTINCT t.doc_id) AS match_df "
+        "FROM matches m JOIN tf t ON t.doc_id = m.doc_id GROUP BY 1, 2), "
+        "nn AS (SELECT count(*) AS n FROM documents), "
+        "sc AS (SELECT mt.query_id, mt.term, mt.match_df, mn.match_n, df.df, "
+        "(CAST(mt.match_df AS DOUBLE) * nn.n) / (CAST(mn.match_n AS DOUBLE) * df.df) AS lift "
+        "FROM mt JOIN mn USING (query_id) JOIN df ON df.term = mt.term CROSS JOIN nn) "
+        "SELECT query_id, term, match_df, match_n, df, lift FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY lift DESC, term ASC) AS rn FROM sc) "
+        "WHERE rn <= 5 ORDER BY query_id, lift DESC, term"
+    )
     # numeric range facet: same match set, bucketed by doc_len // 20
     # (integer division — DuckDB // == numpy int64 //, exact)
     lenhist_sql = facets_sql.replace(
@@ -962,6 +987,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (h64 % 100)::BIGINT AS bucket, "
             "CASE WHEN h64 % 100 < 10 THEN 'test' ELSE 'train' END AS split "
             "FROM h ORDER BY doc_id"
+        ),
+        # composite Gopher-style quality gate: integer signals + keep
+        # decision via cross-multiplied ratio thresholds (no floats
+        # anywhere — bit-exact by construction). Rules mirror
+        # functions/textstats.gopher_keep R1..R5.
+        "gopher_filter": (
+            f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
+            "base AS (SELECT doc_id, len(tk) AS n_tokens, "
+            "len(list_distinct(tk)) AS n_distinct, "
+            "coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS sum_tok_len, "
+            f"len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS n_stop "
+            "FROM t), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), "
+            "i -> tk[i] || ' ' || tk[i + 1])) AS b FROM t WHERE len(tk) >= 2), "
+            "bm AS (SELECT doc_id, max(c) AS maxc FROM "
+            "(SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1) "
+            "SELECT base.doc_id, n_tokens, n_distinct, sum_tok_len, "
+            "coalesce(bm.maxc, 0) AS max_bigram_c, n_stop, "
+            "(n_tokens >= 20 AND n_tokens <= 90 "
+            "AND 3 * n_tokens <= sum_tok_len AND sum_tok_len <= 5 * n_tokens "
+            "AND 5 * (n_tokens - n_distinct) <= 3 * n_tokens "
+            "AND 50 * coalesce(bm.maxc, 0) <= 3 * n_tokens "
+            "AND n_stop >= 1) AS keep "
+            "FROM base LEFT JOIN bm ON bm.doc_id = base.doc_id "
+            "ORDER BY base.doc_id"
         ),
         # token-budget mixture sampling: per source, keep the
         # (splitmix64(doc_id), doc_id)-ordered prefix whose inclusive
@@ -1184,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         # stats aggregation over the match set: exact integer count/min/max/
         # sum of dl (same analyzer token count) + one final exact-int
         # division for the mean (IEEE-identical on both engines)
+        "bm25_significant_terms": sig_terms_sql,
         "bm25_match_stats": facets_sql.replace(
             "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
             "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",

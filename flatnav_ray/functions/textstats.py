@@ -251,6 +251,88 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def gopher_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite Gopher-style quality gate (Rae et al. 2021 A1.1, adapted
+    thresholds for this corpus's signal ranges): per doc, the integer
+    signals and a boolean keep decision. ALL rules are integer-exact
+    (ratio thresholds cross-multiplied), so the SQL oracle replicates the
+    decision bit-for-bit with no float arithmetic anywhere:
+
+      R1  20 <= n_tokens <= 90              (word-count bounds)
+      R2  3 <= mean token len <= 5          (3n <= sum_len AND sum_len <= 5n)
+      R3  dup_token_frac <= 0.6             (5 (n - n_distinct) <= 3 n)
+      R4  top_bigram_frac <= 0.12           (50 max_bigram_c <= 3 n)
+      R5  n_stop >= 1                       (STOPWORDS_EN membership)
+
+    One exploded-token pass; distinct / bigram counts via the same packed
+    np.unique machinery as repetition_stats. Returns (doc_id, n_tokens,
+    n_distinct, sum_tok_len, max_bigram_c, n_stop, keep)."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    parents, toks = explode_tokens(texts)
+    n_tokens = np.zeros(n, dtype=np.int64)
+    np.add.at(n_tokens, parents, 1)
+    sum_len = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_stop = np.zeros(n, dtype=np.int64)
+    maxc = np.zeros(n, dtype=np.int64)
+    if parents.size:
+        tok_lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        np.add.at(sum_len, parents, tok_lens)
+        is_stop = pc.is_in(toks, value_set=pa.array(sorted(STOPWORDS_EN))).to_numpy(
+            zero_copy_only=False
+        )
+        np.add.at(n_stop, parents, is_stop.astype(np.int64))
+        codes = (
+            pc.dictionary_encode(toks)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = int(codes.max()) + 1
+        uniq_parents = np.unique(parents * v + codes) // v
+        np.add.at(n_distinct, uniq_parents, 1)
+        same = parents[1:] == parents[:-1]
+        if same.any():
+            bp = parents[:-1][same]
+            if v < (1 << 31) and v * v * int(n) < (1 << 62):
+                packed = bp * (v * v) + codes[:-1][same] * v + codes[1:][same]
+                u, cnt = np.unique(packed, return_counts=True)
+                np.maximum.at(maxc, u // (v * v), cnt)
+            else:
+                order = np.lexsort((codes[1:][same], codes[:-1][same], bp))
+                sb = bp[order]
+                k1, k2 = codes[:-1][same][order], codes[1:][same][order]
+                newgrp = np.r_[
+                    True,
+                    (sb[1:] != sb[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]),
+                ]
+                starts = np.flatnonzero(newgrp)
+                cnt = np.diff(np.r_[starts, sb.size])
+                np.maximum.at(maxc, sb[starts], cnt)
+    keep = (
+        (n_tokens >= 20)
+        & (n_tokens <= 90)
+        & (3 * n_tokens <= sum_len)
+        & (sum_len <= 5 * n_tokens)
+        & (5 * (n_tokens - n_distinct) <= 3 * n_tokens)
+        & (50 * maxc <= 3 * n_tokens)
+        & (n_stop >= 1)
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "sum_tok_len": pa.array(sum_len, type=pa.int64()),
+            "max_bigram_c": pa.array(maxc, type=pa.int64()),
+            "n_stop": pa.array(n_stop, type=pa.int64()),
+            "keep": pa.array(keep, type=pa.bool_()),
+        }
+    )
+
+
 class Percolator:
     """Reverse search (the Lucene/ES percolator): a SMALL set of stored
     queries matched against a STREAM of documents — `map_batches` callable

@@ -245,6 +245,18 @@ def docs_split(sf_dir: str, test_pct: int = 10) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def gopher_filter(sf_dir: str) -> pa.Table:
+    """Composite Gopher-style quality gate (functions/textstats.gopher_keep):
+    per doc the integer quality signals + a keep decision made entirely in
+    integer arithmetic (cross-multiplied ratio thresholds) — the pre-dedup
+    document filter of a training-data pipeline, bit-exact vs SQL."""
+    from ..functions.textstats import gopher_keep
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = _concat(ds.map_batches(gopher_keep, batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
 def mixture_sample(sf_dir: str, budget: int = 400) -> pa.Table:
     """Token-budget mixture sampling (stages/mixture.token_budget_sample):
     per source, keep the (splitmix64(doc_id), doc_id)-ordered prefix of docs
@@ -1181,6 +1193,17 @@ def bm25_match_stats(sf_dir: str) -> pa.Table:
 
     ix = build_documents_index(sf_dir)
     return match_stats(ix, _multi_term_queries(ix))
+
+
+def bm25_significant_terms(sf_dir: str, top_n: int = 5) -> pa.Table:
+    """ES `significant_terms`: per 2-term query, the top_n dictionary terms
+    most overrepresented in the match set vs the corpus (background lift,
+    float64-exact). Foreground counts from per-shard dictionary scans that
+    merge by sum; df/N from the index's own stats."""
+    from .query import significant_terms
+
+    ix = build_documents_index(sf_dir)
+    return significant_terms(ix, _multi_term_queries(ix), top_n=top_n)
 
 
 def bm25_topk_filtered(sf_dir: str, k: int = 10) -> pa.Table:

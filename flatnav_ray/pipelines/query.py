@@ -300,6 +300,98 @@ def match_stats(
     return out.sort_by("query_id")
 
 
+def significant_terms(
+    index_dir: str, queries: pa.Table, top_n: int = 5, concurrency: int = 8
+) -> pa.Table:
+    """ES `significant_terms` aggregation, exact: per query, the dictionary
+    terms most overrepresented in the match set vs the whole corpus, scored
+    by the background lift (match_df / match_n) / (df / N) — computed as
+    (match_df·N) / (match_n·df) with float64 products (overflow-free at any
+    corpus size) and ONE IEEE division, identical in the SQL oracle. Integer
+    foreground counts come from per-shard partials (ShardSigTerms) that merge
+    by sum; df/N come from the index's own segment stats. Returns the top_n
+    rows per query by (lift desc, term asc)."""
+    import numpy as np
+
+    from ..stages.introspect import df_distribution
+    from ..stages.search import ShardSigTerms
+
+    plan, stats = plan_for(index_dir, queries, k=1)
+    plan_ref = ray.put(plan)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, len(parts), ncpu))
+    partials = ray.data.from_items(parts).map_batches(
+        ShardSigTerms,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (conc * 2) or 1),
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "block_size": int(stats["block_size"]),
+        },
+    )
+    empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "match_df": pa.array([], type=pa.int64()),
+            "match_n": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "lift": pa.array([], type=pa.float64()),
+        }
+    )
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["query_id", "term"]).aggregate([("match_df", "sum")])
+    qid = g.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+    mdf = g.column("match_df_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # match_n per query = the match-set size (exact, from the stats stage)
+    ms = match_stats(index_dir, queries, concurrency=concurrency)
+    mn_by_q = dict(
+        zip(ms.column("query_id").to_pylist(), ms.column("n_docs").to_pylist())
+    )
+    dft = df_distribution(index_dir)
+    df_by_t = dict(zip(dft.column("term").to_pylist(), dft.column("df").to_pylist()))
+    n_docs = int(stats["n_docs"])
+
+    mn = np.fromiter((mn_by_q[int(q)] for q in qid), dtype=np.int64, count=qid.size)
+    df = np.fromiter((df_by_t[t_] for t_ in terms), dtype=np.int64, count=terms.size)
+    lift = (mdf.astype(np.float64) * float(n_docs)) / (mn.astype(np.float64) * df)
+
+    # top_n per query by (lift desc, term asc): lexsort is ascending — sort
+    # by (-lift) and term via a stable two-pass (term asc first, then -lift)
+    order = np.argsort(terms, kind="stable")
+    order = order[np.argsort(-lift[order], kind="stable")]
+    order = order[np.argsort(qid[order], kind="stable")]
+    keep_idx = []
+    seen: dict[int, int] = {}
+    for i in order:
+        q = int(qid[i])
+        c = seen.get(q, 0)
+        if c < top_n:
+            keep_idx.append(int(i))
+            seen[q] = c + 1
+    ki = np.asarray(keep_idx, dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(qid[ki], type=pa.int64()),
+            "term": pa.array([terms[i] for i in ki], type=pa.string()),
+            "match_df": pa.array(mdf[ki], type=pa.int64()),
+            "match_n": pa.array(mn[ki], type=pa.int64()),
+            "df": pa.array(df[ki], type=pa.int64()),
+            "lift": pa.array(lift[ki], type=pa.float64()),
+        }
+    )
+
+
 def explain_to_table(
     index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None
 ) -> pa.Table:

@@ -991,6 +991,71 @@ class _ShardState:
             }
         )
 
+    def sig_term_counts(self, plan: QueryPlan) -> pa.Table:
+        """Per query, for EVERY dictionary term of this shard: the number of
+        match-set docs containing it (the ES `significant_terms` foreground
+        counts). Integer partials; shards partition docs disjointly so the
+        cross-shard merge is a plain sum. Requires the state loaded WITHOUT
+        a terms filter (full dictionary). The full-dictionary scan per shard
+        is the documented cost of exact significant_terms — ES bounds it by
+        sampling instead; exactness is what makes this SQL-checkable."""
+        from ..functions.codec import decode_postings
+
+        dec: dict[str, np.ndarray] = {}
+
+        def _pos(term: str) -> np.ndarray:
+            p = dec.get(term)
+            if p is None:
+                row = self._postings_row(term)
+                if row is None:
+                    p = np.empty(0, dtype=np.int64)
+                else:
+                    p, _ = decode_postings(
+                        row["doc_blob"], row["tf_blob"],
+                        np.asarray(row["block_last_doc"], dtype=np.int64),
+                        block_size=self.block_size,
+                    )
+                dec[term] = p
+            return p
+
+        q_out: list[int] = []
+        t_out: list[str] = []
+        m_out: list[int] = []
+        for qi in range(plan.query_ids.size):
+            pos_lists = [
+                _pos(term)
+                for term, _qtf in plan.query_terms[qi]
+                if plan.term_idf.get(term, 0.0) > 0.0
+            ]
+            pos_lists = [p for p in pos_lists if p.size]
+            if not pos_lists:
+                continue
+            cand = (
+                pos_lists[0]
+                if len(pos_lists) == 1
+                else np.unique(np.concatenate(pos_lists))
+            )
+            qid = int(plan.query_ids[qi])
+            for term in self._terms_list:
+                p = _pos(term)
+                if p.size == 0:
+                    continue
+                j = np.searchsorted(p, cand)
+                v = j < p.size
+                v[v] = p[j[v]] == cand[v]
+                m = int(v.sum())
+                if m:
+                    q_out.append(qid)
+                    t_out.append(term)
+                    m_out.append(m)
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, type=pa.int64()),
+                "term": pa.array(t_out, type=pa.string()),
+                "match_df": pa.array(m_out, type=pa.int64()),
+            }
+        )
+
     def collapse_best(self, plan: QueryPlan, scorer, facet: str = "lang") -> pa.Table:
         """Field collapsing (the ES `collapse` surface): per query and facet
         value, the single BEST-scoring matching doc (score desc, doc_id-asc
@@ -1711,6 +1776,49 @@ class ShardMatchStats:
                     "dl_min": pa.array([], type=pa.int64()),
                     "dl_max": pa.array([], type=pa.int64()),
                     "dl_sum": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+
+class ShardSigTerms:
+    """Dataset-mode significant-terms stage (actor pool over partition ids):
+    per-shard `_ShardState.sig_term_counts` partials — state loaded with NO
+    terms filter (the dictionary scan needs the full vocabulary); callers
+    merge per (query, term) with a sum."""
+
+    def __init__(self, index_dir: str, plan_ref, block_size: int):
+        import ray
+
+        self.index_dir = index_dir
+        self.plan: QueryPlan = (
+            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
+        )
+        self.block_size = block_size
+        self._states: dict[int, _ShardState] = {}
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size, None)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            outs.append(self._state(part).sig_term_counts(self.plan))
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "match_df": pa.array([], type=pa.int64()),
                 }
             )
         return pa.concat_tables(outs)
