@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
         "embedding_dups": d.embedding_dups,
         "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
+        "embedding_semdedup": d.embedding_semdedup,  # rows-only (approximate)
+        "semdedup_gate": d.semdedup_gate,            # hash-checkable floor gate
         "media_features": d.media_features,       # rows-only (real PNG/WAV decode)
         # recall-floor gates for the approximate family: hash-checkable
         # (exact top-k rows + clamped overlap; see _recall_floor_table)
@@ -1201,6 +1203,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh_recall": (
             "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS false_pairs, "
             "CAST(300 AS BIGINT) AS found_true_at_least "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
+        ),
+        # SemDeDup gate: exact near-dup pair count + clamped recall floor
+        # (>=500 pairs must have a flagged endpoint; deterministic engine
+        # measured 600@sf0.001 / 639@sf0.01) + missed-above-cap must be 0
+        "semdedup_gate": (
+            "SELECT count(*) AS n_exact_pairs, CAST(500 AS BIGINT) AS caught_at_least, "
+            "CAST(0 AS BIGINT) AS missed_above_cap "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
         ),

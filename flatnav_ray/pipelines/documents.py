@@ -198,6 +198,48 @@ def decontam_overlap(sf_dir: str, n: int = 4) -> pa.Table:
     return _concat(out).sort_by("doc_id")
 
 
+def embedding_semdedup(sf_dir: str, n_clusters: int = 16, tau: float = 0.3) -> pa.Table:
+    """SemDeDup (stages/dedup.semdedup): k-means clusters + within-cluster
+    keep-first cosine dedup at tau. Approximate by design (cross-cluster
+    near-dup pairs are not compared) — rows-only driver entry; the
+    semdedup_gate entry carries the hash-checkable floor."""
+    from ..stages.dedup import semdedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(ds, n_clusters=n_clusters, tau=tau)
+
+
+def semdedup_gate(sf_dir: str, tau: float = 0.3, floor: int = 500, cap: int = 400) -> pa.Table:
+    """Hash-checkable SemDeDup quality gate (the embedding_dups_lsh_recall
+    pattern): n_exact_pairs — the true all-pairs cosine>=tau count (SQL
+    recomputes it with the same join as the hash-green embedding_dups
+    entry); caught_at_least = min(caught, floor) where caught = exact pairs
+    with at least one endpoint flagged (recall floor; engine is
+    deterministic, measured 600@sf0.001 / 639@sf0.01); missed_above_cap =
+    max(0, missed - cap), must be 0 (bounds the cross-cluster escape rate)."""
+    from ..stages.dedup import embedding_near_dups, semdedup
+
+    flags = semdedup(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), tau=tau)
+    kept = set(
+        flags.filter(flags.column("keep")).column("vec_id").to_pylist()
+    )
+    pairs = embedding_near_dups(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=tau
+    )
+    a = pairs.column("doc_a").to_pylist()
+    b = pairs.column("doc_b").to_pylist()
+    n = len(a)
+    caught = sum(1 for x, y in zip(a, b) if (x not in kept) or (y not in kept))
+    missed = n - caught
+    return pa.table(
+        {
+            "n_exact_pairs": pa.array([n], type=pa.int64()),
+            "caught_at_least": pa.array([min(caught, floor)], type=pa.int64()),
+            "missed_above_cap": pa.array([max(0, missed - cap)], type=pa.int64()),
+        }
+    )
+
+
 def minhash_clusters_stream(sf_dir: str):
     """Dataset-returning minhash clustering (the 100-TB return path): labels
     stream back onto the corpus via a distributed left-outer join and never

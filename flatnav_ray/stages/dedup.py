@@ -818,6 +818,83 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def semdedup(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    tau: float = 0.3,
+    iters: int = 10,
+    sample: int = 2048,
+    seed: int = 0,
+) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then remove within-cluster semantic duplicates —
+    per cluster, scan members in ascending id order and flag a member as a
+    duplicate iff its cosine to some KEPT earlier member is >= tau
+    (keep-first greedy, the same winner rule as exact_text_dedup).
+
+    100-TB shape: centroids train on a deterministic unbiased sample
+    (IvfIndex.train — per-batch partial top-k of splitmix64 ranks), the
+    assignment is a streaming map_batches against broadcast centroids, and
+    the quadratic verify runs per CLUSTER via groupby(centroid).map_groups
+    — the corpus is never all-pairs'd; n_clusters scales so cluster sizes
+    stay bounded (the paper uses ~100k clusters). The greedy scan is a
+    per-cluster Python loop of vectorized row ops — inherently sequential
+    (each decision depends on which earlier members survived).
+
+    Returns (vec_id, centroid, keep, dup_of) — dup_of = the kept member
+    that shadowed this one, -1 for kept rows."""
+    from .knn import IvfIndex
+
+    ivf = IvfIndex.train(
+        ds, n_clusters, vec_col=vec_col, iters=iters, sample=sample,
+        seed=seed, id_col=id_col,
+    )
+    assigned = ivf.assign(ds, id_col=id_col, vec_col=vec_col)
+
+    def _flag(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = _normalize_rows(_to_matrix(group.column(vec_col)))[order]
+        cent = int(group.column("centroid")[0].as_py())
+        n = ids.size
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            sims = m @ m.T
+            for j in range(1, n):
+                hit = np.nonzero(keep[:j] & (sims[j, :j] >= tau))[0]
+                if hit.size:
+                    keep[j] = False
+                    dup_of[j] = ids[hit[0]]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "centroid": pa.array(np.full(n, cent, dtype=np.int32), type=pa.int32()),
+                "keep": pa.array(keep, type=pa.bool_()),
+                "dup_of": pa.array(dup_of, type=pa.int64()),
+            }
+        )
+
+    batches = list(
+        assigned.groupby("centroid")
+        .map_groups(_flag, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    if not batches:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "centroid": pa.array([], type=pa.int32()),
+                "keep": pa.array([], type=pa.bool_()),
+                "dup_of": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by(id_col)
+
+
 def embedding_near_dups(
     ds: ray.data.Dataset,
     id_col: str = "vec_id",
