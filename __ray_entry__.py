@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": d.docs_split,               # deterministic hash train/test split
         "mixture_sample": d.mixture_sample,       # per-source token-budget mixture cut
         "gopher_filter": d.gopher_filter,         # composite integer-exact quality gate
+        "pii_counts": d.pii_counts,               # PII detection pass (regex parity)
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
@@ -305,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
+        "bm25_topk_highlight": d.bm25_topk_highlight,  # snippet/highlight surface
         "bm25_topk_synonyms": d.bm25_topk_synonyms,  # SynonymQuery pooled-tf groups
         "bm25_topk_boost": d.bm25_topk_boost,     # per-term query boosts (term^3.0)
         "bm25_explain": d.bm25_explain,           # per-result score breakdown (explain)
@@ -544,6 +546,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored1 GROUP BY 1, 2), ",
     )
     assert multi_sql != bm25_sql
+    # highlighting: the multi-term top-10 set, each result annotated with
+    # the earliest query-term occurrence (strpos — char-based, = python
+    # str.find + 1) and a 60-char snippet starting 20 chars before the hit;
+    # ties (pos asc, term asc)
+    highlight_sql = multi_sql.replace(
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank",
+        ", gm AS (SELECT DISTINCT query_id % 10 AS query_id, term FROM qt), "
+        "hl AS (SELECT r.query_id, r.doc_id, g.term, strpos(d.text, g.term) AS pos "
+        "FROM ranked r JOIN gm g ON g.query_id = r.query_id "
+        "JOIN documents d ON d.doc_id = r.doc_id "
+        "WHERE r.rank < 10 AND strpos(d.text, g.term) > 0), "
+        "fh AS (SELECT query_id, doc_id, term AS first_term, pos AS first_pos, "
+        "row_number() OVER (PARTITION BY query_id, doc_id ORDER BY pos, term) AS rn FROM hl) "
+        "SELECT f.query_id, f.doc_id, f.first_term, CAST(f.first_pos AS BIGINT) AS first_pos, "
+        "substr(d.text, greatest(1, f.first_pos - 20), 60) AS snippet "
+        "FROM fh f JOIN documents d ON d.doc_id = f.doc_id WHERE f.rn = 1 "
+        "ORDER BY f.query_id, f.doc_id",
+    )
+    assert highlight_sql != multi_sql
     # synonym groups (Lucene SynonymQuery): same i/(i+10) term pairs as
     # multi, but the pair scores as ONE pseudo-term — tf POOLED per doc
     # (sum before the saturation formula), df = max of the two dfs. One
@@ -990,6 +1011,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN h64 % 100 < 10 THEN 'test' ELSE 'train' END AS split "
             "FROM h ORDER BY doc_id"
         ),
+        # PII detection: same RE2 patterns as functions/textstats.py
+        # PII_{EMAIL,PHONE,IPV4}_RE; the corpus is PII-free so counts are 0
+        # — the entry proves cross-engine regex parity, planted-text
+        # behavior is pytest-covered
+        "pii_counts": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+            "len(regexp_extract_all(text, "
+            "'\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones, "
+            "len(regexp_extract_all(text, "
+            "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4 "
+            "FROM documents ORDER BY doc_id"
+        ),
         # composite Gopher-style quality gate: integer signals + keep
         # decision via cross-multiplied ratio thresholds (no floats
         # anywhere — bit-exact by construction). Rules mirror
@@ -1221,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,
+        "bm25_topk_highlight": highlight_sql,
         "bm25_topk_synonyms": syn_sql,
         "bm25_topk_boost": boost_sql,
         "bm25_explain": explain_sql,

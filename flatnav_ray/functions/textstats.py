@@ -251,6 +251,42 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+# PII patterns (RE2-safe: no lookaround; identical non-overlapping leftmost
+# semantics in pyarrow's count_substring_regex and DuckDB's regexp_extract_all)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scan(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc PII signal counts (email / phone / IPv4) — the detection pass
+    of a redaction pipeline (C4/RefinedWeb-style PII scrubbing). One
+    vectorized RE2 scan per pattern; `pii_redact` applies the replacement."""
+    texts = batch.column(text_col)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_emails": pc.cast(pc.count_substring_regex(texts, PII_EMAIL_RE), pa.int64()),
+            "n_phones": pc.cast(pc.count_substring_regex(texts, PII_PHONE_RE), pa.int64()),
+            "n_ipv4": pc.cast(pc.count_substring_regex(texts, PII_IPV4_RE), pa.int64()),
+        }
+    )
+
+
+def pii_redact(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace every PII match with a typed placeholder token (vectorized
+    replace_substring_regex, email -> phone -> ipv4 order)."""
+    texts = batch.column(text_col)
+    for pat, repl in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_PHONE_RE, "<PHONE>"),
+        (PII_IPV4_RE, "<IP>"),
+    ):
+        texts = pc.replace_substring_regex(texts, pat, repl)
+    i = batch.schema.get_field_index(text_col)
+    return batch.set_column(i, text_col, texts)
+
+
 def gopher_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Composite Gopher-style quality gate (Rae et al. 2021 A1.1, adapted
     thresholds for this corpus's signal ranges): per doc, the integer

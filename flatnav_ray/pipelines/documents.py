@@ -287,6 +287,19 @@ def docs_split(sf_dir: str, test_pct: int = 10) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def pii_counts(sf_dir: str) -> pa.Table:
+    """PII detection pass (functions/textstats.pii_scan): per-doc email /
+    phone / IPv4 match counts. The synthetic corpus contains no PII (all
+    zeros here — the oracle proves the RE2 patterns agree across engines);
+    planted-text behavior is pytest-covered (tests/test_pii.py), including
+    the redaction kernel."""
+    from ..functions.textstats import pii_scan
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    out = _concat(ds.map_batches(pii_scan, batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
 def gopher_filter(sf_dir: str) -> pa.Table:
     """Composite Gopher-style quality gate (functions/textstats.gopher_keep):
     per doc the integer quality signals + a keep decision made entirely in
@@ -895,6 +908,80 @@ def bm25_topk_multi(sf_dir: str, k: int = 10) -> pa.Table:
     out = search_to_table(ix, multi, QueryConfig(k=k, method="maxscore"))
     out = out.select(["query_id", "rank", "doc_id"])
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def bm25_topk_highlight(sf_dir: str, k: int = 10, ctx: int = 20, width: int = 60) -> pa.Table:
+    """Highlighting (the ES `highlight` / Lucene snippet surface): for each
+    multi-term top-k result, the earliest query-term occurrence in the
+    stored text — (first_term, first_pos 1-based, snippet of `width` chars
+    starting ctx chars before the hit). Ties: (pos asc, term asc).
+
+    Retrieval + ranking run distributed (the hash-green bm25_topk_multi
+    machinery); the stored text for the k×Q result rows comes from a
+    broadcast-ids pruned scan (only matching rows leave the read); snippet
+    assembly itself is driver-side on the merged top-k — O(k×Q), never
+    corpus-sized. Char-based positions (python str.find == DuckDB strpos)."""
+    ix = build_documents_index(sf_dir)
+    multi = _multi_term_queries(ix)
+    out = search_to_table(ix, multi, QueryConfig(k=k, method="maxscore"))
+
+    from ..functions.tokenize import tokenize_py
+
+    q_terms = {
+        int(q): sorted(set(tokenize_py(t)))
+        for q, t in zip(
+            multi.column("query_id").to_pylist(), multi.column("text").to_pylist()
+        )
+    }
+    need = np.unique(out.column("doc_id").to_numpy(zero_copy_only=False))
+    need_ref = ray.put(need)
+
+    def _fetch(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        kp = ray.get(need_ref)
+        pos = np.searchsorted(kp, ids)
+        hit = pos < kp.size
+        hit[hit] = kp[pos[hit]] == ids[hit]
+        return b.filter(pa.array(hit)).select(["doc_id", "text"])
+
+    fetched = pa.concat_tables(
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(_fetch, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    text_by_id = dict(
+        zip(fetched.column("doc_id").to_pylist(), fetched.column("text").to_pylist())
+    )
+
+    qs, ds_, ts, ps, ss = [], [], [], [], []
+    for qid, did in zip(
+        out.column("query_id").to_pylist(), out.column("doc_id").to_pylist()
+    ):
+        text = text_by_id[did]
+        best: tuple[int, str] | None = None
+        for term in q_terms[int(qid)]:
+            p = text.find(term)
+            if p >= 0 and (best is None or (p + 1, term) < best):
+                best = (p + 1, term)
+        if best is None:
+            continue  # cannot happen for disjunctive matches; defensive
+        pos1, term = best
+        start = max(1, pos1 - ctx)
+        qs.append(int(qid))
+        ds_.append(int(did))
+        ts.append(term)
+        ps.append(pos1)
+        ss.append(text[start - 1 : start - 1 + width])
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "doc_id": pa.array(ds_, type=pa.int64()),
+            "first_term": pa.array(ts, type=pa.string()),
+            "first_pos": pa.array(ps, type=pa.int64()),
+            "snippet": pa.array(ss, type=pa.string()),
+        }
+    )
 
 
 def bm25_topk_synonyms(sf_dir: str, k: int = 10) -> pa.Table:
