@@ -358,6 +358,25 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     docp.doc_repetition(sf_dir)
     timings["split_repetition"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    docp.decontam_overlap(sf_dir)
+    timings["decontam"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.mixture_sample(sf_dir)
+    docp.gopher_filter(sf_dir)
+    docp.pii_counts(sf_dir)
+    timings["mixture_gopher_pii"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.embedding_semdedup(sf_dir)
+    timings["semdedup"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.bm25_significant_terms(sf_dir)
+    docp.bm25_topk_highlight(sf_dir)
+    timings["sigterms_highlight"] = time.perf_counter() - t0
+
     ray.shutdown()
     return {
         "metric": "flatnav-ft build docs/sec + query qps (top-10 BM25) + operator suite",
