@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": d.mixture_sample,       # per-source token-budget mixture cut
         "gopher_filter": d.gopher_filter,         # composite integer-exact quality gate
         "pii_counts": d.pii_counts,               # PII detection pass (regex parity)
+        "export_shuffle_plan": d.export_shuffle_plan,  # deterministic SGD-shuffle shards
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
@@ -1010,6 +1011,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (h64 % 100)::BIGINT AS bucket, "
             "CASE WHEN h64 % 100 < 10 THEN 'test' ELSE 'train' END AS split "
             "FROM h ORDER BY doc_id"
+        ),
+        # sharded-shuffle export plan: shard = splitmix64(doc_id) % 8,
+        # pos = within-shard rank under (h64, doc_id) — bit-exact splitmix
+        # replica + one window row_number
+        "export_shuffle_plan": (
+            "WITH hh AS (SELECT doc_id, "
+            + _sm_cols_sql("doc_id::UBIGINT", "h64", "xp")
+            + " FROM documents) "
+            "SELECT doc_id, (h64 % 8)::BIGINT AS shard, "
+            "row_number() OVER (PARTITION BY h64 % 8 ORDER BY h64, doc_id) - 1 AS pos "
+            "FROM hh ORDER BY doc_id"
         ),
         # PII detection: same RE2 patterns as functions/textstats.py
         # PII_{EMAIL,PHONE,IPV4}_RE; the corpus is PII-free so counts are 0

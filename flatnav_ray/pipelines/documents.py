@@ -287,6 +287,18 @@ def docs_split(sf_dir: str, test_pct: int = 10) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def export_shuffle_plan(sf_dir: str, num_shards: int = 8, seed: int = 0) -> pa.Table:
+    """Deterministic sharded-shuffle export plan (stages/export.py): per doc
+    its shard (splitmix64(doc_id ^ seed) % S) and within-shard rank under
+    the (hash, doc_id) order — the global SGD shuffle a trainer consumes.
+    The write path (one atomic Parquet per shard, resume skips finished
+    shards) is pytest-covered; this entry checks the plan bit-for-bit."""
+    from ..stages.export import export_shuffled
+
+    ds = _docs(sf_dir).select_columns(["doc_id"])
+    return export_shuffled(ds, None, num_shards=num_shards, seed=seed)
+
+
 def pii_counts(sf_dir: str) -> pa.Table:
     """PII detection pass (functions/textstats.pii_scan): per-doc email /
     phone / IPv4 match counts. The synthetic corpus contains no PII (all
