@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": d.gopher_filter,         # composite integer-exact quality gate
         "pii_counts": d.pii_counts,               # PII detection pass (regex parity)
         "export_shuffle_plan": d.export_shuffle_plan,  # deterministic SGD-shuffle shards
+        "curate_pipeline": d.curate_pipeline,     # composed end-to-end curation chain
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
         "dedup_exact": d.dedup_exact,
@@ -1011,6 +1012,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (h64 % 100)::BIGINT AS bucket, "
             "CASE WHEN h64 % 100 < 10 THEN 'test' ELSE 'train' END AS split "
             "FROM h ORDER BY doc_id"
+        ),
+        # THE composed curation pipeline: gopher gate -> exact text dedup
+        # (min doc_id per text) -> decontamination (drop the %31 benchmark
+        # slice AND docs sharing a 4-gram with it) -> 400-token per-source
+        # mixture cut. Each clause is the already-hash-green oracle of its
+        # stage, chained.
+        "curate_pipeline": (
+            f"WITH t AS (SELECT doc_id, source, text, {toks} AS tk FROM documents), "
+            "base AS (SELECT doc_id, len(tk) AS n_tokens, "
+            "len(list_distinct(tk)) AS n_distinct, "
+            "coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS sum_tok_len, "
+            f"len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS n_stop "
+            "FROM t), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), "
+            "i -> tk[i] || ' ' || tk[i + 1])) AS b FROM t WHERE len(tk) >= 2), "
+            "bm AS (SELECT doc_id, max(c) AS maxc FROM "
+            "(SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1), "
+            "keep1 AS (SELECT t.doc_id, t.source, t.text FROM base "
+            "JOIN t ON t.doc_id = base.doc_id "
+            "LEFT JOIN bm ON bm.doc_id = base.doc_id "
+            "WHERE n_tokens >= 20 AND n_tokens <= 90 "
+            "AND 3 * n_tokens <= sum_tok_len AND sum_tok_len <= 5 * n_tokens "
+            "AND 5 * (n_tokens - n_distinct) <= 3 * n_tokens "
+            "AND 50 * coalesce(bm.maxc, 0) <= 3 * n_tokens AND n_stop >= 1), "
+            "ded AS (SELECT min(doc_id) AS doc_id FROM keep1 GROUP BY text), "
+            "keep2 AS (SELECT k.* FROM keep1 k JOIN ded ON ded.doc_id = k.doc_id), "
+            "sh AS (SELECT DISTINCT doc_id, unnest([tk[i] || ' ' || tk[i+1] || ' ' "
+            "|| tk[i+2] || ' ' || tk[i+3] FOR i IN generate_series(1, len(tk)-3)]) AS s "
+            "FROM t WHERE len(tk) >= 4), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 31 = 0), "
+            "flagged AS (SELECT DISTINCT c.doc_id FROM sh c JOIN bench USING (s) "
+            "WHERE c.doc_id % 31 <> 0), "
+            "keep3 AS (SELECT * FROM keep2 WHERE doc_id % 31 <> 0 "
+            "AND doc_id NOT IN (SELECT doc_id FROM flagged)), "
+            "tc AS (SELECT doc_id, source, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM keep3), "
+            "hh AS (SELECT doc_id, source, n_tokens, "
+            + _sm_cols_sql("doc_id::UBIGINT", "h64", "cu")
+            + " FROM tc), "
+            "c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER "
+            "(PARTITION BY source ORDER BY h64, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM hh) "
+            "SELECT doc_id, source, n_tokens FROM c WHERE cum <= 400 "
+            "ORDER BY doc_id"
         ),
         # sharded-shuffle export plan: shard = splitmix64(doc_id) % 8,
         # pos = within-shard rank under (h64, doc_id) — bit-exact splitmix

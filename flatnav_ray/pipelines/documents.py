@@ -287,6 +287,63 @@ def docs_split(sf_dir: str, test_pct: int = 10) -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def curate_pipeline(sf_dir: str, budget: int = 400, n: int = 4) -> pa.Table:
+    """THE end-to-end training-data curation pipeline, composed from the
+    engine's own stages and checked as ONE chained oracle:
+
+        quality gate (gopher_keep, streaming filter)
+      → exact text dedup (hash-keyed min-doc_id winners, semi-join back)
+      → benchmark decontamination (held-out slice doc_id%31==0; flagged
+        docs dropped, the benchmark slice itself excluded from training)
+      → token-budget mixture sampling (per-source splitmix prefix cut)
+
+    Every stage is the already-hash-green primitive; the composition stays
+    a lazy Dataset chain end to end (one shuffle for dedup, broadcast
+    membership for decontam, the histogram cut for mixture). Returns the
+    final kept manifest (doc_id, source, n_tokens)."""
+    from ..functions.textstats import gopher_keep
+    from ..stages.decontam import benchmark_overlap
+    from ..stages.dedup import exact_text_dedup, semi_join_keep
+    from ..stages.mixture import token_budget_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "source", "text"])
+
+    def _quality(b: pa.Table) -> pa.Table:
+        return b.filter(gopher_keep(b).column("keep"))
+
+    g = docs.map_batches(_quality, batch_format="pyarrow", zero_copy_batch=True)
+    g = semi_join_keep(g, exact_text_dedup(g))
+
+    def _bench_slice(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 31 == 0))
+
+    def _train_slice(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 31 != 0))
+
+    bench = docs.map_batches(_bench_slice, batch_format="pyarrow", zero_copy_batch=True)
+    surv = g.map_batches(_train_slice, batch_format="pyarrow", zero_copy_batch=True)
+    flagged = benchmark_overlap(surv, bench, n=n)
+    bad = pa.concat_tables(flagged.iter_batches(batch_format="pyarrow"))
+    bad_ids = np.sort(bad.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+    bad_ref = ray.put(bad_ids)  # contaminated set is small (bounded by the
+    # contamination rate); above the broadcast cutover this becomes a
+    # left_anti shuffle join, mirroring semi_join_keep
+
+    def _drop_flagged(b: pa.Table) -> pa.Table:
+        bd = ray.get(bad_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(bd, ids)
+        hit = pos < bd.size
+        hit[hit] = bd[pos[hit]] == ids[hit]
+        return b.filter(pa.array(~hit))
+
+    clean = surv.map_batches(_drop_flagged, batch_format="pyarrow", zero_copy_batch=True)
+    out = token_budget_sample(clean, budget=budget)
+    return _concat(out).sort_by("doc_id")
+
+
 def export_shuffle_plan(sf_dir: str, num_shards: int = 8, seed: int = 0) -> pa.Table:
     """Deterministic sharded-shuffle export plan (stages/export.py): per doc
     its shard (splitmix64(doc_id ^ seed) % S) and within-shard rank under
