@@ -326,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "bm25_match_stats": d.bm25_match_stats,   # stats agg over the match set
         "bm25_significant_terms": d.bm25_significant_terms,  # overrepresented terms
+        "bm25_cardinality": d.bm25_cardinality,   # exact distinct-count agg
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
@@ -1339,6 +1340,14 @@ def oracle_sql() -> dict[str, str]:
         # sum of dl (same analyzer token count) + one final exact-int
         # division for the mean (IEEE-identical on both engines)
         "bm25_significant_terms": sig_terms_sql,
+        # exact cardinality agg: distinct langs + total hits per match set
+        "bm25_cardinality": facets_sql.replace(
+            "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+            "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
+            "SELECT m.query_id, count(*) AS n_docs, "
+            "count(DISTINCT d.lang) AS n_langs FROM matches m "
+            "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1 ORDER BY 1",
+        ),
         "bm25_match_stats": facets_sql.replace(
             "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
             "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",

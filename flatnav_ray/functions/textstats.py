@@ -205,41 +205,11 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .astype(np.int64)
         )
         v = int(codes.max()) + 1
-        # distinct tokens per doc
-        key = parents * v + codes
-        uniq_parents = np.unique(key) // v
-        n_distinct = np.zeros(n, dtype=np.int64)
-        np.add.at(n_distinct, uniq_parents, 1)
+        n_distinct, maxc = _distinct_and_max_bigram(parents, codes, n, v)
         nz = n_tokens > 0
         dup_frac[nz] = (n_tokens[nz] - n_distinct[nz]) / n_tokens[nz]
-
-        # adjacent bigrams within a doc (parents are non-decreasing)
-        same = parents[1:] == parents[:-1]
-        if same.any():
-            bp = parents[:-1][same]
-            # pack (doc, code1, code2) into one int64 when it fits
-            # (n * v^2 < 2^62); otherwise lexsort-group (no overflow)
-            if v < (1 << 31) and v * v * int(n) < (1 << 62):
-                bkey = codes[:-1][same] * v + codes[1:][same]
-                packed = bp * (v * v) + bkey
-                u, cnt = np.unique(packed, return_counts=True)
-                up = u // (v * v)
-            else:
-                order = np.lexsort((codes[1:][same], codes[:-1][same], bp))
-                sb = bp[order]
-                k1 = codes[:-1][same][order]
-                k2 = codes[1:][same][order]
-                newgrp = np.r_[
-                    True,
-                    (sb[1:] != sb[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]),
-                ]
-                starts = np.flatnonzero(newgrp)
-                cnt = np.diff(np.r_[starts, sb.size])
-                up = sb[starts]
-            maxc = np.zeros(n, dtype=np.int64)
-            np.maximum.at(maxc, up, cnt)
-            nz2 = n_tokens >= 2
-            top_bg[nz2] = (2.0 * maxc[nz2]) / n_tokens[nz2]
+        nz2 = n_tokens >= 2
+        top_bg[nz2] = (2.0 * maxc[nz2]) / n_tokens[nz2]
 
     out = batch
     for name, arr, typ in [
@@ -249,6 +219,40 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ]:
         out = out.append_column(name, pa.array(arr, type=typ))
     return out
+
+
+def _distinct_and_max_bigram(
+    parents: np.ndarray, codes: np.ndarray, n: int, v: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc distinct-token counts and max adjacent-bigram counts from the
+    exploded (parents, dictionary codes) representation — shared by
+    repetition_stats and gopher_keep. Packed np.unique when n*v^2 fits in
+    int64, lexsort-group otherwise (no overflow)."""
+    n_distinct = np.zeros(n, dtype=np.int64)
+    maxc = np.zeros(n, dtype=np.int64)
+    if not parents.size:
+        return n_distinct, maxc
+    uniq_parents = np.unique(parents * v + codes) // v
+    np.add.at(n_distinct, uniq_parents, 1)
+    same = parents[1:] == parents[:-1]
+    if same.any():
+        bp = parents[:-1][same]
+        if v < (1 << 31) and v * v * int(n) < (1 << 62):
+            packed = bp * (v * v) + codes[:-1][same] * v + codes[1:][same]
+            u, cnt = np.unique(packed, return_counts=True)
+            np.maximum.at(maxc, u // (v * v), cnt)
+        else:
+            order = np.lexsort((codes[1:][same], codes[:-1][same], bp))
+            sb = bp[order]
+            k1, k2 = codes[:-1][same][order], codes[1:][same][order]
+            newgrp = np.r_[
+                True,
+                (sb[1:] != sb[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]),
+            ]
+            starts = np.flatnonzero(newgrp)
+            cnt = np.diff(np.r_[starts, sb.size])
+            np.maximum.at(maxc, sb[starts], cnt)
+    return n_distinct, maxc
 
 
 # PII patterns (RE2-safe: no lookaround; identical non-overlapping leftmost
@@ -327,26 +331,7 @@ def gopher_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .astype(np.int64)
         )
         v = int(codes.max()) + 1
-        uniq_parents = np.unique(parents * v + codes) // v
-        np.add.at(n_distinct, uniq_parents, 1)
-        same = parents[1:] == parents[:-1]
-        if same.any():
-            bp = parents[:-1][same]
-            if v < (1 << 31) and v * v * int(n) < (1 << 62):
-                packed = bp * (v * v) + codes[:-1][same] * v + codes[1:][same]
-                u, cnt = np.unique(packed, return_counts=True)
-                np.maximum.at(maxc, u // (v * v), cnt)
-            else:
-                order = np.lexsort((codes[1:][same], codes[:-1][same], bp))
-                sb = bp[order]
-                k1, k2 = codes[:-1][same][order], codes[1:][same][order]
-                newgrp = np.r_[
-                    True,
-                    (sb[1:] != sb[:-1]) | (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]),
-                ]
-                starts = np.flatnonzero(newgrp)
-                cnt = np.diff(np.r_[starts, sb.size])
-                np.maximum.at(maxc, sb[starts], cnt)
+        n_distinct, maxc = _distinct_and_max_bigram(parents, codes, n, v)
     keep = (
         (n_tokens >= 20)
         & (n_tokens <= 90)

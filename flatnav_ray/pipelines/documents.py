@@ -323,10 +323,20 @@ def curate_pipeline(sf_dir: str, budget: int = 400, n: int = 4) -> pa.Table:
         return b.filter(pa.array(ids % 31 != 0))
 
     bench = docs.map_batches(_bench_slice, batch_format="pyarrow", zero_copy_batch=True)
-    surv = g.map_batches(_train_slice, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: surv feeds BOTH the decontam scan and the final filter —
+    # without this the gate + dedup shuffle would execute twice
+    surv = g.map_batches(
+        _train_slice, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     flagged = benchmark_overlap(surv, bench, n=n)
-    bad = pa.concat_tables(flagged.iter_batches(batch_format="pyarrow"))
-    bad_ids = np.sort(bad.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+    fb = list(flagged.iter_batches(batch_format="pyarrow"))
+    bad_ids = (
+        np.sort(
+            pa.concat_tables(fb).column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if fb
+        else np.empty(0, dtype=np.int64)
+    )
     bad_ref = ray.put(bad_ids)  # contaminated set is small (bounded by the
     # contamination rate); above the broadcast cutover this becomes a
     # left_anti shuffle join, mirroring semi_join_keep
@@ -1402,6 +1412,27 @@ def bm25_significant_terms(sf_dir: str, top_n: int = 5) -> pa.Table:
 
     ix = build_documents_index(sf_dir)
     return significant_terms(ix, _multi_term_queries(ix), top_n=top_n)
+
+
+def bm25_cardinality(sf_dir: str) -> pa.Table:
+    """ES `cardinality` aggregation (exact, not HLL — exactness is what the
+    oracle checks): per 2-term query, the number of distinct lang values in
+    the match set plus the total hits. Derived from the per-shard facet
+    partials (disjoint docs -> the global distinct set is the union of
+    per-shard sets, already merged by facet_counts)."""
+    from .query import facet_counts
+
+    ix = build_documents_index(sf_dir)
+    fc = facet_counts(ix, _multi_term_queries(ix), facet="lang")
+    g = fc.group_by(["query_id"]).aggregate([("n_docs", "sum"), ("lang", "count")])
+    out = pa.table(
+        {
+            "query_id": g.column("query_id"),
+            "n_docs": g.column("n_docs_sum"),
+            "n_langs": g.column("lang_count").cast(pa.int64()),
+        }
+    )
+    return out.sort_by("query_id")
 
 
 def bm25_topk_filtered(sf_dir: str, k: int = 10) -> pa.Table:

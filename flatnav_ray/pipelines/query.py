@@ -349,15 +349,14 @@ def significant_terms(
     if len(t) == 0:
         return empty
     g = t.group_by(["query_id", "term"]).aggregate([("match_df", "sum")])
-    qid = g.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    terms = np.asarray(g.column("term").to_pylist(), dtype=object)
-    mdf = g.column("match_df_sum").to_numpy(zero_copy_only=False).astype(np.int64)
-
-    # match_n per query = the match-set size (exact, from the stats stage)
-    ms = match_stats(index_dir, queries, concurrency=concurrency)
-    mn_by_q = dict(
-        zip(ms.column("query_id").to_pylist(), ms.column("n_docs").to_pylist())
-    )
+    # "" marker rows carry each shard's match-set size (summed by the same
+    # groupby) — match_n needs no second actor-pool pass
+    qid_all = g.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    terms_all = np.asarray(g.column("term").to_pylist(), dtype=object)
+    mdf_all = g.column("match_df_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+    marker = terms_all == ""
+    mn_by_q = dict(zip(qid_all[marker].tolist(), mdf_all[marker].tolist()))
+    qid, terms, mdf = qid_all[~marker], terms_all[~marker], mdf_all[~marker]
     dft = df_distribution(index_dir)
     df_by_t = dict(zip(dft.column("term").to_pylist(), dft.column("df").to_pylist()))
     n_docs = int(stats["n_docs"])

@@ -124,7 +124,17 @@ def benchmark_overlap(
 
         return counts.map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
 
-    bench_tbl = pa.concat_tables(bench_sh.iter_batches(batch_format="pyarrow"))
+    batches = list(bench_sh.iter_batches(batch_format="pyarrow"))
+    if not batches:  # empty benchmark / all items shorter than n tokens
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_overlap": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    bench_tbl = pa.concat_tables(batches)
     bset = np.sort(bench_tbl.column("shingle").to_numpy(zero_copy_only=False).astype(np.int64))
     bref = ray.put(bset)
 

@@ -78,7 +78,16 @@ def export_shuffled(
             )
         d = os.path.join(out_dir, f"shard={sh:05d}")
         path = os.path.join(d, "part.parquet")
-        if not os.path.exists(path):  # resume: finished shards skipped
+        if os.path.exists(path):  # resume: finished shards skipped — but a
+            # stale file from a DIFFERENT corpus must not be silently served
+            existing = pq.read_metadata(path).num_rows
+            if existing != len(group):
+                raise ValueError(
+                    f"export resume mismatch: {path} holds {existing} rows, "
+                    f"current corpus produces {len(group)} for shard {sh} — "
+                    "the upstream pipeline changed; remove the directory to re-export"
+                )
+        else:
             os.makedirs(d, exist_ok=True)
             tmp = path + ".tmp"
             pq.write_table(group.drop_columns(["shard"]), tmp)

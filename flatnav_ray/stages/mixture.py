@@ -154,12 +154,12 @@ def token_budget_sample(
     # ---- pass 2: exact cut inside each boundary bucket (driver-small) ----
     def _boundary(b: pa.Table) -> pa.Table:
         bst = ray.get(bstar_ref)
-        gs = b.column(group_col).to_pylist()
+        gs = np.asarray(b.column(group_col).to_pylist(), dtype=object)
         bk = b.column("bucket").to_numpy(zero_copy_only=False)
-        keep = np.fromiter(
-            (bst.get(g, -1) == bb for g, bb in zip(gs, bk)), dtype=bool, count=len(gs)
-        )
-        return b.filter(pa.array(keep))
+        # vectorized: python only over the DISTINCT groups of the batch
+        ug, inv = np.unique(gs, return_inverse=True)
+        thr = np.fromiter((bst.get(g, -1) for g in ug), dtype=np.int64, count=ug.size)
+        return b.filter(pa.array(bk == thr[inv]))
 
     btbl = pa.concat_tables(
         base.map_batches(
@@ -188,14 +188,14 @@ def token_budget_sample(
     def _final(b: pa.Table) -> pa.Table:
         bst = ray.get(bstar_ref)
         kp = ray.get(keep_ref)
-        gs = b.column(group_col).to_pylist()
+        gs = np.asarray(b.column(group_col).to_pylist(), dtype=object)
         bk = b.column("bucket").to_numpy(zero_copy_only=False)
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        under = np.fromiter(
-            (bb < bst.get(g, 1 << HIST_BITS) for g, bb in zip(gs, bk)),
-            dtype=bool,
-            count=len(gs),
+        ug, inv = np.unique(gs, return_inverse=True)
+        thr = np.fromiter(
+            (bst.get(g, 1 << HIST_BITS) for g in ug), dtype=np.int64, count=ug.size
         )
+        under = bk < thr[inv]
         if kp.size:
             pos = np.searchsorted(kp, ids)
             hit = pos < kp.size

@@ -1015,6 +1015,9 @@ class _ShardState:
                         np.asarray(row["block_last_doc"], dtype=np.int64),
                         block_size=self.block_size,
                     )
+                    if self._dead_pos is not None:  # tombstone/shadow mask,
+                        # same live-doc discipline as live_term_doc_ids
+                        p = p[~self._dead_pos[p]]
                 dec[term] = p
             return p
 
@@ -1036,6 +1039,12 @@ class _ShardState:
                 else np.unique(np.concatenate(pos_lists))
             )
             qid = int(plan.query_ids[qi])
+            # marker row (term "" is never a real token — the analyzer
+            # strips empties): this shard's match-set size, summable to the
+            # global match_n with no second actor-pool pass
+            q_out.append(qid)
+            t_out.append("")
+            m_out.append(int(cand.size))
             for term in self._terms_list:
                 p = _pos(term)
                 if p.size == 0:
