@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": d.bm25_topk,
         "bm25_topk_page2": d.bm25_topk_page2,       # pagination: ranks 10..19
         "bm25_topk_after": d.bm25_topk_after,       # cursor search_after paging
+        "bm25_topk_federated": d.bm25_topk_federated,  # multi-index merged-stats search
         "bm25_topk_wand": d.bm25_topk_wand,         # block-max pruned, same oracle
         "bm25_topk_termlayout": d.bm25_topk_termlayout,  # groupby(term)+salt layout
         "bm25_topk_multi": d.bm25_topk_multi,     # 2-term queries (WAND/MaxScore path)
@@ -1311,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_sql,
         "bm25_topk_page2": page2_sql,
         "bm25_topk_after": after_sql,
+        "bm25_topk_federated": bm25_sql,
         "bm25_topk_wand": bm25_sql,
         "bm25_topk_termlayout": bm25_sql,
         "bm25_topk_multi": multi_sql,

@@ -760,6 +760,38 @@ def bm25_topk(sf_dir: str, k: int = 10, method: str = "maxscore") -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_federated(sf_dir: str, k: int = 10) -> pa.Table:
+    """Federated multi-index search (ES multiple-indices / Lucene
+    MultiReader): the corpus split by doc_id parity into TWO physical
+    indexes, queried through federated_search with globally merged
+    statistics (n, avgdl, df summed across indexes) — rank-identical to the
+    single union index, so the oracle is the unchanged bm25 SQL."""
+    from .query import federated_search
+
+    cfg = IndexConfig(num_partitions=4)
+    halves = []
+    for r in (0, 1):
+        ix_r = _index_dir_for(sf_dir, cfg) + f"_fed{r}"
+
+        def _half(b: pa.Table, _r=r) -> pa.Table:
+            ids = b.column("ext_doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == _r))
+
+        from ..sources.pages import documents_as_pages
+
+        build_index(
+            documents_as_pages(sf_dir).map_batches(
+                _half, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ix_r, cfg, resume=True,
+        )
+        halves.append(ix_r)
+    queries = derived_queries(build_documents_index(sf_dir))
+    out = federated_search(halves, queries, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_wand(sf_dir: str, k: int = 10) -> pa.Table:
     """Block-max pruned evaluation — must be rank-identical to bm25_topk
     (same DuckDB oracle)."""

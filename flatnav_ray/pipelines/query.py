@@ -150,6 +150,66 @@ def search_partials(
     return partials, stats
 
 
+def federated_search(
+    index_dirs: list[str], queries: pa.Table, query_cfg: QueryConfig | None = None
+) -> pa.Table:
+    """ES multiple-indices search / Lucene MultiReader: ONE logical query
+    over several physical indexes. Every index's shards score with GLOBALLY
+    merged collection statistics — n = Σ n_i, avgdl = Σ sum_doc_len / Σ n
+    (one exact integer division), df(term) = Σ df_i — so scores are
+    comparable across indexes and the merged top-k is rank-identical to a
+    single index built over the union corpus (BM25 is a pure function of
+    (tf, dl, df, n, avgdl), all identical here). Partials from ALL indexes
+    stream into one deterministic merge; per-index actor pools keep their
+    own segments warm."""
+    from ..stages.search import ShardSearcher
+
+    query_cfg = query_cfg or QueryConfig()
+    stats_list = [load_stats(d) for d in index_dirs]
+    fp = {s.get("analyzer") for s in stats_list}
+    if len(fp) != 1:
+        raise ValueError(f"federated indexes use different analyzers: {fp}")
+    distinct: set[str] = set()
+    for t in queries.column("text").to_pylist():
+        distinct.update(tokenize_py(t))
+    terms = sorted(distinct)
+    merged_df: dict[str, int] = {t: 0 for t in terms}
+    for d in index_dirs:
+        for t_, v in lookup_term_df(d, terms).items():
+            merged_df[t_] += int(v)
+    n = sum(int(s["n_docs"]) for s in stats_list)
+    sdl = sum(int(s["sum_doc_len"]) for s in stats_list)
+    avgdl = sdl / n if n else 0.0
+    plan = make_query_plan(queries, merged_df, n, avgdl, query_cfg.k)
+    plan_ref = ray.put(plan)
+
+    all_parts = []
+    for d, s in zip(index_dirs, stats_list):
+        parts = [{"partition": int(p)} for p in s["partitions"]]
+        ncpu = int(ray.cluster_resources().get("CPU", query_cfg.concurrency))
+        conc = max(1, min(query_cfg.concurrency, len(parts), ncpu))
+        partials = ray.data.from_items(parts).map_batches(
+            ShardSearcher,
+            batch_format="pyarrow",
+            batch_size=max(1, len(parts) // (conc * 2) or 1),
+            concurrency=conc,
+            fn_constructor_kwargs={
+                "index_dir": d,
+                "plan_ref": plan_ref,
+                "query_cfg": query_cfg,
+                "block_size": int(s["block_size"]),
+            },
+        )
+        all_parts.extend(
+            partials.drop_columns(["docs_scored", "blocks_decoded"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    if not all_parts:
+        return _EMPTY_RESULT
+    return merge_topk_table(pa.concat_tables(all_parts), query_cfg.k)
+
+
 def search(
     index_dir: str,
     queries: pa.Table,
