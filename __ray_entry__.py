@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_overlap": d.decontam_overlap,   # benchmark n-gram decontamination
         # embeddings / similarity search
         "knn_cosine": d.knn_cosine,
+        "knn_cosine_filtered": d.knn_cosine_filtered,  # metadata-filter vector search
+        "knn_range": d.knn_range,                 # radius query (FAISS range_search)
         "knn_l2": d.knn_l2,
         "knn_ip": d.knn_ip,
         "knn_l2_u8": d.knn_l2_u8,                 # uint8 integer-exact path
@@ -1236,6 +1238,24 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, "
             "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) - 1 AS rank FROM s) "
             "SELECT query_id, rank, vec_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+        # filtered vector search: same top-k, corpus restricted by the
+        # label % 3 == 1 metadata predicate (pre-filter => exact recall)
+        "knn_cosine_filtered": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS cosine "
+            "FROM q CROSS JOIN embeddings e WHERE e.label % 3 = 1), "
+            "r AS (SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) - 1 AS rank FROM s) "
+            "SELECT query_id, rank, vec_id FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
+        # radius query: every (query, vec) pair with cosine >= 0.25 —
+        # unbounded result set, integer ids only
+        "knn_range": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10) "
+            "SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
+            "WHERE list_cosine_similarity(q.qe, e.embedding) >= 0.25 "
+            "ORDER BY q.query_id, e.vec_id"
         ),
         "knn_l2": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), "

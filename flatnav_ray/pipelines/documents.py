@@ -458,6 +458,62 @@ def knn_cosine(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def knn_cosine_filtered(sf_dir: str, k: int = 10, n_queries: int = 10) -> pa.Table:
+    """Filtered vector search (the vector-DB metadata-filter surface):
+    exact cosine top-k restricted to corpus vectors with label % 3 == 1 —
+    the PRE-filter strategy (predicate pushed into the corpus stream before
+    scoring, so recall is exact by construction; queries still come from
+    the unfiltered set)."""
+    from ..stages.knn import brute_force_knn
+
+    def _flt(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(lab % 3 == 1))
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        _flt, batch_format="pyarrow", zero_copy_batch=True
+    )
+    qv, qids = _knn_queries(sf_dir, n_queries)
+    out = brute_force_knn(emb, qv, k=k, query_ids=qids)
+    out = out.select(["query_id", "rank", "vec_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
+def knn_range(sf_dir: str, threshold: float = 0.25, n_queries: int = 10) -> pa.Table:
+    """Range search (FAISS range_search / the radius-query surface): ALL
+    corpus vectors within cosine >= threshold of each query — unbounded
+    result set, streamed per batch (matmul + threshold mask, no top-k
+    heap). Integer id pairs only (the boundary sits far from any pair's
+    cosine, so float64 rounding cannot flip membership)."""
+    qv, qids = _knn_queries(sf_dir, n_queries)
+    import ray as _ray
+
+    from ..stages.knn import _normalize, _to_matrix
+
+    q = _normalize(np.asarray(qv, dtype=np.float64))
+    q_ref = _ray.put((qids, q))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        qids_, q_ = _ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_to_matrix(batch.column("embedding")))
+        sims = q_ @ m.T
+        qi, vi = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_[qi], type=pa.int64()),
+                "vec_id": pa.array(ids[vi], type=pa.int64()),
+            }
+        )
+
+    out = _concat(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+            _pairs, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return out.sort_by([("query_id", "ascending"), ("vec_id", "ascending")])
+
+
 def _knn_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     qt = pa.concat_tables(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
