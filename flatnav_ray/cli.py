@@ -252,9 +252,65 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Sharded shuffled export: `export --input DIR --out DIR [--shards N]`
+    — the deterministic SGD-shuffle final step (stages/export.py); re-runs
+    resume per shard."""
+    import ray.data
+
+    from .stages.export import export_shuffled
+
+    _ray_init()
+    t0 = time.perf_counter()
+    man = export_shuffled(
+        ray.data.read_parquet(args.input), args.out,
+        num_shards=args.shards, id_col=args.id_col, seed=args.seed,
+    )
+    rows = sum(man.column("rows").to_pylist())
+    print(json.dumps({
+        "stage": "export", "shards": len(man), "rows": rows,
+        "bytes": sum(man.column("bytes").to_pylist()),
+        "sec": round(time.perf_counter() - t0, 2), "out": args.out,
+    }))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    """End-to-end curation chain over an sf-dir-style documents table:
+    quality gate -> exact dedup -> decontamination -> mixture cut; writes
+    the kept manifest (doc_id, source, n_tokens) to --out."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.documents import curate_pipeline
+
+    _ray_init()
+    t0 = time.perf_counter()
+    out = curate_pipeline(args.input, budget=args.budget)
+    pq.write_table(out, args.out)
+    print(json.dumps({
+        "stage": "curate", "kept": len(out), "budget": args.budget,
+        "sec": round(time.perf_counter() - t0, 2), "out": args.out,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="flatnav_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--shards", type=int, default=8)
+    ex.add_argument("--id-col", default="doc_id")
+    ex.add_argument("--seed", type=int, default=0)
+    ex.set_defaults(fn=cmd_export)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True, help="sf-dir containing documents.parquet")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--budget", type=int, default=400)
+    cu.set_defaults(fn=cmd_curate)
 
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
