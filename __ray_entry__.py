@@ -334,7 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
         "regex_hit_counts": d.regex_hit_counts,    # regex term scan (RE2 dictionary)
-        "suggest_prefix": d.suggest_prefix,        # autocomplete: top terms per prefix
+        "suggest_prefix": d.suggest_prefix,
+        "suggest_spell": d.suggest_spell,         # did-you-mean term suggester        # autocomplete: top terms per prefix
         "bm25_sortby_len": d.bm25_sortby_len,      # sort-by-field (doc_len) results
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter
@@ -1384,6 +1385,21 @@ def oracle_sql() -> dict[str, str]:
         "prefix_hit_counts": prefix_sql,
         "infix_hit_counts": infix_sql,
         "regex_hit_counts": regex_sql,
+        # did-you-mean: inputs = top-df terms minus their last char;
+        # suggestion = (levenshtein asc, df desc, term asc) among d<=1
+        "suggest_spell": (
+            f"WITH df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+            "qt AS (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) - 1 AS query_id "
+            "FROM df QUALIFY query_id < 10), "
+            "q AS (SELECT query_id, substr(term, 1, len(term) - 1) AS input FROM qt), "
+            "cand AS (SELECT q.query_id, q.input, d.term AS suggestion, "
+            "levenshtein(q.input, d.term) AS distance, d.df "
+            "FROM q JOIN df d ON levenshtein(q.input, d.term) <= 1), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY distance, df DESC, suggestion) AS rn FROM cand) "
+            "SELECT query_id, input, suggestion, CAST(distance AS BIGINT) AS distance, df "
+            "FROM r WHERE rn = 1 ORDER BY query_id"
+        ),
         "suggest_prefix": suggest_sql,
         "bm25_sortby_len": sortby_sql,
         "bm25_topk_stopfilter": stop_sql,

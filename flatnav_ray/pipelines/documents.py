@@ -1502,6 +1502,50 @@ def bm25_significant_terms(sf_dir: str, top_n: int = 5) -> pa.Table:
     return significant_terms(ix, _multi_term_queries(ix), top_n=top_n)
 
 
+def suggest_spell(sf_dir: str, n_queries: int = 10) -> pa.Table:
+    """Spell-correction suggester (the ES term suggester / did-you-mean):
+    inputs are the top-df terms with their LAST character dropped (SQL can
+    derive the identical misspellings); the suggestion is the dictionary
+    term with (levenshtein asc, df desc, term asc) among candidates at
+    edit distance <= 1 — found with the vectorized Edit1Matcher, never a
+    full DP scan. Inputs that are themselves dictionary terms suggest
+    themselves (distance 0 wins)."""
+    from ..functions.fuzzy import Edit1Matcher
+
+    ix = build_documents_index(sf_dir)
+    d = df_distribution(ix)
+    order = pc.sort_indices(d, sort_keys=[("df", "descending"), ("term", "ascending")])
+    top = d.take(order[:n_queries])
+    inputs = [t[:-1] for t in top.column("term").to_pylist()]
+
+    all_terms = d.column("term").to_pylist()
+    df_by_t = dict(zip(all_terms, d.column("df").to_pylist()))
+    matcher = Edit1Matcher(all_terms)
+
+    qs, ins, sug, dist, dfs = [], [], [], [], []
+    for qid, q in enumerate(inputs):
+        cands = matcher.candidates(q)
+        if not cands:
+            continue
+        best = min(
+            cands, key=lambda t: (0 if t == q else 1, -int(df_by_t[t]), t)
+        )
+        qs.append(qid)
+        ins.append(q)
+        sug.append(best)
+        dist.append(0 if best == q else 1)
+        dfs.append(int(df_by_t[best]))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "input": pa.array(ins, type=pa.string()),
+            "suggestion": pa.array(sug, type=pa.string()),
+            "distance": pa.array(dist, type=pa.int64()),
+            "df": pa.array(dfs, type=pa.int64()),
+        }
+    )
+
+
 def bm25_cardinality(sf_dir: str) -> pa.Table:
     """ES `cardinality` aggregation (exact, not HLL — exactness is what the
     oracle checks): per 2-term query, the number of distinct lang values in
