@@ -334,8 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
         "regex_hit_counts": d.regex_hit_counts,    # regex term scan (RE2 dictionary)
-        "suggest_prefix": d.suggest_prefix,
-        "suggest_spell": d.suggest_spell,         # did-you-mean term suggester        # autocomplete: top terms per prefix
+        "suggest_prefix": d.suggest_prefix,       # autocomplete: top terms per prefix
+        "suggest_spell": d.suggest_spell,         # did-you-mean term suggester
         "bm25_sortby_len": d.bm25_sortby_len,      # sort-by-field (doc_len) results
         "bm25_topk_stopfilter": d.bm25_topk_stopfilter,  # stopword analyzer variant
         "bm25_topk_filtered": d.bm25_topk_filtered,      # modal-lang candidate filter

@@ -1513,11 +1513,12 @@ def suggest_spell(sf_dir: str, n_queries: int = 10) -> pa.Table:
     from ..functions.fuzzy import Edit1Matcher
 
     ix = build_documents_index(sf_dir)
-    d = df_distribution(ix)
-    order = pc.sort_indices(d, sort_keys=[("df", "descending"), ("term", "ascending")])
-    top = d.take(order[:n_queries])
-    inputs = [t[:-1] for t in top.column("term").to_pylist()]
+    # the canonical query-derivation order (shared with every oracle's qt CTE)
+    inputs = [
+        t[:-1] for t in derived_queries(ix, n_queries).column("text").to_pylist()
+    ]
 
+    d = df_distribution(ix)
     all_terms = d.column("term").to_pylist()
     df_by_t = dict(zip(all_terms, d.column("df").to_pylist()))
     matcher = Edit1Matcher(all_terms)

@@ -92,6 +92,29 @@ def plan_for(
     return plan, stats
 
 
+def _searcher_pool(
+    index_dir: str, stats: dict, plan_ref, query_cfg: QueryConfig
+) -> ray.data.Dataset:
+    """The ShardSearcher actor-pool fan-out over one index's partitions —
+    shared by search_partials and federated_search so sizing fixes land in
+    one place."""
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", query_cfg.concurrency))
+    concurrency = max(1, min(query_cfg.concurrency, len(parts), ncpu))
+    return ray.data.from_items(parts).map_batches(
+        ShardSearcher,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (concurrency * 2) or 1),
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "query_cfg": query_cfg,
+            "block_size": int(stats["block_size"]),
+        },
+    )
+
+
 def search_partials(
     index_dir: str, queries: pa.Table, query_cfg: QueryConfig | None = None
 ) -> tuple[ray.data.Dataset, dict]:
@@ -132,22 +155,7 @@ def search_partials(
         fuzzy_max_edits=fz, synonyms=syn, boosts=boosts, scorer=query_cfg.scorer,
     )
     plan_ref = ray.put(plan)
-    parts = [{"partition": int(p)} for p in stats["partitions"]]
-    ncpu = int(ray.cluster_resources().get("CPU", query_cfg.concurrency))
-    concurrency = max(1, min(query_cfg.concurrency, len(parts), ncpu))
-    partials = ray.data.from_items(parts).map_batches(
-        ShardSearcher,
-        batch_format="pyarrow",
-        batch_size=max(1, len(parts) // (concurrency * 2) or 1),
-        concurrency=concurrency,
-        fn_constructor_kwargs={
-            "index_dir": index_dir,
-            "plan_ref": plan_ref,
-            "query_cfg": query_cfg,
-            "block_size": int(stats["block_size"]),
-        },
-    )
-    return partials, stats
+    return _searcher_pool(index_dir, stats, plan_ref, query_cfg), stats
 
 
 def federated_search(
@@ -162,9 +170,35 @@ def federated_search(
     (tf, dl, df, n, avgdl), all identical here). Partials from ALL indexes
     stream into one deterministic merge; per-index actor pools keep their
     own segments warm."""
-    from ..stages.search import ShardSearcher
-
     query_cfg = query_cfg or QueryConfig()
+    # federation covers the plain disjunctive BM25/TF-IDF path; every other
+    # QueryConfig feature either needs per-index state the merged plan does
+    # not carry (fuzzy/synonym expansion, cf) or extra merge handling
+    # (offset) — reject loudly instead of returning plausible wrong results
+    from ..functions.bm25 import SCORERS as _SC
+
+    unsupported = [
+        name
+        for name, val in (
+            ("offset", getattr(query_cfg, "offset", 0)),
+            ("fuzzy_max_edits", getattr(query_cfg, "fuzzy_max_edits", 0)),
+            ("synonyms", getattr(query_cfg, "synonyms", None)),
+            ("boosts", getattr(query_cfg, "boosts", None)),
+        )
+        if val
+    ]
+    if getattr(_SC[query_cfg.scorer], "needs_cf", False):
+        unsupported.append(f"scorer={query_cfg.scorer!r} (needs cf)")
+    bad_cols = {"neg_text", "must_text", "after_score", "after_doc"} & set(
+        queries.column_names
+    )
+    if bad_cols:
+        unsupported.append(f"query columns {sorted(bad_cols)}")
+    if unsupported:
+        raise ValueError(
+            f"federated_search supports the plain disjunctive path only; "
+            f"unsupported here: {', '.join(unsupported)}"
+        )
     stats_list = [load_stats(d) for d in index_dirs]
     fp = {s.get("analyzer") for s in stats_list}
     if len(fp) != 1:
@@ -183,31 +217,35 @@ def federated_search(
     plan = make_query_plan(queries, merged_df, n, avgdl, query_cfg.k)
     plan_ref = ray.put(plan)
 
-    all_parts = []
+    # ONE unioned Dataset over every index's shard pool: all pools execute
+    # under the same streaming drain (no index waits for another)
+    unioned = None
+    total_parts = 0
     for d, s in zip(index_dirs, stats_list):
-        parts = [{"partition": int(p)} for p in s["partitions"]]
-        ncpu = int(ray.cluster_resources().get("CPU", query_cfg.concurrency))
-        conc = max(1, min(query_cfg.concurrency, len(parts), ncpu))
-        partials = ray.data.from_items(parts).map_batches(
-            ShardSearcher,
-            batch_format="pyarrow",
-            batch_size=max(1, len(parts) // (conc * 2) or 1),
-            concurrency=conc,
-            fn_constructor_kwargs={
-                "index_dir": d,
-                "plan_ref": plan_ref,
-                "query_cfg": query_cfg,
-                "block_size": int(s["block_size"]),
-            },
-        )
-        all_parts.extend(
-            partials.drop_columns(["docs_scored", "blocks_decoded"]).iter_batches(
-                batch_format="pyarrow"
-            )
-        )
-    if not all_parts:
+        partials = _searcher_pool(d, s, plan_ref, query_cfg)
+        total_parts += len(s["partitions"])
+        unioned = partials if unioned is None else unioned.union(partials)
+    if unioned is None:
         return _EMPTY_RESULT
-    return merge_topk_table(pa.concat_tables(all_parts), query_cfg.k)
+    unioned = unioned.drop_columns(["docs_scored", "blocks_decoded"])
+    est_rows = query_cfg.k * total_parts * len(queries)
+    if est_rows > DRIVER_MERGE_MAX_ROWS:  # distributed merge fallback
+        ds = unioned.groupby("query_id").map_groups(
+            merge_topk, batch_format="pyarrow", fn_kwargs={"k": query_cfg.k}
+        )
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        if not batches:
+            return _EMPTY_RESULT
+        t = pa.concat_tables(batches)
+        import pyarrow.compute as pc
+
+        return t.take(
+            pc.sort_indices(t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
+        )
+    batches = list(unioned.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return _EMPTY_RESULT
+    return merge_topk_table(pa.concat_tables(batches), query_cfg.k)
 
 
 def search(

@@ -51,12 +51,6 @@ def fed_indexes(ray_session, tmp_path_factory):
     return full, halves
 
 
-def hash_mod(u: str, m: int) -> int:
-    import zlib
-
-    return zlib.crc32(u.encode()) % m
-
-
 def test_federated_identical_to_union_index(fed_indexes):
     full, halves = fed_indexes
     queries = queries_table(12, seed=4, vocab_size=500)
@@ -72,6 +66,22 @@ def test_federated_identical_to_union_index(fed_indexes):
         np.array(f.column("score").to_pylist()),
         np.array(s.column("score").to_pylist()),
     )
+
+
+def test_federated_rejects_unsupported_features(fed_indexes):
+    _, halves = fed_indexes
+    queries = queries_table(3, seed=4, vocab_size=500)
+    with pytest.raises(ValueError, match="unsupported here: offset"):
+        federated_search(halves, queries, QueryConfig(k=3, offset=5))
+    with pytest.raises(ValueError, match="fuzzy_max_edits"):
+        federated_search(halves, queries, QueryConfig(k=3, fuzzy_max_edits=1))
+    with pytest.raises(ValueError, match="needs cf"):
+        federated_search(halves, queries, QueryConfig(k=3, scorer="lmd"))
+    bad_q = queries.append_column(
+        "must_text", pa.array(["x"] * len(queries), type=pa.string())
+    )
+    with pytest.raises(ValueError, match="query columns"):
+        federated_search(halves, bad_q, QueryConfig(k=3))
 
 
 def test_federated_rejects_mixed_analyzers(fed_indexes, tmp_path):
