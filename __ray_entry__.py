@@ -330,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_match_stats": d.bm25_match_stats,   # stats agg over the match set
         "bm25_significant_terms": d.bm25_significant_terms,  # overrepresented terms
         "bm25_cardinality": d.bm25_cardinality,   # exact distinct-count agg
+        "bm25_len_percentiles": d.bm25_len_percentiles,  # exact percentiles agg
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
@@ -1370,6 +1371,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m.query_id, count(*) AS n_docs, "
             "count(DISTINCT d.lang) AS n_langs FROM matches m "
             "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1 ORDER BY 1",
+        ),
+        # exact percentiles (type-7 == quantile_cont) of match-set doc
+        # lens; dl = the analyzer token count, same as bm25_match_stats
+        "bm25_len_percentiles": facets_sql.replace(
+            "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+            "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
+            f", dl AS (SELECT doc_id, len({toks}) AS dl FROM documents) "
+            "SELECT m.query_id, count(*) AS n_docs, "
+            "quantile_cont(dl.dl, 0.25) AS p25, quantile_cont(dl.dl, 0.5) AS p50, "
+            "quantile_cont(dl.dl, 0.75) AS p75 "
+            "FROM matches m JOIN dl ON dl.doc_id = m.doc_id "
+            "GROUP BY 1 ORDER BY 1",
         ),
         "bm25_match_stats": facets_sql.replace(
             "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "

@@ -1547,6 +1547,15 @@ def suggest_spell(sf_dir: str, n_queries: int = 10) -> pa.Table:
     )
 
 
+def bm25_len_percentiles(sf_dir: str) -> pa.Table:
+    """ES percentiles aggregation, exact: per 2-term query, type-7 p25/p50/
+    p75 of match-set doc lengths from summable per-shard histograms."""
+    from .query import match_percentiles
+
+    ix = build_documents_index(sf_dir)
+    return match_percentiles(ix, _multi_term_queries(ix))
+
+
 def bm25_cardinality(sf_dir: str) -> pa.Table:
     """ES `cardinality` aggregation (exact, not HLL — exactness is what the
     oracle checks): per 2-term query, the number of distinct lang values in

@@ -398,6 +398,78 @@ def match_stats(
     return out.sort_by("query_id")
 
 
+def match_percentiles(
+    index_dir: str, queries: pa.Table, qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    concurrency: int = 8,
+) -> pa.Table:
+    """ES `percentiles` aggregation made EXACT: per query, type-7 (linear
+    interpolation, = numpy default = DuckDB quantile_cont) quantiles of the
+    match set's doc lengths. Per-shard (dl, count) histograms merge by sum
+    — doc lengths are a small integer domain so the histogram stays tiny at
+    any corpus size (the exact alternative to the t-digest sketch). The
+    interpolation h=(n-1)q, v = a + (h-⌊h⌋)(b-a) is bit-exact for integer
+    dl and dyadic q, so the float columns hash-match the SQL oracle."""
+    import numpy as np
+
+    from ..stages.search import ShardMatchHist
+
+    plan, stats = plan_for(index_dir, queries, k=1)
+    plan_ref = ray.put(plan)
+    partials = ray.data.from_items(
+        [{"partition": int(p)} for p in stats["partitions"]]
+    ).map_batches(
+        ShardMatchHist,
+        batch_format="pyarrow",
+        batch_size=max(1, len(stats["partitions"]) // (concurrency * 2) or 1),
+        concurrency=max(1, min(concurrency, len(stats["partitions"]),
+                               int(ray.cluster_resources().get("CPU", concurrency)))),
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "block_size": int(stats["block_size"]),
+        },
+    )
+    cols = {"query_id": pa.array([], type=pa.int64()),
+            "n_docs": pa.array([], type=pa.int64())}
+    for q in qs:
+        cols[f"p{int(q * 100)}"] = pa.array([], type=pa.float64())
+    empty = pa.table(cols)
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if len(t) == 0:
+        return empty
+    g = t.group_by(["query_id", "dl"]).aggregate([("n", "sum")])
+    qid = g.column("query_id").to_numpy(zero_copy_only=False)
+    dl = g.column("dl").to_numpy(zero_copy_only=False)
+    cnt = g.column("n_sum").to_numpy(zero_copy_only=False)
+
+    out_q, out_n = [], []
+    out_p: dict[float, list[float]] = {q: [] for q in qs}
+    for u in np.unique(qid):
+        sel = qid == u
+        order = np.argsort(dl[sel], kind="stable")
+        vals, counts = dl[sel][order], cnt[sel][order]
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        out_q.append(int(u))
+        out_n.append(n)
+        for q in qs:
+            h = (n - 1) * q
+            lo = int(np.floor(h))
+            a = float(vals[np.searchsorted(cum, lo + 1)])
+            b = float(vals[np.searchsorted(cum, min(lo + 2, n))])
+            out_p[q].append(a + (h - lo) * (b - a))
+    cols = {
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "n_docs": pa.array(out_n, type=pa.int64()),
+    }
+    for q in qs:
+        cols[f"p{int(q * 100)}"] = pa.array(out_p[q], type=pa.float64())
+    return pa.table(cols).sort_by("query_id")
+
+
 def significant_terms(
     index_dir: str, queries: pa.Table, top_n: int = 5, concurrency: int = 8
 ) -> pa.Table:

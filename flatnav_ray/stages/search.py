@@ -991,6 +991,53 @@ class _ShardState:
             }
         )
 
+    def match_dl_hist(self, plan: QueryPlan) -> pa.Table:
+        """Per query, the (dl, count) histogram of the match set's doc
+        lengths — integer partials that merge by SUM across shards and
+        support EXACT quantiles at any scale (doc lengths are a small
+        integer domain, so the histogram stays tiny no matter the corpus —
+        the exact alternative to ES's t-digest percentiles)."""
+        scorer = SCORERS["bm25"]
+        q_out: list[np.ndarray] = []
+        d_out: list[np.ndarray] = []
+        n_out: list[np.ndarray] = []
+        for qi in range(plan.query_ids.size):
+            pos_lists = []
+            for term, _qtf in plan.query_terms[qi]:
+                if plan.term_idf.get(term, 0.0) <= 0.0:
+                    continue
+                hit = self.term_contrib(term, plan, scorer)
+                if hit is not None:
+                    pos_lists.append(hit[0])
+            if not pos_lists:
+                continue
+            cand = (
+                pos_lists[0]
+                if len(pos_lists) == 1
+                else np.unique(np.concatenate(pos_lists))
+            )
+            if cand.size == 0:
+                continue
+            vals, cnts = np.unique(self.docmap_lens[cand], return_counts=True)
+            q_out.append(np.full(vals.size, int(plan.query_ids[qi]), dtype=np.int64))
+            d_out.append(vals.astype(np.int64))
+            n_out.append(cnts.astype(np.int64))
+        if not q_out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(q_out), type=pa.int64()),
+                "dl": pa.array(np.concatenate(d_out), type=pa.int64()),
+                "n": pa.array(np.concatenate(n_out), type=pa.int64()),
+            }
+        )
+
     def sig_term_counts(self, plan: QueryPlan) -> pa.Table:
         """Per query, for EVERY dictionary term of this shard: the number of
         match-set docs containing it (the ES `significant_terms` foreground
@@ -1785,6 +1832,49 @@ class ShardMatchStats:
                     "dl_min": pa.array([], type=pa.int64()),
                     "dl_max": pa.array([], type=pa.int64()),
                     "dl_sum": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+
+class ShardMatchHist:
+    """Dataset-mode match-set doc-len histogram stage (actor pool over
+    partition ids): per-shard `_ShardState.match_dl_hist` partials; callers
+    merge per (query, dl) with a sum, then take exact quantiles."""
+
+    def __init__(self, index_dir: str, plan_ref, block_size: int):
+        import ray
+
+        self.index_dir = index_dir
+        self.plan: QueryPlan = (
+            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
+        )
+        self.block_size = block_size
+        self._states: dict[int, _ShardState] = {}
+        self._needed_terms = sorted(self.plan.term_idf.keys())
+
+    def _state(self, partition: int) -> _ShardState:
+        st = self._states.get(partition)
+        if st is None:
+            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
+            if len(self._states) >= 64:
+                self._states.pop(next(iter(self._states)))
+            self._states[partition] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for part in batch.column("partition").to_pylist():
+            part = int(part)
+            if not os.path.exists(segment_path(self.index_dir, part)):
+                continue
+            outs.append(self._state(part).match_dl_hist(self.plan))
+        if not outs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
                 }
             )
         return pa.concat_tables(outs)
