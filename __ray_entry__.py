@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_significant_terms": d.bm25_significant_terms,  # overrepresented terms
         "bm25_cardinality": d.bm25_cardinality,   # exact distinct-count agg
         "bm25_len_percentiles": d.bm25_len_percentiles,  # exact percentiles agg
+        "term_vectors_sample": d.term_vectors_sample,  # TermVectors API (index readback)
         "bm25_collapse_lang": d.bm25_collapse_lang,  # field collapsing (best per lang)
         "prefix_hit_counts": d.prefix_hit_counts,  # wildcard term* dictionary scan
         "infix_hit_counts": d.infix_hit_counts,    # wildcard *term* substring scan
@@ -1383,6 +1384,13 @@ def oracle_sql() -> dict[str, str]:
             "quantile_cont(dl.dl, 0.75) AS p75 "
             "FROM matches m JOIN dl ON dl.doc_id = m.doc_id "
             "GROUP BY 1 ORDER BY 1",
+        ),
+        # TermVectors: sampled docs' (term, tf) read from the index's own
+        # postings; oracle recomputes from raw text (integrity check)
+        "term_vectors_sample": (
+            f"SELECT doc_id, term, count(*) AS tf FROM ({terms}) "
+            "WHERE doc_id % 20 = 3 GROUP BY doc_id, term "
+            "ORDER BY doc_id, term"
         ),
         "bm25_match_stats": facets_sql.replace(
             "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "

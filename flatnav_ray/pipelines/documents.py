@@ -1547,6 +1547,83 @@ def suggest_spell(sf_dir: str, n_queries: int = 10) -> pa.Table:
     )
 
 
+def term_vectors_sample(sf_dir: str, modulus: int = 20, residue: int = 3) -> pa.Table:
+    """Lucene TermVectors API: per sampled doc, its (term, tf) vector read
+    back FROM THE INDEX'S OWN POSTINGS (owner-routed per-shard transpose of
+    the term-major layout — each shard decodes its dictionary once and
+    gathers the sampled docmap rows), not from the corpus. The oracle
+    recomputes the vectors from the raw text, so this entry is a direct
+    index-content integrity check (the canonical_postings determinism test
+    surfaced as a driver-checkable API)."""
+    ix = build_documents_index(sf_dir)
+    from ..state.stats import load_stats
+
+    stats = load_stats(ix)
+    block_size = int(stats["block_size"])
+
+    def _shard_vectors(batch: pa.Table) -> pa.Table:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from ..functions.codec import decode_postings
+        from ..stages.build import docmap_path, segment_path
+
+        outs = []
+        for part in batch.column("partition").to_pylist():
+            seg = segment_path(ix, int(part))
+            if not _os.path.exists(seg):
+                continue
+            t = _pq.read_table(seg).combine_chunks()
+            dm = _pq.read_table(docmap_path(ix, int(part)), columns=["doc_id"])
+            dm_ids = dm.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            sampled = dm_ids % modulus == residue
+            if not sampled.any():
+                continue
+            terms_l, docs_l, tfs_l = [], [], []
+            for i in range(len(t)):
+                pos, tf = decode_postings(
+                    t.column("doc_blob")[i].as_py(),
+                    t.column("tf_blob")[i].as_py(),
+                    np.asarray(t.column("block_last_doc")[i].as_py(), dtype=np.int64),
+                    block_size=block_size,
+                )
+                hit = sampled[pos]
+                if hit.any():
+                    k = int(hit.sum())
+                    terms_l.extend([t.column("term")[i].as_py()] * k)
+                    docs_l.append(dm_ids[pos[hit]])
+                    tfs_l.append(tf[hit])
+            if docs_l:
+                outs.append(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(np.concatenate(docs_l), type=pa.int64()),
+                            "term": pa.array(terms_l, type=pa.string()),
+                            "tf": pa.array(
+                                np.concatenate(tfs_l).astype(np.int64), type=pa.int64()
+                            ),
+                        }
+                    )
+                )
+        if not outs:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    out = _concat(
+        ray.data.from_items(
+            [{"partition": int(p)} for p in stats["partitions"]]
+        ).map_batches(_shard_vectors, batch_format="pyarrow")
+    )
+    return out.sort_by([("doc_id", "ascending"), ("term", "ascending")])
+
+
 def bm25_len_percentiles(sf_dir: str) -> pa.Table:
     """ES percentiles aggregation, exact: per 2-term query, type-7 p25/p50/
     p75 of match-set doc lengths from summable per-shard histograms."""
