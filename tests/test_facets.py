@@ -169,3 +169,44 @@ def test_len_histogram_matches_oracle(facet_index):
     assert got_map == dict(want)
     assert len(got) > 0
     assert got.schema.field("bucket").type == pa.int64()
+
+
+def test_match_percentiles_match_numpy(facet_index):
+    """Exact percentiles agg: per-shard histograms must reproduce numpy's
+    type-7 quantiles (the same linear interpolation) bit-for-bit."""
+    import numpy as np
+
+    from flatnav_ray.pipelines.query import match_percentiles
+
+    ix, pages = facet_index
+    queries = queries_table(15, seed=5, vocab_size=800)
+    got = match_percentiles(ix, queries)
+
+    docs = dedup_latest(prepare_batch(pages, 4, None))
+    toks_per_doc = [tokenize_py(t) for t in docs.column("text").to_pylist()]
+    want = {}
+    for qid, qtext in zip(
+        queries.column("query_id").to_pylist(), queries.column("text").to_pylist()
+    ):
+        qterms = set(tokenize_py(qtext))
+        dls = np.array(
+            [len(t) for t in toks_per_doc if qterms & set(t)], dtype=np.float64
+        )
+        if dls.size:
+            want[qid] = (
+                dls.size,
+                float(np.percentile(dls, 25)),
+                float(np.percentile(dls, 50)),
+                float(np.percentile(dls, 75)),
+            )
+    got_map = {
+        q: (n, p25, p50, p75)
+        for q, n, p25, p50, p75 in zip(
+            got.column("query_id").to_pylist(),
+            got.column("n_docs").to_pylist(),
+            got.column("p25").to_pylist(),
+            got.column("p50").to_pylist(),
+            got.column("p75").to_pylist(),
+        )
+    }
+    assert got_map == want  # exact float equality: same type-7 arithmetic
