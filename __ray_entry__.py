@@ -318,7 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
-        "bm25_topk_must": d.bm25_topk_must,       # boolean MUST+SHOULD mix
+        "bm25_topk_must": d.bm25_topk_must,
+        "bm25_topk_bool": d.bm25_topk_bool,       # MUST+SHOULD+MUST_NOT combined       # boolean MUST+SHOULD mix
         "bm25_topk_fuzzy": d.bm25_topk_fuzzy,     # fuzzy term~1 dictionary expansion
         "more_like_this": d.more_like_this,       # MLT: top tf-idf terms -> search, self excluded
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)
@@ -689,6 +690,36 @@ def oracle_sql() -> dict[str, str]:
         "allq AS (SELECT query_id % 10 AS query_id, term FROM qt), "
         "elig AS (SELECT m.query_id, tf.doc_id FROM must m JOIN tf ON tf.term = m.term "
         "GROUP BY 1, 2 HAVING count(*) = 2), "
+        "scored1 AS (SELECT a.query_id, tf.doc_id, a.term, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        "FROM allq a JOIN tf ON tf.term = a.term JOIN df ON df.term = a.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT s1.query_id, s1.doc_id, sum(score ORDER BY term) AS score "
+        "FROM scored1 s1 JOIN elig e ON e.query_id = s1.query_id AND e.doc_id = s1.doc_id "
+        "GROUP BY 1, 2), "
+        "ranked AS (SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
+    )
+    # full BooleanQuery mix: must = rank i (gates + scores), should =
+    # rank i+20 (scores), must_not = rank i+10 (anti-join); ordered 2-stream
+    # fold over {must, should} restricted to eligible docs
+    bool_sql = (
+        f"WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM ({terms}) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len({toks}) AS dl FROM documents), "
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT avg(dl) FROM dl) AS avgdl), "
+        f"df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ({terms}) GROUP BY term), "
+        "qt AS (SELECT term, query_id FROM (SELECT term, row_number() OVER "
+        "(ORDER BY df DESC, term ASC) - 1 AS query_id FROM df) WHERE query_id < 30), "
+        "must AS (SELECT query_id, term FROM qt WHERE query_id < 10), "
+        "ng AS (SELECT query_id - 10 AS query_id, term FROM qt "
+        "WHERE query_id >= 10 AND query_id < 20), "
+        "should AS (SELECT query_id - 20 AS query_id, term FROM qt WHERE query_id >= 20), "
+        "allq AS (SELECT * FROM must UNION ALL SELECT * FROM should), "
+        "elig AS (SELECT m.query_id, tf.doc_id FROM must m JOIN tf ON tf.term = m.term "
+        "WHERE NOT EXISTS (SELECT 1 FROM ng JOIN tf t2 ON t2.term = ng.term "
+        "WHERE ng.query_id = m.query_id AND t2.doc_id = tf.doc_id)), "
         "scored1 AS (SELECT a.query_id, tf.doc_id, a.term, "
         "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
         "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
@@ -1347,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_msm": msm_sql,
         "bm25_topk_not": neg_sql,
         "bm25_topk_must": must_sql,
+        "bm25_topk_bool": bool_sql,
         "bm25_topk_fuzzy": fuzzy_sql,
         "more_like_this": mlt_sql,
         "bm25_topk_phrase": phrase_sql,

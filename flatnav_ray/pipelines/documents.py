@@ -1332,6 +1332,28 @@ def bm25_topk_must(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def bm25_topk_bool(sf_dir: str, k: int = 10) -> pa.Table:
+    """Full Lucene BooleanQuery mix in ONE query — MUST (term rank i, gates
+    candidates and scores), SHOULD (rank i+20, scores when present) and
+    MUST_NOT (rank i+10, anti-join) together: the integration surface the
+    separate must/not/msm entries exercise individually. Oracle: ordered
+    2-stream fold restricted to must-matching docs minus negated docs."""
+    ix = build_documents_index(sf_dir)
+    single = derived_queries(ix, n_queries=30)
+    texts = single.column("text").to_pylist()
+    qs = pa.table(
+        {
+            "query_id": pa.array(np.arange(10, dtype=np.int64)),
+            "text": pa.array([texts[i + 20] for i in range(10)], type=pa.string()),
+            "must_text": pa.array([texts[i] for i in range(10)], type=pa.string()),
+            "neg_text": pa.array([texts[i + 10] for i in range(10)], type=pa.string()),
+        }
+    )
+    out = search_to_table(ix, qs, QueryConfig(k=k))
+    out = out.select(["query_id", "rank", "doc_id"])
+    return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+
+
 def bm25_topk_fuzzy(sf_dir: str, k: int = 10) -> pa.Table:
     """Fuzzy matching (Lucene term~1): each of the top-10 df-ranked terms
     expands to EVERY dictionary term within Levenshtein distance 1
