@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": d.gopher_filter,         # composite integer-exact quality gate
         "pii_counts": d.pii_counts,               # PII detection pass (regex parity)
         "export_shuffle_plan": d.export_shuffle_plan,  # deterministic SGD-shuffle shards
+        "dsir_logratio": d.dsir_logratio,         # DSIR importance weights
         "curate_pipeline": d.curate_pipeline,     # composed end-to-end curation chain
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
@@ -1050,6 +1051,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (h64 % 100)::BIGINT AS bucket, "
             "CASE WHEN h64 % 100 < 10 THEN 'test' ELSE 'train' END AS split "
             "FROM h ORDER BY doc_id"
+        ),
+        # DSIR: per-doc target/background unigram log likelihood ratio,
+        # add-1 smoothed; per-doc fold ORDER BY term == the engine's pinned
+        # accumulation; V = global distinct-term count
+        "dsir_logratio": (
+            f"WITH tok AS (SELECT d.doc_id, d.lang, u.t AS term FROM "
+            f"(SELECT doc_id, lang, {toks} AS tk FROM documents) d, unnest(d.tk) AS u(t)), "
+            "cf AS (SELECT term, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cft, "
+            "count(*) AS cfb FROM tok GROUP BY term), "
+            "tot AS (SELECT sum(cft) AS nt, sum(cfb) AS nb, count(*) AS v FROM cf), "
+            "w AS (SELECT term, ln((cft + 1.0) / (nt + v)) - ln((cfb + 1.0) / (nb + v)) AS w "
+            "FROM cf CROSS JOIN tot), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "per AS (SELECT tf.doc_id, sum(tf.tf * w.w ORDER BY tf.term) AS logratio, "
+            "sum(tf.tf) AS n_tokens FROM tf JOIN w ON w.term = tf.term GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+            "coalesce(p.logratio, 0.0) AS logratio FROM documents d "
+            "LEFT JOIN per p ON p.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         # THE composed curation pipeline: gopher gate -> exact text dedup
         # (min doc_id per text) -> decontamination (drop the %31 benchmark

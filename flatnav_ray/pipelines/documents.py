@@ -354,6 +354,98 @@ def curate_pipeline(sf_dir: str, budget: int = 400, n: int = 4) -> pa.Table:
     return _concat(out).sort_by("doc_id")
 
 
+def dsir_logratio(sf_dir: str, target_lang: str = "en") -> pa.Table:
+    """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169): per
+    doc, the log likelihood ratio of its unigrams under the TARGET domain
+    (lang == target_lang docs) vs the BACKGROUND (whole corpus), add-1
+    smoothed — the data-selection score used to importance-resample a raw
+    corpus toward a target distribution.
+
+        w(t)   = ln((cf_T(t)+1)/(N_T+V)) - ln((cf_B(t)+1)/(N_B+V))
+        doc    = Σ tf(t)·w(t)   folded in ascending term order (the
+                 engine's pinned accumulation == sum(... ORDER BY term))
+
+    Collection frequencies come from one distributed partial pass (per-
+    batch (term, cf_target, cf_background) rows folded driver-side — the
+    vocabulary is the small side; DSIR hashes n-grams into fixed buckets
+    at larger vocabularies, same shape). Weights broadcast once; the
+    per-doc fold is a vectorized reduceat over (doc, term)-sorted tokens."""
+    from ..functions.tokenize import explode_tokens
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
+
+    def _cf_partial(b: pa.Table) -> pa.Table:
+        parents, toks = explode_tokens(b.column("text"))
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        is_t = (langs == target_lang)[parents]
+        t = pa.table(
+            {
+                "term": toks,
+                "cf_t": pa.array(is_t.astype(np.int64), type=pa.int64()),
+                "cf_b": pa.array(np.ones(len(toks), dtype=np.int64), type=pa.int64()),
+            }
+        )
+        return t.group_by(["term"]).aggregate([("cf_t", "sum"), ("cf_b", "sum")])
+
+    parts = pa.concat_tables(
+        docs.map_batches(_cf_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    cf = parts.group_by(["term"]).aggregate([("cf_t_sum", "sum"), ("cf_b_sum", "sum")])
+    terms_all = cf.column("term").to_pylist()
+    cft = cf.column("cf_t_sum_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    cfb = cf.column("cf_b_sum_sum").to_numpy(zero_copy_only=False).astype(np.float64)
+    v = float(len(terms_all))
+    nt, nb = float(cft.sum()), float(cfb.sum())
+    import math
+
+    # scalar libm log, NOT np.log over the array: numpy's vectorized double
+    # log can differ from libm by 1 ulp on some inputs, and the oracle's
+    # ln() is libm — vocab is driver-small so the scalar loop is free
+    w_by_term = {
+        t: math.log((ct + 1.0) / (nt + v)) - math.log((cb + 1.0) / (nb + v))
+        for t, ct, cb in zip(terms_all, cft.tolist(), cfb.tolist())
+    }
+    import ray as _ray
+
+    w_ref = _ray.put(w_by_term)
+
+    def _score(b: pa.Table) -> pa.Table:
+        wmap = _ray.get(w_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, toks = explode_tokens(b.column("text"))
+        n_tok = np.zeros(len(b), dtype=np.int64)
+        score = np.zeros(len(b), dtype=np.float64)
+        if parents.size:
+            np.add.at(n_tok, parents, 1)
+            tl = toks.to_pylist()
+            tw = np.fromiter((wmap[t] for t in tl), dtype=np.float64, count=len(tl))
+            # exact ordered fold: tf·w summed in ascending term order per
+            # doc — group (doc, term), multiply tf once, then a LEFT fold
+            # (reduceat is sequential) over the term-sorted contributions
+            order = np.lexsort((np.asarray(tl, dtype=object), parents))
+            sp, sw = parents[order], tw[order]
+            st_ = np.asarray(tl, dtype=object)[order]
+            newgrp = np.r_[True, (sp[1:] != sp[:-1]) | (st_[1:] != st_[:-1])]
+            starts = np.flatnonzero(newgrp)
+            tf = np.diff(np.r_[starts, sp.size]).astype(np.float64)
+            contrib = tf * sw[starts]
+            doc_starts = np.flatnonzero(np.r_[True, sp[starts][1:] != sp[starts][:-1]])
+            sums = np.add.reduceat(contrib, doc_starts)
+            np.add.at(score, sp[starts][doc_starts], sums)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "logratio": pa.array(score, type=pa.float64()),
+            }
+        )
+
+    out = _concat(docs.map_batches(_score, batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
 def export_shuffle_plan(sf_dir: str, num_shards: int = 8, seed: int = 0) -> pa.Table:
     """Deterministic sharded-shuffle export plan (stages/export.py): per doc
     its shard (splitmix64(doc_id ^ seed) % S) and within-shard rank under
