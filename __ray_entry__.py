@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_counts": d.pii_counts,               # PII detection pass (regex parity)
         "export_shuffle_plan": d.export_shuffle_plan,  # deterministic SGD-shuffle shards
         "dsir_logratio": d.dsir_logratio,         # DSIR importance weights
+        "unigram_ppl": d.unigram_ppl,             # CCNet-style LM perplexity filter
         "curate_pipeline": d.curate_pipeline,     # composed end-to-end curation chain
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
@@ -1069,6 +1070,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
             "coalesce(p.logratio, 0.0) AS logratio FROM documents d "
             "LEFT JOIN per p ON p.doc_id = d.doc_id ORDER BY d.doc_id"
+        ),
+        # unigram LM perplexity: ppl = exp(-(sum tf ln p ORDER BY term)/n)
+        # under the add-1 corpus model; libm ln/exp both engines
+        "unigram_ppl": (
+            f"WITH tok AS (SELECT d.doc_id, u.t AS term FROM "
+            f"(SELECT doc_id, {toks} AS tk FROM documents) d, unnest(d.tk) AS u(t)), "
+            "cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term), "
+            "tot AS (SELECT sum(cf) AS nb, count(*) AS v FROM cf), "
+            "lp AS (SELECT term, ln((cf + 1.0) / (nb + v)) AS lp FROM cf CROSS JOIN tot), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "per AS (SELECT tf.doc_id, sum(tf.tf * lp.lp ORDER BY tf.term) AS ll, "
+            "sum(tf.tf) AS n_tokens FROM tf JOIN lp ON lp.term = tf.term GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+            "CASE WHEN p.n_tokens > 0 THEN exp(-(p.ll / p.n_tokens)) ELSE 0.0 END AS ppl "
+            "FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         # THE composed curation pipeline: gopher gate -> exact text dedup
         # (min doc_id per text) -> decontamination (drop the %31 benchmark

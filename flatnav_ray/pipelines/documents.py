@@ -446,6 +446,80 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en") -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def unigram_ppl(sf_dir: str) -> pa.Table:
+    """CCNet-style LM perplexity filtering, unigram form: per doc,
+    ppl = exp(-(Σ tf·ln p(t)) / n) under the add-1-smoothed corpus unigram
+    model — the quality-filter score CCNet computes with a KenLM 5-gram
+    (the sandbox has no KenLM; the unigram model exercises the identical
+    pipeline shape: one distributed cf pass, broadcast weights, vectorized
+    per-doc fold). Scalar libm log/exp end to end; ordered fold; the float
+    column hash-matches DuckDB."""
+    import math
+
+    from ..functions.tokenize import explode_tokens
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def _cf(b: pa.Table) -> pa.Table:
+        _, toks = explode_tokens(b.column("text"))
+        t = pa.table(
+            {
+                "term": toks,
+                "cf": pa.array(np.ones(len(toks), dtype=np.int64), type=pa.int64()),
+            }
+        )
+        return t.group_by(["term"]).aggregate([("cf", "sum")])
+
+    parts = pa.concat_tables(
+        docs.map_batches(_cf, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+    )
+    cf = parts.group_by(["term"]).aggregate([("cf_sum", "sum")])
+    terms_all = cf.column("term").to_pylist()
+    cfb = cf.column("cf_sum_sum").to_numpy(zero_copy_only=False)
+    v = float(len(terms_all))
+    nb = float(cfb.sum())
+    logp = {
+        t: math.log((c + 1.0) / (nb + v)) for t, c in zip(terms_all, cfb.tolist())
+    }
+    import ray as _ray
+
+    lp_ref = _ray.put(logp)
+
+    def _score(b: pa.Table) -> pa.Table:
+        lp = _ray.get(lp_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        parents, toks = explode_tokens(b.column("text"))
+        n_tok = np.zeros(len(b), dtype=np.int64)
+        ll = np.zeros(len(b), dtype=np.float64)
+        if parents.size:
+            np.add.at(n_tok, parents, 1)
+            tl = toks.to_pylist()
+            tw = np.fromiter((lp[t] for t in tl), dtype=np.float64, count=len(tl))
+            order = np.lexsort((np.asarray(tl, dtype=object), parents))
+            sp, sw = parents[order], tw[order]
+            st_ = np.asarray(tl, dtype=object)[order]
+            newgrp = np.r_[True, (sp[1:] != sp[:-1]) | (st_[1:] != st_[:-1])]
+            starts = np.flatnonzero(newgrp)
+            tf = np.diff(np.r_[starts, sp.size]).astype(np.float64)
+            contrib = tf * sw[starts]
+            doc_starts = np.flatnonzero(np.r_[True, sp[starts][1:] != sp[starts][:-1]])
+            np.add.at(ll, sp[starts][doc_starts], np.add.reduceat(contrib, doc_starts))
+        ppl = np.zeros(len(b), dtype=np.float64)
+        nz = n_tok > 0
+        # scalar libm exp (the oracle's exp); per-doc count is tiny
+        ppl[nz] = [math.exp(-x / n) for x, n in zip(ll[nz], n_tok[nz])]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "ppl": pa.array(ppl, type=pa.float64()),
+            }
+        )
+
+    out = _concat(docs.map_batches(_score, batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
 def export_shuffle_plan(sf_dir: str, num_shards: int = 8, seed: int = 0) -> pa.Table:
     """Deterministic sharded-shuffle export plan (stages/export.py): per doc
     its shard (splitmix64(doc_id ^ seed) % S) and within-shard rank under
