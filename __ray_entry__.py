@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": d.docs_sample,
         "docs_split": d.docs_split,               # deterministic hash train/test split
         "mixture_sample": d.mixture_sample,       # per-source token-budget mixture cut
+        "docs_split_stratified": d.docs_split_stratified,  # exact per-lang split quotas
         "gopher_filter": d.gopher_filter,         # composite integer-exact quality gate
         "pii_counts": d.pii_counts,               # PII detection pass (regex parity)
         "export_shuffle_plan": d.export_shuffle_plan,  # deterministic SGD-shuffle shards
@@ -1179,6 +1180,18 @@ def oracle_sql() -> dict[str, str]:
             "AND n_stop >= 1) AS keep "
             "FROM base LEFT JOIN bm ON bm.doc_id = base.doc_id "
             "ORDER BY base.doc_id"
+        ),
+        # stratified split: per lang, test = first ceil(10% * n_lang) in
+        # (splitmix64(doc_id), doc_id) order — exact per-stratum quota
+        "docs_split_stratified": (
+            "WITH hh AS (SELECT doc_id, lang, "
+            + _sm_cols_sql("doc_id::UBIGINT", "h64", "st")
+            + " FROM documents), "
+            "r AS (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY h64, doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS cnt FROM hh) "
+            "SELECT doc_id, lang, CASE WHEN rn <= ceil(0.1 * cnt) "
+            "THEN 'test' ELSE 'train' END AS split FROM r ORDER BY doc_id"
         ),
         # token-budget mixture sampling: per source, keep the
         # (splitmix64(doc_id), doc_id)-ordered prefix whose inclusive

@@ -570,6 +570,55 @@ def mixture_sample(sf_dir: str, budget: int = 400) -> pa.Table:
     return _concat(out).sort_by("doc_id")
 
 
+def docs_split_stratified(sf_dir: str, test_pct: int = 10) -> pa.Table:
+    """STRATIFIED deterministic train/test split: per lang, the test set is
+    the first ceil(pct% · n_lang) docs in (splitmix64(doc_id), doc_id)
+    order — exact per-stratum proportions where the plain `docs_split`
+    only hits pct in expectation. Reuses the mixture machinery with unit
+    weights (budget = per-group row quota), so nothing group-sized touches
+    the driver."""
+    import math
+
+    from ..stages.mixture import token_budget_sample
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    counts = pa.concat_tables(
+        docs.groupby("lang").count().iter_batches(batch_format="pyarrow")
+    )
+    budgets = {
+        l: int(math.ceil(test_pct / 100 * int(n)))
+        for l, n in zip(
+            counts.column("lang").to_pylist(), counts.column("count()").to_pylist()
+        )
+    }
+    test = _concat(
+        token_budget_sample(
+            docs, budgets, group_col="lang", text_col="lang", weight="ones"
+        )
+    )
+    test_ids = np.sort(test.column("doc_id").to_numpy(zero_copy_only=False))
+    tref = ray.put(test_ids)
+
+    def _label(b: pa.Table) -> pa.Table:
+        ti = ray.get(tref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ti, ids)
+        hit = pos < ti.size
+        hit[hit] = ti[pos[hit]] == ids[hit]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "split": pa.array(
+                    np.where(hit, "test", "train"), type=pa.string()
+                ),
+            }
+        )
+
+    out = _concat(docs.map_batches(_label, batch_format="pyarrow"))
+    return out.sort_by("doc_id")
+
+
 def doc_repetition(sf_dir: str) -> pa.Table:
     """Gopher-style repetition quality signals (Rae et al. 2021 A1.1,
     token-level): per doc, dup_token_frac and top adjacent-bigram fraction —

@@ -50,15 +50,21 @@ HIST_BITS = 12  # 4096 buckets: boundary bucket ~ group_size/4096 rows
 
 
 def _weights_batch(
-    batch: pa.Table, id_col: str, group_col: str, text_col: str
+    batch: pa.Table, id_col: str, group_col: str, text_col: str,
+    weight: str = "tokens",
 ) -> pa.Table:
     """(doc_id, group, n_tokens, h64, bucket) — the small projection every
-    pass runs over; text is dropped here and never moves again."""
+    pass runs over; text is dropped here and never moves again.
+    weight="tokens": whitespace token count; "ones": 1 per doc (turns the
+    budget into a row quota — the stratified-split reuse)."""
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     h64 = splitmix64(ids.astype(np.uint64))
-    ntok = pc.cast(
-        pc.count_substring_regex(batch.column(text_col), WS_TOKEN_RE), pa.int64()
-    )
+    if weight == "ones":
+        ntok = pa.array(np.ones(len(batch), dtype=np.int64), type=pa.int64())
+    else:
+        ntok = pc.cast(
+            pc.count_substring_regex(batch.column(text_col), WS_TOKEN_RE), pa.int64()
+        )
     return pa.table(
         {
             id_col: pa.array(ids, type=pa.int64()),
@@ -87,19 +93,26 @@ def _hist_batch(batch: pa.Table, group_col: str) -> pa.Table:
 
 def token_budget_sample(
     ds: ray.data.Dataset,
-    budget: int,
+    budget: int | dict,
     id_col: str = "doc_id",
     group_col: str = "source",
     text_col: str = "text",
+    weight: str = "tokens",
 ) -> ray.data.Dataset:
     """Keep, per group, the prefix of the (splitmix64(doc_id), doc_id)-ordered
-    docs whose inclusive token cumsum fits `budget`. Returns a Dataset of
-    (doc_id, group, n_tokens) — the sampled mixture manifest."""
+    docs whose inclusive token cumsum fits `budget` (an int for every group,
+    or a per-group dict — groups absent from the dict keep nothing). Returns
+    a Dataset of (doc_id, group, n_tokens) — the sampled mixture manifest."""
+
+    def _budget(g) -> int:
+        return int(budget.get(g, 0)) if isinstance(budget, dict) else int(budget)
+
     base = ds.map_batches(
         _weights_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"id_col": id_col, "group_col": group_col, "text_col": text_col},
+        fn_kwargs={"id_col": id_col, "group_col": group_col, "text_col": text_col,
+                   "weight": weight},
     ).materialize()  # 4 small columns; reused by all three passes
 
     # ---- pass 1: fold the per-batch histograms on the driver (tiny) ----
@@ -135,12 +148,13 @@ def token_budget_sample(
         bs = buckets[sel][order]
         ts = sums[sel][order]
         cum = np.cumsum(ts)
-        over = np.nonzero(cum > budget)[0]
+        bg = _budget(g)
+        over = np.nonzero(cum > bg)[0]
         if over.size == 0:
             continue
         j = int(over[0])
         bstar[g] = int(bs[j])
-        remaining[g] = int(budget - (cum[j - 1] if j > 0 else 0))
+        remaining[g] = int(bg - (cum[j - 1] if j > 0 else 0))
 
     if not bstar:  # every group fits entirely
         return base.map_batches(

@@ -79,3 +79,31 @@ class TestMixtureSample:
         got = _run(tbl, 23)  # 4 docs of 5 tokens fit, the 5th does not
         assert len(got) == 4
         assert got == _brute(np.arange(n), ["only"] * n, [5] * n, 23)
+
+
+class TestPerGroupBudgets:
+    def test_dict_budget_and_unit_weights(self, corpus):
+        tbl, groups, ntoks = corpus
+        import ray.data
+
+        from flatnav_ray.stages.mixture import token_budget_sample
+
+        # unit weights: budget == exact row quota per group
+        budgets = {"s0": 3, "s1": 0, "s2": 7}  # s3/s4 absent -> keep nothing
+        out = token_budget_sample(
+            ray.data.from_arrow(tbl), budgets, weight="ones", text_col="source"
+        )
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+        got = {}
+        for d, g in zip(t.column("doc_id").to_pylist(), t.column("source").to_pylist()):
+            got.setdefault(g, set()).add(d)
+        assert len(got.get("s0", ())) == 3
+        assert "s1" not in got and "s3" not in got and "s4" not in got
+        assert len(got["s2"]) == 7
+        # the kept rows are exactly the hash-order prefix of each group
+        ids = np.asarray(tbl.column("doc_id").to_pylist())
+        h = splitmix64(ids.astype(np.uint64))
+        for g, quota in (("s0", 3), ("s2", 7)):
+            sel = np.fromiter((gg == g for gg in groups), dtype=bool, count=len(groups))
+            order = np.lexsort((ids[sel], h[sel]))
+            assert got[g] == set(int(x) for x in ids[sel][order][:quota])
