@@ -377,6 +377,16 @@ def run_bench(sf_dir: str, num_cpus: int, pages_n: int) -> dict:
     docp.bm25_topk_highlight(sf_dir)
     timings["sigterms_highlight"] = time.perf_counter() - t0
 
+    t0 = time.perf_counter()
+    docp.dsir_logratio(sf_dir)
+    docp.unigram_ppl(sf_dir)
+    timings["dsir_ppl"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    docp.docs_split_stratified(sf_dir)
+    docp.curate_pipeline(sf_dir)
+    timings["stratified_curate"] = time.perf_counter() - t0
+
     ray.shutdown()
     return {
         "metric": "flatnav-ft build docs/sec + query qps (top-10 BM25) + operator suite",
