@@ -321,8 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": d.bm25_topk_and,         # conjunctive posting-list intersect (§2.7)
         "bm25_topk_msm": d.bm25_topk_msm,         # minimum_should_match threshold (2 of 3)
         "bm25_topk_not": d.bm25_topk_not,         # negation: -term candidate exclusion
-        "bm25_topk_must": d.bm25_topk_must,
-        "bm25_topk_bool": d.bm25_topk_bool,       # MUST+SHOULD+MUST_NOT combined       # boolean MUST+SHOULD mix
+        "bm25_topk_must": d.bm25_topk_must,       # boolean MUST+SHOULD mix
+        "bm25_topk_bool": d.bm25_topk_bool,       # MUST+SHOULD+MUST_NOT combined
         "bm25_topk_fuzzy": d.bm25_topk_fuzzy,     # fuzzy term~1 dictionary expansion
         "more_like_this": d.more_like_this,       # MLT: top tf-idf terms -> search, self excluded
         "bm25_topk_phrase": d.bm25_topk_phrase,   # exact phrase (positional sidecar)

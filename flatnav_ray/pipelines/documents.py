@@ -354,6 +354,30 @@ def curate_pipeline(sf_dir: str, budget: int = 400, n: int = 4) -> pa.Table:
     return _concat(out).sort_by("doc_id")
 
 
+def _ordered_tf_fold(batch_len: int, parents, toks, wmap: dict) -> tuple:
+    """(n_tokens per row, per-row Σ tf(t)·w(t) folded in ascending term
+    order via a sequential reduceat) — the bit-exactness-critical
+    accumulation kernel shared by dsir_logratio and unigram_ppl; it must
+    match the oracles' `sum(tf * w ORDER BY term)` exactly."""
+    n_tok = np.zeros(batch_len, dtype=np.int64)
+    acc = np.zeros(batch_len, dtype=np.float64)
+    if parents.size:
+        np.add.at(n_tok, parents, 1)
+        tl = np.asarray(toks.to_pylist(), dtype=object)
+        tw = np.fromiter(
+            (wmap[t] for t in tl.tolist()), dtype=np.float64, count=tl.size
+        )
+        order = np.lexsort((tl, parents))
+        sp, sw, st_ = parents[order], tw[order], tl[order]
+        newgrp = np.r_[True, (sp[1:] != sp[:-1]) | (st_[1:] != st_[:-1])]
+        starts = np.flatnonzero(newgrp)
+        tf = np.diff(np.r_[starts, sp.size]).astype(np.float64)
+        contrib = tf * sw[starts]
+        doc_starts = np.flatnonzero(np.r_[True, sp[starts][1:] != sp[starts][:-1]])
+        np.add.at(acc, sp[starts][doc_starts], np.add.reduceat(contrib, doc_starts))
+    return n_tok, acc
+
+
 def dsir_logratio(sf_dir: str, target_lang: str = "en") -> pa.Table:
     """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169): per
     doc, the log likelihood ratio of its unigrams under the TARGET domain
@@ -415,25 +439,7 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en") -> pa.Table:
         wmap = _ray.get(w_ref)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         parents, toks = explode_tokens(b.column("text"))
-        n_tok = np.zeros(len(b), dtype=np.int64)
-        score = np.zeros(len(b), dtype=np.float64)
-        if parents.size:
-            np.add.at(n_tok, parents, 1)
-            tl = toks.to_pylist()
-            tw = np.fromiter((wmap[t] for t in tl), dtype=np.float64, count=len(tl))
-            # exact ordered fold: tf·w summed in ascending term order per
-            # doc — group (doc, term), multiply tf once, then a LEFT fold
-            # (reduceat is sequential) over the term-sorted contributions
-            order = np.lexsort((np.asarray(tl, dtype=object), parents))
-            sp, sw = parents[order], tw[order]
-            st_ = np.asarray(tl, dtype=object)[order]
-            newgrp = np.r_[True, (sp[1:] != sp[:-1]) | (st_[1:] != st_[:-1])]
-            starts = np.flatnonzero(newgrp)
-            tf = np.diff(np.r_[starts, sp.size]).astype(np.float64)
-            contrib = tf * sw[starts]
-            doc_starts = np.flatnonzero(np.r_[True, sp[starts][1:] != sp[starts][:-1]])
-            sums = np.add.reduceat(contrib, doc_starts)
-            np.add.at(score, sp[starts][doc_starts], sums)
+        n_tok, score = _ordered_tf_fold(len(b), parents, toks, wmap)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -489,21 +495,7 @@ def unigram_ppl(sf_dir: str) -> pa.Table:
         lp = _ray.get(lp_ref)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         parents, toks = explode_tokens(b.column("text"))
-        n_tok = np.zeros(len(b), dtype=np.int64)
-        ll = np.zeros(len(b), dtype=np.float64)
-        if parents.size:
-            np.add.at(n_tok, parents, 1)
-            tl = toks.to_pylist()
-            tw = np.fromiter((lp[t] for t in tl), dtype=np.float64, count=len(tl))
-            order = np.lexsort((np.asarray(tl, dtype=object), parents))
-            sp, sw = parents[order], tw[order]
-            st_ = np.asarray(tl, dtype=object)[order]
-            newgrp = np.r_[True, (sp[1:] != sp[:-1]) | (st_[1:] != st_[:-1])]
-            starts = np.flatnonzero(newgrp)
-            tf = np.diff(np.r_[starts, sp.size]).astype(np.float64)
-            contrib = tf * sw[starts]
-            doc_starts = np.flatnonzero(np.r_[True, sp[starts][1:] != sp[starts][:-1]])
-            np.add.at(ll, sp[starts][doc_starts], np.add.reduceat(contrib, doc_starts))
+        n_tok, ll = _ordered_tf_fold(len(b), parents, toks, lp)
         ppl = np.zeros(len(b), dtype=np.float64)
         nz = n_tok > 0
         # scalar libm exp (the oracle's exp); per-doc count is tiny
@@ -1793,7 +1785,6 @@ def term_vectors_sample(sf_dir: str, modulus: int = 20, residue: int = 3) -> pa.
     index-content integrity check (the canonical_postings determinism test
     surfaced as a driver-checkable API)."""
     ix = build_documents_index(sf_dir)
-    from ..state.stats import load_stats
 
     stats = load_stats(ix)
     block_size = int(stats["block_size"])

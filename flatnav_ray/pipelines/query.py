@@ -336,6 +336,36 @@ def facet_counts(
     return out.sort_by([("query_id", "ascending"), (fcol, "ascending")])
 
 
+def _shard_partials(
+    index_dir: str, queries: pa.Table, actor_cls, concurrency: int = 8
+) -> tuple[pa.Table | None, dict]:
+    """Shared orchestration for the per-shard partial-aggregation stages
+    (match stats / histograms / significant terms): plan_for -> actor pool
+    over partition ids -> concatenated partial table (None when the match
+    set is empty) + the index stats."""
+    plan, stats = plan_for(index_dir, queries, k=1)
+    plan_ref = ray.put(plan)
+    parts = [{"partition": int(p)} for p in stats["partitions"]]
+    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
+    conc = max(1, min(concurrency, len(parts), ncpu))
+    ds = ray.data.from_items(parts).map_batches(
+        actor_cls,
+        batch_format="pyarrow",
+        batch_size=max(1, len(parts) // (conc * 2) or 1),
+        concurrency=conc,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "plan_ref": plan_ref,
+            "block_size": int(stats["block_size"]),
+        },
+    )
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return None, stats
+    t = pa.concat_tables(batches)
+    return (t if len(t) else None), stats
+
+
 def match_stats(
     index_dir: str, queries: pa.Table, concurrency: int = 8
 ) -> pa.Table:
@@ -346,38 +376,18 @@ def match_stats(
     the end, so even the float column hash-matches the SQL oracle."""
     from ..stages.search import ShardMatchStats
 
-    plan, stats = plan_for(index_dir, queries, k=1)
-    plan_ref = ray.put(plan)
-    parts = [{"partition": int(p)} for p in stats["partitions"]]
-    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
-    conc = max(1, min(concurrency, len(parts), ncpu))
-    partials = ray.data.from_items(parts).map_batches(
-        ShardMatchStats,
-        batch_format="pyarrow",
-        batch_size=max(1, len(parts) // (conc * 2) or 1),
-        concurrency=conc,
-        fn_constructor_kwargs={
-            "index_dir": index_dir,
-            "plan_ref": plan_ref,
-            "block_size": int(stats["block_size"]),
-        },
-    )
-    batches = list(partials.iter_batches(batch_format="pyarrow"))
-    empty = pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            "n_docs": pa.array([], type=pa.int64()),
-            "dl_min": pa.array([], type=pa.int64()),
-            "dl_max": pa.array([], type=pa.int64()),
-            "dl_sum": pa.array([], type=pa.int64()),
-            "dl_avg": pa.array([], type=pa.float64()),
-        }
-    )
-    if not batches:
-        return empty
-    t = pa.concat_tables(batches)
-    if len(t) == 0:
-        return empty
+    t, _ = _shard_partials(index_dir, queries, ShardMatchStats, concurrency)
+    if t is None:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "dl_min": pa.array([], type=pa.int64()),
+                "dl_max": pa.array([], type=pa.int64()),
+                "dl_sum": pa.array([], type=pa.int64()),
+                "dl_avg": pa.array([], type=pa.float64()),
+            }
+        )
     g = t.group_by(["query_id"]).aggregate(
         [("n_docs", "sum"), ("dl_min", "min"), ("dl_max", "max"), ("dl_sum", "sum")]
     )
@@ -413,33 +423,13 @@ def match_percentiles(
 
     from ..stages.search import ShardMatchHist
 
-    plan, stats = plan_for(index_dir, queries, k=1)
-    plan_ref = ray.put(plan)
-    partials = ray.data.from_items(
-        [{"partition": int(p)} for p in stats["partitions"]]
-    ).map_batches(
-        ShardMatchHist,
-        batch_format="pyarrow",
-        batch_size=max(1, len(stats["partitions"]) // (concurrency * 2) or 1),
-        concurrency=max(1, min(concurrency, len(stats["partitions"]),
-                               int(ray.cluster_resources().get("CPU", concurrency)))),
-        fn_constructor_kwargs={
-            "index_dir": index_dir,
-            "plan_ref": plan_ref,
-            "block_size": int(stats["block_size"]),
-        },
-    )
+    t, _ = _shard_partials(index_dir, queries, ShardMatchHist, concurrency)
     cols = {"query_id": pa.array([], type=pa.int64()),
             "n_docs": pa.array([], type=pa.int64())}
     for q in qs:
         cols[f"p{int(q * 100)}"] = pa.array([], type=pa.float64())
-    empty = pa.table(cols)
-    batches = list(partials.iter_batches(batch_format="pyarrow"))
-    if not batches:
-        return empty
-    t = pa.concat_tables(batches)
-    if len(t) == 0:
-        return empty
+    if t is None:
+        return pa.table(cols)
     g = t.group_by(["query_id", "dl"]).aggregate([("n", "sum")])
     qid = g.column("query_id").to_numpy(zero_copy_only=False)
     dl = g.column("dl").to_numpy(zero_copy_only=False)
@@ -486,38 +476,18 @@ def significant_terms(
     from ..stages.introspect import df_distribution
     from ..stages.search import ShardSigTerms
 
-    plan, stats = plan_for(index_dir, queries, k=1)
-    plan_ref = ray.put(plan)
-    parts = [{"partition": int(p)} for p in stats["partitions"]]
-    ncpu = int(ray.cluster_resources().get("CPU", concurrency))
-    conc = max(1, min(concurrency, len(parts), ncpu))
-    partials = ray.data.from_items(parts).map_batches(
-        ShardSigTerms,
-        batch_format="pyarrow",
-        batch_size=max(1, len(parts) // (conc * 2) or 1),
-        concurrency=conc,
-        fn_constructor_kwargs={
-            "index_dir": index_dir,
-            "plan_ref": plan_ref,
-            "block_size": int(stats["block_size"]),
-        },
-    )
-    empty = pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            "term": pa.array([], type=pa.string()),
-            "match_df": pa.array([], type=pa.int64()),
-            "match_n": pa.array([], type=pa.int64()),
-            "df": pa.array([], type=pa.int64()),
-            "lift": pa.array([], type=pa.float64()),
-        }
-    )
-    batches = list(partials.iter_batches(batch_format="pyarrow"))
-    if not batches:
-        return empty
-    t = pa.concat_tables(batches)
-    if len(t) == 0:
-        return empty
+    t, stats = _shard_partials(index_dir, queries, ShardSigTerms, concurrency)
+    if t is None:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "match_df": pa.array([], type=pa.int64()),
+                "match_n": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "lift": pa.array([], type=pa.float64()),
+            }
+        )
     g = t.group_by(["query_id", "term"]).aggregate([("match_df", "sum")])
     # "" marker rows carry each shard's match-set size (summed by the same
     # groupby) — match_n needs no second actor-pool pass

@@ -101,8 +101,11 @@ def token_budget_sample(
 ) -> ray.data.Dataset:
     """Keep, per group, the prefix of the (splitmix64(doc_id), doc_id)-ordered
     docs whose inclusive token cumsum fits `budget` (an int for every group,
-    or a per-group dict — groups absent from the dict keep nothing). Returns
-    a Dataset of (doc_id, group, n_tokens) — the sampled mixture manifest."""
+    or a per-group dict — groups absent from the dict get budget 0, under
+    which only ZERO-weight docs can fit: the prefix-cumsum rule `cum <= B`
+    keeps a weight-0 doc even at B=0, exactly as the SQL window-cumsum
+    oracle does). Returns a Dataset of (doc_id, group, n_tokens) — the
+    sampled mixture manifest."""
 
     def _budget(g) -> int:
         return int(budget.get(g, 0)) if isinstance(budget, dict) else int(budget)

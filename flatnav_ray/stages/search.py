@@ -1791,100 +1791,13 @@ class ShardFacets:
         return pa.concat_tables(outs)
 
 
-class ShardMatchStats:
-    """Dataset-mode match-set stats stage (actor pool over partition ids,
-    like ShardFacets): per-shard `_ShardState.match_stats` partials; callers
-    merge per query with sum/min/max/sum — exact under disjoint doc
-    partitioning."""
-
-    def __init__(self, index_dir: str, plan_ref, block_size: int):
-        import ray
-
-        self.index_dir = index_dir
-        self.plan: QueryPlan = (
-            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
-        )
-        self.block_size = block_size
-        self._states: dict[int, _ShardState] = {}
-        self._needed_terms = sorted(self.plan.term_idf.keys())
-
-    def _state(self, partition: int) -> _ShardState:
-        st = self._states.get(partition)
-        if st is None:
-            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
-            if len(self._states) >= 64:
-                self._states.pop(next(iter(self._states)))
-            self._states[partition] = st
-        return st
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = []
-        for part in batch.column("partition").to_pylist():
-            part = int(part)
-            if not os.path.exists(segment_path(self.index_dir, part)):
-                continue
-            outs.append(self._state(part).match_stats(self.plan))
-        if not outs:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "n_docs": pa.array([], type=pa.int64()),
-                    "dl_min": pa.array([], type=pa.int64()),
-                    "dl_max": pa.array([], type=pa.int64()),
-                    "dl_sum": pa.array([], type=pa.int64()),
-                }
-            )
-        return pa.concat_tables(outs)
-
-
-class ShardMatchHist:
-    """Dataset-mode match-set doc-len histogram stage (actor pool over
-    partition ids): per-shard `_ShardState.match_dl_hist` partials; callers
-    merge per (query, dl) with a sum, then take exact quantiles."""
-
-    def __init__(self, index_dir: str, plan_ref, block_size: int):
-        import ray
-
-        self.index_dir = index_dir
-        self.plan: QueryPlan = (
-            ray.get(plan_ref) if not isinstance(plan_ref, QueryPlan) else plan_ref
-        )
-        self.block_size = block_size
-        self._states: dict[int, _ShardState] = {}
-        self._needed_terms = sorted(self.plan.term_idf.keys())
-
-    def _state(self, partition: int) -> _ShardState:
-        st = self._states.get(partition)
-        if st is None:
-            st = _ShardState(self.index_dir, partition, self.block_size, self._needed_terms)
-            if len(self._states) >= 64:
-                self._states.pop(next(iter(self._states)))
-            self._states[partition] = st
-        return st
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = []
-        for part in batch.column("partition").to_pylist():
-            part = int(part)
-            if not os.path.exists(segment_path(self.index_dir, part)):
-                continue
-            outs.append(self._state(part).match_dl_hist(self.plan))
-        if not outs:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "dl": pa.array([], type=pa.int64()),
-                    "n": pa.array([], type=pa.int64()),
-                }
-            )
-        return pa.concat_tables(outs)
-
-
-class ShardSigTerms:
-    """Dataset-mode significant-terms stage (actor pool over partition ids):
-    per-shard `_ShardState.sig_term_counts` partials — state loaded with NO
-    terms filter (the dictionary scan needs the full vocabulary); callers
-    merge per (query, term) with a sum."""
+class _ShardPartialStage:
+    """Base for Dataset-mode per-shard partial-aggregation stages (actor
+    pool over partition-id rows): shared plan_ref unwrap, a 64-entry FIFO
+    _ShardState cache, and the segment-exists skip loop. Subclasses define
+    `_empty()` (the stage's empty output schema) and `_compute(state)`
+    (the per-shard partial); `_terms_filter()` controls segment-read
+    pruning (None = load the full dictionary)."""
 
     def __init__(self, index_dir: str, plan_ref, block_size: int):
         import ray
@@ -1896,10 +1809,21 @@ class ShardSigTerms:
         self.block_size = block_size
         self._states: dict[int, _ShardState] = {}
 
+    def _terms_filter(self):
+        return sorted(self.plan.term_idf.keys())
+
+    def _empty(self) -> pa.Table:
+        raise NotImplementedError
+
+    def _compute(self, st: _ShardState) -> pa.Table:
+        raise NotImplementedError
+
     def _state(self, partition: int) -> _ShardState:
         st = self._states.get(partition)
         if st is None:
-            st = _ShardState(self.index_dir, partition, self.block_size, None)
+            st = _ShardState(
+                self.index_dir, partition, self.block_size, self._terms_filter()
+            )
             if len(self._states) >= 64:
                 self._states.pop(next(iter(self._states)))
             self._states[partition] = st
@@ -1911,16 +1835,65 @@ class ShardSigTerms:
             part = int(part)
             if not os.path.exists(segment_path(self.index_dir, part)):
                 continue
-            outs.append(self._state(part).sig_term_counts(self.plan))
-        if not outs:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "term": pa.array([], type=pa.string()),
-                    "match_df": pa.array([], type=pa.int64()),
-                }
-            )
-        return pa.concat_tables(outs)
+            outs.append(self._compute(self._state(part)))
+        return pa.concat_tables(outs) if outs else self._empty()
+
+
+class ShardMatchStats(_ShardPartialStage):
+    """Per-shard `_ShardState.match_stats` partials; callers merge per
+    query with sum/min/max/sum — exact under disjoint doc partitioning."""
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "dl_min": pa.array([], type=pa.int64()),
+                "dl_max": pa.array([], type=pa.int64()),
+                "dl_sum": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def _compute(self, st: _ShardState) -> pa.Table:
+        return st.match_stats(self.plan)
+
+
+class ShardMatchHist(_ShardPartialStage):
+    """Per-shard `_ShardState.match_dl_hist` partials; callers merge per
+    (query, dl) with a sum, then take exact quantiles."""
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "dl": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def _compute(self, st: _ShardState) -> pa.Table:
+        return st.match_dl_hist(self.plan)
+
+
+class ShardSigTerms(_ShardPartialStage):
+    """Per-shard `_ShardState.sig_term_counts` partials — state loaded with
+    NO terms filter (the dictionary scan needs the full vocabulary);
+    callers merge per (query, term) with a sum."""
+
+    def _terms_filter(self):
+        return None
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "match_df": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def _compute(self, st: _ShardState) -> pa.Table:
+        return st.sig_term_counts(self.plan)
 
 
 class ShardCollapse:
