@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shuffle_plan": d.export_shuffle_plan,  # deterministic SGD-shuffle shards
         "dsir_logratio": d.dsir_logratio,         # DSIR importance weights
         "unigram_ppl": d.unigram_ppl,             # CCNet-style LM perplexity filter
+        "bpe_top_merges": d.bpe_top_merges,       # tokenizer induction (BPE iter 1)
         "curate_pipeline": d.curate_pipeline,     # composed end-to-end curation chain
         "doc_repetition": d.doc_repetition,       # Gopher repetition signals
         # dedup family (D4 + training-data extensions)
@@ -1086,6 +1087,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
             "CASE WHEN p.n_tokens > 0 THEN exp(-(p.ll / p.n_tokens)) ELSE 0.0 END AS ppl "
             "FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id ORDER BY d.doc_id"
+        ),
+        # first BPE iteration: occurrence-weighted adjacent char pairs
+        # within analyzer tokens; top 20 by (cnt desc, pair asc)
+        "bpe_top_merges": (
+            f"WITH w AS (SELECT u.t AS w FROM (SELECT {toks} AS tk FROM documents) d, "
+            "unnest(d.tk) AS u(t)), "
+            "pr AS (SELECT substr(w, i, 2) AS pair FROM "
+            "(SELECT w, unnest(range(1, len(w))) AS i FROM w WHERE len(w) >= 2)), "
+            "c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY pair), "
+            "r AS (SELECT pair, cnt, row_number() OVER "
+            "(ORDER BY cnt DESC, pair ASC) - 1 AS rank FROM c) "
+            "SELECT rank, pair, cnt FROM r WHERE rank < 20 ORDER BY rank"
         ),
         # THE composed curation pipeline: gopher gate -> exact text dedup
         # (min doc_id per text) -> decontamination (drop the %31 benchmark

@@ -291,6 +291,46 @@ def pii_redact(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.set_column(i, text_col, texts)
 
 
+def char_pair_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch adjacent-character pair counts WITHIN analyzer tokens,
+    weighted by occurrence (not distinct words) — the statistic the first
+    BPE merge iteration maximises (Sennrich et al. 2016). Vectorized: one
+    byte view over the exploded token buffer, pairs packed into uint16,
+    boundary-crossing pairs masked out, one np.unique. Tokens are ASCII
+    ([a-z0-9]+) by analyzer construction."""
+    _, toks = explode_tokens(batch.column(text_col))
+    if len(toks) == 0:
+        return pa.table(
+            {
+                "pair": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    if data.size < 2:
+        return pa.table(
+            {"pair": pa.array([], type=pa.string()), "cnt": pa.array([], type=pa.int64())}
+        )
+    packed = data[:-1].astype(np.uint16) * np.uint16(256) + data[1:]
+    # mask pairs that straddle a token boundary (positions offs[i]-1)
+    ok = np.ones(packed.size, dtype=bool)
+    ends = offs[1:-1] - 1  # last char index of every token but the final one
+    ok[ends[(ends >= 0) & (ends < packed.size)]] = False
+    u, c = np.unique(packed[ok], return_counts=True)
+    pairs = [chr(int(p) >> 8) + chr(int(p) & 0xFF) for p in u]
+    return pa.table(
+        {
+            "pair": pa.array(pairs, type=pa.string()),
+            "cnt": pa.array(c.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 def gopher_keep(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Composite Gopher-style quality gate (Rae et al. 2021 A1.1, adapted
     thresholds for this corpus's signal ranges): per doc, the integer

@@ -452,6 +452,34 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en") -> pa.Table:
     return out.sort_by("doc_id")
 
 
+def bpe_top_merges(sf_dir: str, top_n: int = 20) -> pa.Table:
+    """Tokenizer induction, first BPE iteration (Sennrich et al. 2016): the
+    corpus's top_n most frequent adjacent character pairs within analyzer
+    tokens, occurrence-weighted — the merge candidates a BPE trainer would
+    pick first. Per-batch vectorized pair histograms (functions/textstats.
+    char_pair_counts) merge by sum; ties (cnt desc, pair asc)."""
+    from ..functions.textstats import char_pair_counts
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    parts = pa.concat_tables(
+        docs.map_batches(char_pair_counts, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    g = parts.group_by(["pair"]).aggregate([("cnt", "sum")])
+    order = pc.sort_indices(
+        g, sort_keys=[("cnt_sum", "descending"), ("pair", "ascending")]
+    )
+    top = g.take(order[:top_n])
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(top), dtype=np.int64)),
+            "pair": top.column("pair"),
+            "cnt": top.column("cnt_sum"),
+        }
+    )
+
+
 def unigram_ppl(sf_dir: str) -> pa.Table:
     """CCNet-style LM perplexity filtering, unigram form: per doc,
     ppl = exp(-(Σ tf·ln p(t)) / n) under the add-1-smoothed corpus unigram

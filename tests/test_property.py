@@ -98,3 +98,27 @@ def test_topk_select_matches_lexsort(scores, k):
     order = np.lexsort((ids, -sc))[: min(k, sc.size)]
     assert np.array_equal(docs, ids[order])
     assert np.array_equal(ssc, sc[order])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abc012 ", max_size=30), max_size=10))
+def test_char_pair_counts_match_python(texts):
+    from collections import Counter
+
+    from flatnav_ray.functions.textstats import char_pair_counts
+    from flatnav_ray.functions.tokenize import tokenize_py
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    out = char_pair_counts(batch)
+    got = dict(zip(out.column("pair").to_pylist(), out.column("cnt").to_pylist()))
+    want: Counter = Counter()
+    for t in texts:
+        for w in tokenize_py(t):
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    assert got == dict(want)
