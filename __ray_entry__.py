@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream family (tumbling windows / sessionization — §2.9
         # extensions; the reference is batch-only)
         "events_windowed": ev.events_windowed,
+        "events_hopping": ev.events_hopping,      # overlapping-window aggregate
         "events_sessions": ev.events_sessions,
         "events_asof": ev.events_asof,
         "events_range_join": ev.events_range_join,
@@ -1009,6 +1010,17 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n_events, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_hopping": (
+            # hopping 1h window / 30min hop: each event belongs to the 2
+            # hop-aligned windows covering it — unnest the 2 starts
+            "WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, "
+            "(epoch_us(ts) // 1800000000) * 1800000000 AS last_start FROM events), "
+            "x AS (SELECT event_type, cents, last_start - j * 1800000000 AS window_start "
+            "FROM e, unnest([0, 1]) AS u(j)) "
+            "SELECT window_start, event_type, count(*) AS n_events, "
+            "CAST(sum(cents) AS BIGINT) AS sum_value_cents FROM x "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_sessions": (
             "WITH o AS (SELECT event_id, user_id, ts, "

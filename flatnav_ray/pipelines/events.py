@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from ..stages.events import sessionize, windowed_counts
+from ..stages.events import hopping_counts, sessionize, windowed_counts
 
 
 def _events(sf_dir: str) -> ray.data.Dataset:
@@ -20,6 +20,14 @@ def events_windowed(sf_dir: str) -> pa.Table:
     """Per (1-hour tumbling window, event_type): count + exact integer-cents
     value sum. Map-side combined; only (window, type) partials shuffle."""
     return windowed_counts(_events(sf_dir))
+
+
+def events_hopping(sf_dir: str) -> pa.Table:
+    """Per (1-hour window hopping every 30 min, event_type): count + exact
+    integer-cents sum — each event lands in 2 overlapping windows. The
+    2x fan-out is absorbed by the per-batch combine; only (window, type)
+    partials shuffle (stages/events.hopping_counts)."""
+    return hopping_counts(_events(sf_dir))
 
 
 def events_sessions(sf_dir: str) -> pa.Table:

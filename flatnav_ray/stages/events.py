@@ -31,6 +31,75 @@ import ray.data
 WINDOW_US_HOUR = 3_600_000_000
 
 
+def hopping_counts(
+    ds: ray.data.Dataset,
+    window_us: int = WINDOW_US_HOUR,
+    hop_us: int = WINDOW_US_HOUR // 2,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> pa.Table:
+    """HOPPING-window aggregate (overlapping windows, hop < window — the
+    sliding-window cousin of windowed_counts): every event lands in
+    window_us / hop_us windows; per (window_start, event_type) ->
+    (n_events, sum_value_cents). The fan-out happens batch-side with a
+    vectorized repeat (each event row replicated into its covering window
+    starts), then the same map-side combine + small groupby as the
+    tumbling path — output rows stay O(windows x types), never
+    O(events x fanout), past the per-batch combine."""
+    if window_us % hop_us != 0:
+        raise ValueError("window_us must be a multiple of hop_us")
+    fanout = window_us // hop_us
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            batch.column(value_col).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        # covering windows of t: starts hop-aligned in
+        # (t - window_us, t] — exactly `fanout` of them
+        last = (ts // hop_us) * hop_us  # latest hop-aligned start <= t
+        starts = last[:, None] - np.arange(fanout, dtype=np.int64)[None, :] * hop_us
+        rep = np.repeat(np.arange(len(batch), dtype=np.int64), fanout)
+        t = pa.table(
+            {
+                "window_start": pa.array(starts.reshape(-1), type=pa.int64()),
+                type_col: batch.column(type_col).take(pa.array(rep)),
+                "n_events": pa.array(np.ones(len(rep), dtype=np.int64)),
+                "sum_value_cents": pa.array(cents[rep], type=pa.int64()),
+            }
+        )
+        agg = t.group_by(["window_start", type_col]).aggregate(
+            [("n_events", "sum"), ("sum_value_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "window_start": agg.column("window_start"),
+                type_col: agg.column(type_col),
+                "n_events": agg.column("n_events_sum"),
+                "sum_value_cents": agg.column("sum_value_cents_sum"),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        partials.groupby(["window_start", type_col])
+        .sum(["n_events", "sum_value_cents"])
+    )
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    out = pa.table(
+        {
+            "window_start": t.column("window_start"),
+            type_col: t.column(type_col),
+            "n_events": t.column("sum(n_events)"),
+            "sum_value_cents": t.column("sum(sum_value_cents)"),
+        }
+    )
+    return out.sort_by(
+        [("window_start", "ascending"), (type_col, "ascending")]
+    )
+
+
 def windowed_counts(
     ds: ray.data.Dataset,
     window_us: int = WINDOW_US_HOUR,

@@ -94,3 +94,36 @@ class TestSessionize:
         )
         out = sessionize(ray.data.from_arrow(t))
         assert out.column("session_seq").to_pylist() == [0, 0]
+
+
+def test_hopping_covers_each_event_twice(ray_session):
+    """Every event must appear in exactly window/hop = 2 windows: the
+    hopping totals are exactly 2x the tumbling-free event count."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from flatnav_ray.stages.events import hopping_counts
+
+    n = 500
+    rng = np.random.RandomState(11)
+    ts = rng.randint(0, 10 * 3600 * 1_000_000, size=n).astype("datetime64[us]")
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts),
+            "event_type": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+            "value": pa.array(rng.uniform(0, 10, size=n)),
+        }
+    )
+    out = hopping_counts(ray.data.from_arrow(tbl))
+    assert sum(out.column("n_events").to_pylist()) == 2 * n
+    # brute-force one (window, type) cell
+    ws = out.column("window_start")[0].as_py()
+    et = out.column("event_type")[0].as_py()
+    tsi = tbl.column("ts").cast(pa.int64()).to_pylist()
+    ets = tbl.column("event_type").to_pylist()
+    want = sum(
+        1 for t, e in zip(tsi, ets)
+        if e == et and ws <= t < ws + 3600 * 1_000_000
+    )
+    assert out.column("n_events")[0].as_py() == want
