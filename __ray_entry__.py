@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_matches": d.percolate_matches,  # reverse search (stored queries)
         "fetch_stored_docs": d.fetch_stored_docs,   # stored-fields get-by-id
         "bm25_len_histogram": d.bm25_len_histogram,  # numeric range facet (doc_len buckets)
+        "bm25_facets_top": d.bm25_facets_top,     # terms agg size cut + other bucket
         "bm25_hit_counts": d.bm25_hit_counts,     # total-hits per query
         "bm25_match_stats": d.bm25_match_stats,   # stats agg over the match set
         "bm25_significant_terms": d.bm25_significant_terms,  # overrepresented terms
@@ -1469,6 +1470,20 @@ def oracle_sql() -> dict[str, str]:
         # stats aggregation over the match set: exact integer count/min/max/
         # sum of dl (same analyzer token count) + one final exact-int
         # division for the mean (IEEE-identical on both engines)
+        # terms agg with size=2 + other bucket: top-2 langs per query by
+        # (count desc, lang asc), remainder pooled under '__other__'
+        "bm25_facets_top": facets_sql.replace(
+            "SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+            "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
+            ", fc AS (SELECT m.query_id, d.lang, count(*) AS n_docs FROM matches m "
+            "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY n_docs DESC, lang ASC) AS rn FROM fc) "
+            "SELECT query_id, lang, n_docs FROM rk WHERE rn <= 2 "
+            "UNION ALL SELECT query_id, '__other__' AS lang, "
+            "CAST(coalesce(sum(CASE WHEN rn > 2 THEN n_docs END), 0) AS BIGINT) AS n_docs "
+            "FROM rk GROUP BY query_id ORDER BY query_id, lang",
+        ),
         "bm25_significant_terms": sig_terms_sql,
         # exact cardinality agg: distinct langs + total hits per match set
         "bm25_cardinality": facets_sql.replace(

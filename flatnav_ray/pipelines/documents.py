@@ -1713,6 +1713,40 @@ def bm25_facets(sf_dir: str) -> pa.Table:
     return facet_counts(ix, _multi_term_queries(ix), facet="lang")
 
 
+def bm25_facets_top(sf_dir: str, size: int = 2) -> pa.Table:
+    """ES `terms` aggregation with `size` + the implicit other bucket: per
+    query, the top `size` langs by (count desc, lang asc) plus one
+    lang='__other__' row carrying sum_other_doc_count (0-count other rows
+    kept — ES always reports the field). Derived from the exact facet
+    counts; the truncation+other semantics are what distinguish the ES
+    surface from a plain GROUP BY."""
+    from .query import facet_counts
+
+    ix = build_documents_index(sf_dir)
+    fc = facet_counts(ix, _multi_term_queries(ix), facet="lang")
+    qs, ls, ns = [], [], []
+    qid = fc.column("query_id").to_numpy(zero_copy_only=False)
+    langs = fc.column("lang").to_pylist()
+    cnts = fc.column("n_docs").to_numpy(zero_copy_only=False)
+    for u in np.unique(qid):
+        sel = qid == u
+        rows = sorted(
+            zip(cnts[sel].tolist(), [l for l, s in zip(langs, sel) if s]),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for c, l in rows[:size]:
+            qs.append(int(u)); ls.append(l); ns.append(int(c))
+        qs.append(int(u)); ls.append("__other__")
+        ns.append(int(sum(c for c, _ in rows[size:])))
+    return pa.table(
+        {
+            "query_id": pa.array(qs, type=pa.int64()),
+            "lang": pa.array(ls, type=pa.string()),
+            "n_docs": pa.array(ns, type=pa.int64()),
+        }
+    )
+
+
 def bm25_len_histogram(sf_dir: str, width: int = 20) -> pa.Table:
     """Numeric range facet (Lucene RangeFacetCounts / ES histogram
     aggregation): per 2-term query, matching-doc counts per doc_len bucket
