@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # event-stream family (tumbling windows / sessionization — §2.9
         # extensions; the reference is batch-only)
+        "revenue_by_nation": ev.revenue_by_nation,  # star-schema multi-join analytics
         "events_windowed": ev.events_windowed,
         "events_hopping": ev.events_hopping,      # overlapping-window aggregate
         "events_sessions": ev.events_sessions,
@@ -1004,6 +1005,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
     )
     return {
+        # star-schema join: lineitem x orders x customer x nation, integer
+        # millicents revenue (identically-associated float product, exact
+        # integer sums)
+        "revenue_by_nation": (
+            "SELECT n.n_name, CAST(sum(CAST(round(l.l_extendedprice * "
+            "(1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_mc "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+            "GROUP BY n.n_name ORDER BY n.n_name"
+        ),
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb
             # float low bits, so the hash compare is exact (stages/events.py)

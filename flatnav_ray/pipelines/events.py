@@ -16,6 +16,94 @@ def _events(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Classic star-schema analytics over the TPC-H-ish tables (the
+    general-join surface of the data-processing side): revenue per nation,
+    lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    Join plan by size: lineitem⋈orders is the big co-partitioned pair —
+    a hash-shuffle `Dataset.join` on o_orderkey; customer and nation are
+    dimension tables, broadcast once via ray.put and resolved inside
+    map_batches (never shuffled). Revenue is integer millicents
+    round(extendedprice·(1-discount)·1000) — the float product is one
+    identically-associated expression on both engines, so the integer sums
+    make the whole pipeline hash-exact."""
+    import numpy as np
+
+    from ..stages.dedup import drop_empty_blocks
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, ncpu))
+    left = drop_empty_blocks(li)
+    right = drop_empty_blocks(orders)
+    if left is None or right is None:
+        return pa.table(
+            {"n_name": pa.array([], type=pa.string()),
+             "revenue_mc": pa.array([], type=pa.int64())}
+        )
+    joined = left.join(
+        right, "inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    cust = pa.concat_tables(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).iter_batches(batch_format="pyarrow")
+    )
+    nat = pa.concat_tables(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).iter_batches(batch_format="pyarrow")
+    )
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order_c = np.argsort(ck)
+    nation_names = {
+        int(k): v
+        for k, v in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }
+    dims_ref = _ray.put((ck[order_c], cn[order_c], nation_names))
+
+    def _agg(b: pa.Table) -> pa.Table:
+        ckk, cnn, nn = _ray.get(dims_ref)
+        cust_k = b.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ckk, cust_k)
+        nk = cnn[pos]  # custkeys are dense FK — always present
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        mc = np.round(price * (1.0 - disc) * 1000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "n_name": pa.array([nn[int(k)] for k in nk], type=pa.string()),
+                "revenue_mc": pa.array(mc, type=pa.int64()),
+            }
+        )
+        return t.group_by(["n_name"]).aggregate([("revenue_mc", "sum")]).rename_columns(
+            ["n_name", "revenue_mc"]
+        )
+
+    parts = pa.concat_tables(
+        joined.map_batches(_agg, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    g = parts.group_by(["n_name"]).aggregate([("revenue_mc", "sum")])
+    out = pa.table(
+        {"n_name": g.column("n_name"), "revenue_mc": g.column("revenue_mc_sum")}
+    )
+    return out.sort_by("n_name")
+
+
 def events_windowed(sf_dir: str) -> pa.Table:
     """Per (1-hour tumbling window, event_type): count + exact integer-cents
     value sum. Map-side combined; only (window, type) partials shuffle."""
