@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream family (tumbling windows / sessionization — §2.9
         # extensions; the reference is batch-only)
         "revenue_by_nation": ev.revenue_by_nation,  # star-schema multi-join analytics
+        "pricing_summary": ev.pricing_summary,    # TPC-H Q1 groupby report
         "events_windowed": ev.events_windowed,
         "events_hopping": ev.events_hopping,      # overlapping-window aggregate
         "events_sessions": ev.events_sessions,
@@ -1015,6 +1016,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "GROUP BY n.n_name ORDER BY n.n_name"
+        ),
+        # TPC-H Q1 shape: exact integer sums after one identically-
+        # associated rounding per float product
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS BIGINT) AS sum_disc_mc, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000) AS BIGINT)) AS BIGINT) AS sum_charge_mc "
+            "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb

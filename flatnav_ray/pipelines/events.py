@@ -16,6 +16,81 @@ def _events(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """The TPC-H Q1 shape (pricing summary report): per (returnflag,
+    linestatus) — row count, integer quantity sum, and charge sums in
+    integer cents/millicents (each float product rounded by ONE
+    identically-associated expression, then exact integer sums — the
+    map-side-combine groupby is the engine's A8 pattern on relational
+    data)."""
+    import numpy as np
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = b.column("l_tax").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "n_rows": pa.array(np.ones(len(b), dtype=np.int64)),
+                "sum_qty": pa.array(np.round(qty).astype(np.int64), type=pa.int64()),
+                "sum_base_cents": pa.array(
+                    np.round(price * 100.0).astype(np.int64), type=pa.int64()
+                ),
+                "sum_disc_mc": pa.array(
+                    np.round(price * (1.0 - disc) * 1000.0).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "sum_charge_mc": pa.array(
+                    np.round(price * (1.0 - disc) * (1.0 + tax) * 1000.0).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n_rows", "sum"), ("sum_qty", "sum"), ("sum_base_cents", "sum"),
+             ("sum_disc_mc", "sum"), ("sum_charge_mc", "sum")]
+        )
+        # columns BY NAME: pyarrow's key-vs-aggregate output order has
+        # changed across releases (see windowed_counts)
+        return pa.table({
+            "l_returnflag": agg.column("l_returnflag"),
+            "l_linestatus": agg.column("l_linestatus"),
+            "n_rows": agg.column("n_rows_sum"),
+            "sum_qty": agg.column("sum_qty_sum"),
+            "sum_base_cents": agg.column("sum_base_cents_sum"),
+            "sum_disc_mc": agg.column("sum_disc_mc_sum"),
+            "sum_charge_mc": agg.column("sum_charge_mc_sum"),
+        })
+
+    partials = li.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    t = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("n_rows", "sum"), ("sum_qty", "sum"), ("sum_base_cents", "sum"),
+         ("sum_disc_mc", "sum"), ("sum_charge_mc", "sum")]
+    )
+    out = pa.table({
+        "l_returnflag": g.column("l_returnflag"),
+        "l_linestatus": g.column("l_linestatus"),
+        "n_rows": g.column("n_rows_sum"),
+        "sum_qty": g.column("sum_qty_sum"),
+        "sum_base_cents": g.column("sum_base_cents_sum"),
+        "sum_disc_mc": g.column("sum_disc_mc_sum"),
+        "sum_charge_mc": g.column("sum_charge_mc_sum"),
+    })
+    return out.sort_by(
+        [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
+    )
+
+
 def revenue_by_nation(sf_dir: str) -> pa.Table:
     """Classic star-schema analytics over the TPC-H-ish tables (the
     general-join surface of the data-processing side): revenue per nation,
@@ -88,8 +163,10 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
                 "revenue_mc": pa.array(mc, type=pa.int64()),
             }
         )
-        return t.group_by(["n_name"]).aggregate([("revenue_mc", "sum")]).rename_columns(
-            ["n_name", "revenue_mc"]
+        a = t.group_by(["n_name"]).aggregate([("revenue_mc", "sum")])
+        # by name, not positional (pyarrow key/aggregate order varies)
+        return pa.table(
+            {"n_name": a.column("n_name"), "revenue_mc": a.column("revenue_mc_sum")}
         )
 
     parts = pa.concat_tables(
