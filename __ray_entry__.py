@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extensions; the reference is batch-only)
         "revenue_by_nation": ev.revenue_by_nation,  # star-schema multi-join analytics
         "pricing_summary": ev.pricing_summary,    # TPC-H Q1 groupby report
+        "suppliers_by_region": ev.suppliers_by_region,  # dimension rollup (broadcast join)
+        "parts_brand_stats": ev.parts_brand_stats,      # grouped min/max/count
         "events_windowed": ev.events_windowed,
         "events_hopping": ev.events_hopping,      # overlapping-window aggregate
         "events_sessions": ev.events_sessions,
@@ -1026,6 +1028,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS BIGINT) AS sum_disc_mc, "
             "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000) AS BIGINT)) AS BIGINT) AS sum_charge_mc "
             "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "suppliers_by_region": (
+            "SELECT r.r_name, count(*) AS n_suppliers, "
+            "CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents "
+            "FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "parts_brand_stats": (
+            "SELECT p_brand, p_type, count(*) AS n_parts, "
+            "CAST(min(p_size) AS BIGINT) AS size_min, "
+            "CAST(max(p_size) AS BIGINT) AS size_max "
+            "FROM part GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "events_windowed": (
             # integer-cents sum: distributed partial-sum order cannot perturb

@@ -181,6 +181,122 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     return out.sort_by("n_name")
 
 
+def suppliers_by_region(sf_dir: str) -> pa.Table:
+    """Dimension rollup exercising the remaining relational tables:
+    supplier ⋈ nation ⋈ region counts + integer-cents acctbal sums per
+    region — all three sides are dimension-sized, so the whole join is a
+    broadcast-map (no shuffle at any scale where dims stay dims)."""
+    import numpy as np
+
+    import ray as _ray
+
+    nat = pa.concat_tables(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        ).iter_batches(batch_format="pyarrow")
+    )
+    reg = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/region.parquet").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    n2r = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist())
+    )
+    r2name = dict(
+        zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist())
+    )
+    dims_ref = _ray.put((n2r, r2name))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        n2r_, r2n_ = _ray.get(dims_ref)
+        nk = b.column("s_nationkey").to_pylist()
+        bal = b.column("s_acctbal").to_numpy(zero_copy_only=False)
+        cents = np.round(bal * 100.0).astype(np.int64)
+        t = pa.table(
+            {
+                "r_name": pa.array([r2n_[n2r_[k]] for k in nk], type=pa.string()),
+                "n_suppliers": pa.array(np.ones(len(b), dtype=np.int64)),
+                "sum_acctbal_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        a = t.group_by(["r_name"]).aggregate(
+            [("n_suppliers", "sum"), ("sum_acctbal_cents", "sum")]
+        )
+        return pa.table(
+            {
+                "r_name": a.column("r_name"),
+                "n_suppliers": a.column("n_suppliers_sum"),
+                "sum_acctbal_cents": a.column("sum_acctbal_cents_sum"),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+        )
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    g = parts.group_by(["r_name"]).aggregate(
+        [("n_suppliers", "sum"), ("sum_acctbal_cents", "sum")]
+    )
+    out = pa.table(
+        {
+            "r_name": g.column("r_name"),
+            "n_suppliers": g.column("n_suppliers_sum"),
+            "sum_acctbal_cents": g.column("sum_acctbal_cents_sum"),
+        }
+    )
+    return out.sort_by("r_name")
+
+
+def parts_brand_stats(sf_dir: str) -> pa.Table:
+    """Per (brand, type): part count + min/max size — a pure distributed
+    group-aggregate over the part table (integer columns; map-side
+    combined)."""
+    p = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_type", "p_size"]
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = b.append_column(
+            "n_parts", pa.array(np.ones(len(b), dtype=np.int64), type=pa.int64())
+        )
+        a = t.group_by(["p_brand", "p_type"]).aggregate(
+            [("n_parts", "sum"), ("p_size", "min"), ("p_size", "max")]
+        )
+        return pa.table(
+            {
+                "p_brand": a.column("p_brand"),
+                "p_type": a.column("p_type"),
+                "n_parts": a.column("n_parts_sum"),
+                "size_min": a.column("p_size_min").cast(pa.int64()),
+                "size_max": a.column("p_size_max").cast(pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        p.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    g = parts.group_by(["p_brand", "p_type"]).aggregate(
+        [("n_parts", "sum"), ("size_min", "min"), ("size_max", "max")]
+    )
+    out = pa.table(
+        {
+            "p_brand": g.column("p_brand"),
+            "p_type": g.column("p_type"),
+            "n_parts": g.column("n_parts_sum"),
+            "size_min": g.column("size_min_min"),
+            "size_max": g.column("size_max_max"),
+        }
+    )
+    return out.sort_by([("p_brand", "ascending"), ("p_type", "ascending")])
+
+
 def events_windowed(sf_dir: str) -> pa.Table:
     """Per (1-hour tumbling window, event_type): count + exact integer-cents
     value sum. Map-side combined; only (window, type) partials shuffle."""
