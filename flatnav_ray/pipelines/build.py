@@ -220,10 +220,12 @@ def build_index(
                     d = os.path.join(spill_dir, f"part={p:05d}")
                     if not os.path.isdir(d):
                         continue
+                    # meta files only — the commit markers of completed
+                    # spill pairs; consolidate derives the post- paths
                     fs = sorted(
                         os.path.join(d, f)
                         for f in os.listdir(d)
-                        if f.startswith("partial-") and f.endswith(".arrows")
+                        if f.startswith("meta-") and f.endswith(".arrows")
                     )
                     if len(fs) >= min_run:
                         inflight[cons_remote.remote(p, spill_dir, fs)] = p

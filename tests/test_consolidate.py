@@ -123,8 +123,10 @@ class TestConsolidateFiles:
             fs = sorted(os.path.join(d, f) for f in os.listdir(d))
             n = consolidate_spilled_runs(p, spill_b, fs)
             assert n > 0
-            left = os.listdir(d)
-            assert len(left) == 1 and left[0].startswith("run-")
+            left = sorted(os.listdir(d))
+            assert len(left) == 2  # one consolidated meta+post pair
+            assert left[0].startswith("meta-") and left[1].startswith("post-")
+            assert left[0][len("meta-"):] == left[1][len("post-"):]
             merge_spilled_partition(p, spill_a, ix_a, cfg)
             merge_spilled_partition(p, spill_b, ix_b, cfg)
         assert canonical_postings(ix_a).equals(canonical_postings(ix_b))
