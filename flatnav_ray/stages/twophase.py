@@ -67,11 +67,38 @@ PARTIAL_SCHEMA = pa.schema(
         # fix the fused sort-word's tf width from METADATA ONLY, before any
         # posting bytes are read — required by the streaming merge below
         ("tf_max", pa.int32()),
-        ("p_term_idx", pa.binary()),   # int32 index into terms
-        ("p_doc_ord", pa.binary()),    # int32 index into dm_doc_ids
-        ("p_tfs", pa.binary()),        # int32
+        # byte widths (2 or 4) of the three posting streams below —
+        # width-adaptive packing: a map batch's partition slice has ≤ a few
+        # thousand docs and local terms, so codes/ordinals/tfs almost always
+        # fit uint16, halving the spilled posting bytes (6 B/posting instead
+        # of 12) on BOTH sides of the exchange of the DRAM-bound merge;
+        # consolidated runs grow back to uint32 only when they must
+        ("w_code", pa.int8()),
+        ("w_ord", pa.int8()),
+        ("w_tf", pa.int8()),
+        ("p_term_idx", pa.binary()),   # uint16|uint32 index into terms
+        ("p_doc_ord", pa.binary()),    # uint16|uint32 index into dm_doc_ids
+        ("p_tfs", pa.binary()),        # uint16|uint32
     ]
 )
+
+_WIDTH_DT = {2: np.uint16, 4: np.uint32}
+
+
+def _width_for(max_value: int) -> int:
+    """Smallest supported byte width holding max_value (0-based values)."""
+    return 2 if max_value <= 0xFFFF else 4
+
+
+def _stream_dtypes(grp: pa.Table) -> list[tuple[np.dtype, np.dtype, np.dtype]]:
+    """Per-partial (code, ord, tf) numpy dtypes from the width columns."""
+    wc = grp.column("w_code").to_numpy(zero_copy_only=False)
+    wo = grp.column("w_ord").to_numpy(zero_copy_only=False)
+    wt = grp.column("w_tf").to_numpy(zero_copy_only=False)
+    return [
+        (_WIDTH_DT[int(wc[i])], _WIDTH_DT[int(wo[i])], _WIDTH_DT[int(wt[i])])
+        for i in range(len(grp))
+    ]
 
 # Spill-file split (streaming merge): the heavy per-posting streams live in
 # their own file so the merge's pass 1 (winner resolution + vocabulary union
@@ -157,6 +184,7 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
     parts_list, dm_ids_b, dm_lens_b, dm_ts_b, dm_th_b = [], [], [], [], []
     url_parts, lang_parts, dict_parts = [], [], []
     ptix_b, pdoc_b, ptf_b, tfmax_list = [], [], [], []
+    wcode_list, word_list, wtf_list = [], [], []
     for pi, p in enumerate(uniq_parts):
         dsel_np = d_order[d_bounds[pi]: d_ends[pi]]
         psel = p_order[p_bounds[pi]: p_ends[pi]]
@@ -194,11 +222,18 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
         # (code, ord) keys are unique within the slice -> plain argsort
         key = (lex_codes.astype(np.int64) << np.int64(32)) | ords.astype(np.int64)
         o = np.argsort(key)
-        ptix_b.append(lex_codes[o].tobytes())
-        pdoc_b.append(ords[o].tobytes())
-        tfs_slice = p_tfs_all[psel][o].astype(np.int32)
-        ptf_b.append(tfs_slice.tobytes())
-        tfmax_list.append(int(tfs_slice.max(initial=0)))
+        tfs_slice = p_tfs_all[psel][o]
+        tf_max = int(tfs_slice.max(initial=0))
+        w_code = _width_for(used.size - 1)
+        w_ord = _width_for(dsel_np.size - 1)
+        w_tf = _width_for(tf_max)
+        ptix_b.append(lex_codes[o].astype(_WIDTH_DT[w_code]).tobytes())
+        pdoc_b.append(ords[o].astype(_WIDTH_DT[w_ord]).tobytes())
+        ptf_b.append(tfs_slice.astype(_WIDTH_DT[w_tf]).tobytes())
+        tfmax_list.append(tf_max)
+        wcode_list.append(w_code)
+        word_list.append(w_ord)
+        wtf_list.append(w_tf)
 
     def _list_of(parts: list[pa.Array]) -> pa.ListArray:
         offs = np.zeros(len(parts) + 1, dtype=np.int32)
@@ -218,6 +253,9 @@ def map_partial(batch: pa.Table, num_partitions: int, langs: tuple[str, ...] | N
             _list_of(lang_parts),
             _list_of(dict_parts),
             pa.array(tfmax_list, type=pa.int32()),
+            pa.array(wcode_list, type=pa.int8()),
+            pa.array(word_list, type=pa.int8()),
+            pa.array(wtf_list, type=pa.int8()),
             pa.array(ptix_b, type=pa.binary()),
             pa.array(pdoc_b, type=pa.binary()),
             pa.array(ptf_b, type=pa.binary()),
@@ -310,6 +348,7 @@ def merge_spilled_partition(
     del meta_tables
     _tm["read"] = _t.perf_counter() - _t0
     ctx = _merge_prepare(grp_meta, cfg, _tm)
+    dts = _stream_dtypes(grp_meta)
     for i, f in enumerate(metas):
         _t0 = _t.perf_counter()
         pf = os.path.join(d, "post-" + f[len("meta-"):])
@@ -319,9 +358,9 @@ def merge_spilled_partition(
         _t0 = _t.perf_counter()
         _winnow_partial(
             ctx, i,
-            _bin_row_views(post.column("p_term_idx"))[0].view(np.int32),
-            _bin_row_views(post.column("p_doc_ord"))[0].view(np.int32),
-            _bin_row_views(post.column("p_tfs"))[0].view(np.int32),
+            _bin_row_views(post.column("p_term_idx"))[0].view(dts[i][0]),
+            _bin_row_views(post.column("p_doc_ord"))[0].view(dts[i][1]),
+            _bin_row_views(post.column("p_tfs"))[0].view(dts[i][2]),
         )
         del post  # frees this partial's decompressed posting buffers
         _tm["winnow"] = _tm.get("winnow", 0.0) + (_t.perf_counter() - _t0)
@@ -399,17 +438,17 @@ def combine_partials(grp: pa.Table) -> pa.Table | None:
     # 3. winnow losers, remap, merge the m sorted runs on one packed word
     bits_ord = max(1, int(win_sorted.size - 1).bit_length()) if win_sorted.size > 1 else 1
     bits_code = max(1, int(len(vocab) - 1).bit_length()) if len(vocab) > 1 else 1
-    tf_bound = 1
-    for v in v_p_tfs:
-        if v.size:
-            tf_bound = max(tf_bound, int(v.view(np.int32).max()))
+    tfm = grp.column("tf_max").to_numpy(zero_copy_only=False)
+    tf_bound = max(1, int(tfm.max(initial=0)))
     bits_tf = max(1, tf_bound.bit_length())
     if bits_code + bits_ord + bits_tf > 64:
         return None
+    dts = _stream_dtypes(grp)
     sh_ord, sh_code = np.uint64(bits_tf), np.uint64(bits_tf + bits_ord)
     runs: list[np.ndarray] = []
     for i in range(n_partials):
-        ords = v_p_ord[i].view(np.int32)
+        dt_code, dt_ord, dt_tf = dts[i]
+        ords = v_p_ord[i].view(dt_ord)
         if ords.size == 0:
             continue
         g = np.searchsorted(win_sorted, dm_ids[i])   # old ordinal -> new ordinal
@@ -420,15 +459,21 @@ def combine_partials(grp: pa.Table) -> pa.Table | None:
         doc_word = g.astype(np.uint64) << sh_ord
         remap_w = dict_inv[dict_offs[i]: dict_offs[i + 1]].astype(np.uint64) << sh_code
         runs.append(
-            remap_w[v_p_codes[i].view(np.int32)[keep]]
+            remap_w[v_p_codes[i].view(dt_code)[keep]]
             | doc_word[ords[keep]]
-            | v_p_tfs[i].view(np.int32)[keep].astype(np.uint64)
+            | v_p_tfs[i].view(dt_tf)[keep].astype(np.uint64)
         )
     word = _merge_sorted_runs(runs)
-    new_codes = (word >> sh_code).astype(np.int32)
-    new_ords = ((word >> sh_ord) & np.uint64((1 << bits_ord) - 1)).astype(np.int32)
-    new_tfs = (word & np.uint64((1 << bits_tf) - 1)).astype(np.int32)
+    w_code_o = _width_for(len(vocab) - 1)
+    w_ord_o = _width_for(win_sorted.size - 1)
+    new_codes = (word >> sh_code).astype(_WIDTH_DT[w_code_o])
+    new_ords = ((word >> sh_ord) & np.uint64((1 << bits_ord) - 1)).astype(_WIDTH_DT[w_ord_o])
+    new_tfs32 = (word & np.uint64((1 << bits_tf) - 1)).astype(np.uint32)
     del word
+    tf_max_o = int(new_tfs32.max(initial=0))
+    w_tf_o = _width_for(tf_max_o)
+    new_tfs = new_tfs32.astype(_WIDTH_DT[w_tf_o])
+    del new_tfs32
 
     take_idx = pa.array(win_rows.astype(np.int64))
     urls_concat = pa.concat_arrays(
@@ -453,7 +498,10 @@ def combine_partials(grp: pa.Table) -> pa.Table | None:
             _one_list(urls_concat.take(take_idx)),
             _one_list(langs_concat.take(take_idx)),
             _one_list(vocab),
-            pa.array([int(new_tfs.max(initial=0))], type=pa.int32()),
+            pa.array([tf_max_o], type=pa.int32()),
+            pa.array([w_code_o], type=pa.int8()),
+            pa.array([w_ord_o], type=pa.int8()),
+            pa.array([w_tf_o], type=pa.int8()),
             pa.array([new_codes.tobytes()], type=pa.binary()),
             pa.array([new_ords.tobytes()], type=pa.binary()),
             pa.array([new_tfs.tobytes()], type=pa.binary()),
@@ -799,7 +847,7 @@ def _winnow_partial(
         remap = ctx.dict_inv[ctx.dict_offs[i]: ctx.dict_offs[i + 1]].astype(np.int32)
         ctx.code_parts.append(remap[codes[keep]])
         ctx.pos_parts.append(g.astype(np.int32)[ords_k])
-        ctx.tf_parts.append(tfs[keep])
+        ctx.tf_parts.append(tfs[keep].astype(np.int32))
 
 
 def _merge_finalize(
@@ -985,6 +1033,7 @@ def _merge_one_partition(
 
     _tm: dict[str, float] = {"read": read_s}
     ctx = _merge_prepare(grp, cfg, _tm)
+    dts = _stream_dtypes(grp)
     v_p_ord = _bin_row_views(grp.column("p_doc_ord"))
     v_p_tfs = _bin_row_views(grp.column("p_tfs"))
     v_p_codes = _bin_row_views(grp.column("p_term_idx"))
@@ -992,9 +1041,9 @@ def _merge_one_partition(
     for i in range(ctx.n_partials):
         _winnow_partial(
             ctx, i,
-            v_p_codes[i].view(np.int32),
-            v_p_ord[i].view(np.int32),
-            v_p_tfs[i].view(np.int32),
+            v_p_codes[i].view(dts[i][0]),
+            v_p_ord[i].view(dts[i][1]),
+            v_p_tfs[i].view(dts[i][2]),
         )
     _tm["winnow"] = _tm.get("winnow", 0.0) + (_t.perf_counter() - _t0)
     return _merge_finalize(ctx, partition, index_dir, cfg, _tm)

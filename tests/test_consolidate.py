@@ -73,8 +73,12 @@ class TestCombinePartials:
         assert out.schema.equals(PARTIAL_SCHEMA)
         ids = np.frombuffer(out.column("dm_doc_ids")[0].as_py(), dtype=np.int64)
         assert np.all(np.diff(ids) > 0)  # ascending unique doc_ids
-        codes = np.frombuffer(out.column("p_term_idx")[0].as_py(), dtype=np.int32)
-        ords = np.frombuffer(out.column("p_doc_ord")[0].as_py(), dtype=np.int32)
+        from flatnav_ray.stages.twophase import _WIDTH_DT
+
+        dt_code = _WIDTH_DT[out.column("w_code")[0].as_py()]
+        dt_ord = _WIDTH_DT[out.column("w_ord")[0].as_py()]
+        codes = np.frombuffer(out.column("p_term_idx")[0].as_py(), dtype=dt_code)
+        ords = np.frombuffer(out.column("p_doc_ord")[0].as_py(), dtype=dt_ord)
         key = codes.astype(np.int64) << 32 | ords.astype(np.int64)
         assert np.all(np.diff(key) > 0)  # sorted by (code, ord), unique
         terms = out.column("terms")[0].values
