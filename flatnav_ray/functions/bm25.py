@@ -183,10 +183,13 @@ def topk_select(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> tuple[np.nda
     if n == 0:
         return doc_ids[:0], scores[:0]
     if n > k:
-        # argpartition prune before the exact sort; keep everything tied with
-        # the k-th score so the doc_id tiebreak stays deterministic
-        kth = np.partition(-scores, k - 1)[k - 1]
-        cand = np.flatnonzero(-scores <= kth)
+        # partition prune before the exact sort; keep everything tied with
+        # the k-th score so the doc_id tiebreak stays deterministic. One
+        # negated temporary (the partition input) — the threshold compare
+        # runs on the original array, saving a full negated pass per query
+        # in the hottest serving loop
+        kth = -np.partition(-scores, k - 1)[k - 1]
+        cand = np.flatnonzero(scores >= kth)
     else:
         cand = np.arange(n)
     order = np.lexsort((doc_ids[cand], -scores[cand]))
