@@ -205,7 +205,7 @@ def build_index(
                         return
                     p = inflight.pop(ready[0])
                     try:
-                        if _ray.get(ready[0]) == 0:
+                        if _ray.get(ready[0]) < 0:  # -1 = width overflow
                             skip.add(p)
                     except Exception:
                         skip.add(p)  # originals remain; the merge reads them

@@ -338,6 +338,13 @@ class _ShardState:
         np.unique(np.concatenate(pos_lists))."""
         if len(pos_lists) == 1:
             return pos_lists[0]
+        total = sum(p.size for p in pos_lists)
+        if total < (self.docmap_ids.size >> 6):
+            # sparse regime: sorting a handful of positions beats paying the
+            # O(n_docs) mask scan+reset per call (per-query loops on a large
+            # shard would otherwise scan the whole docmap-sized mask for a
+            # union of a few dozen rows)
+            return np.unique(np.concatenate(pos_lists))
         mask = self._cand_mask
         for p in pos_lists:
             mask[p] = True

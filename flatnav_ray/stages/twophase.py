@@ -291,20 +291,34 @@ def map_partial_spill(
     import pyarrow.ipc as ipc
 
     part_tbl = map_partial(batch, num_partitions, langs)
-    meta_tbl = part_tbl.drop_columns(list(_POST_COLS))
-    post_tbl = part_tbl.select(["partition", *_POST_COLS])
     out = [int(p) for p in part_tbl.column("partition").to_pylist()]
-    opts = ipc.IpcWriteOptions(compression="lz4")
     for i, p in enumerate(out):
         d = os.path.join(spill_dir, f"part={p:05d}")
         os.makedirs(d, exist_ok=True)
-        uid = uuid.uuid4().hex
-        for name, tbl in ((f"post-{uid}.arrows", post_tbl), (f"meta-{uid}.arrows", meta_tbl)):
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-            with ipc.new_stream(tmp, tbl.schema, options=opts) as w:
-                w.write_table(tbl.slice(i, 1))
-            os.replace(tmp, os.path.join(d, name))
+        _write_spill_pair(d, part_tbl.slice(i, 1))
     return pa.table({"partition": pa.array(out, type=pa.int32())})
+
+
+def _write_spill_pair(d: str, row: pa.Table) -> None:
+    """Write one partial row as its post-<uid>/meta-<uid> pair (atomic
+    tmp+rename each). This helper OWNS the crash-safety ordering invariant:
+    the post file lands first, the meta file second — a meta file's
+    presence is the commit marker the streaming merge keys on, so a crash
+    can only ever leave an orphan post file, which is never read."""
+    import uuid
+
+    import pyarrow.ipc as ipc
+
+    opts = ipc.IpcWriteOptions(compression="lz4")
+    uid = uuid.uuid4().hex
+    for name, tbl in (
+        (f"post-{uid}.arrows", row.select(["partition", *_POST_COLS])),
+        (f"meta-{uid}.arrows", row.drop_columns(list(_POST_COLS))),
+    ):
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with ipc.new_stream(tmp, tbl.schema, options=opts) as w:
+            w.write_table(tbl)
+        os.replace(tmp, os.path.join(d, name))
 
 
 def merge_spilled_partition(
@@ -523,9 +537,10 @@ def consolidate_spilled_runs(partition: int, spill_dir: str, files: list[str]) -
     rows whose winner resolution picks either copy with identical postings,
     so the output segment is unchanged. Old metas are deleted before old
     posts, so a crash mid-delete leaves only orphan post files, which the
-    meta-driven merge never reads. Returns merged postings rows."""
+    meta-driven merge never reads. Returns merged postings rows (possibly
+    0 for an all-empty run), or -1 when the sort-word widths cannot pack —
+    the originals are then left untouched for the final merge."""
     import pyarrow.ipc as ipc
-    import uuid
 
     _clamp_worker_threads()
     metas = [f for f in files if os.path.basename(f).startswith("meta-")]
@@ -550,23 +565,14 @@ def consolidate_spilled_runs(partition: int, spill_dir: str, files: list[str]) -
     del tables
     out = combine_partials(grp)
     if out is None:  # unpackable widths: leave the originals for the merge
-        return 0
-    d = os.path.join(spill_dir, f"part={partition:05d}")
-    opts = ipc.IpcWriteOptions(compression="lz4")
-    uid = uuid.uuid4().hex
-    for name, tbl in (
-        (f"post-{uid}.arrows", out.select(["partition", *_POST_COLS])),
-        (f"meta-{uid}.arrows", out.drop_columns(list(_POST_COLS))),
-    ):
-        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-        with ipc.new_stream(tmp, tbl.schema, options=opts) as w:
-            w.write_table(tbl)
-        os.replace(tmp, os.path.join(d, name))
+        return -1
+    _write_spill_pair(os.path.join(spill_dir, f"part={partition:05d}"), out)
     for f in metas:
         os.remove(f)
     for f in posts:
         os.remove(f)
-    return int(_bin_row_views(out.column("p_tfs"))[0].size // 4)
+    # posting count = tf blob bytes / the width it was actually packed with
+    return int(_bin_row_views(out.column("p_tfs"))[0].size // int(out.column("w_tf")[0].as_py()))
 
 
 def merge_partials_block(

@@ -131,6 +131,17 @@ class TestConsolidateFiles:
             assert len(left) == 2  # one consolidated meta+post pair
             assert left[0].startswith("meta-") and left[1].startswith("post-")
             assert left[0][len("meta-"):] == left[1][len("post-"):]
+            # returned posting count must match the width the tfs were
+            # actually packed with (regression: a /4 divisor halved the
+            # count for uint16 runs and returned 0 for 1-posting runs)
+            import pyarrow.ipc as ipc
+
+            with ipc.open_stream(os.path.join(d, left[0])) as r:
+                meta = r.read_all()
+            with ipc.open_stream(os.path.join(d, left[1])) as r:
+                post = r.read_all()
+            w_tf = meta.column("w_tf")[0].as_py()
+            assert n == len(post.column("p_tfs")[0].as_py()) // w_tf
             merge_spilled_partition(p, spill_a, ix_a, cfg)
             merge_spilled_partition(p, spill_b, ix_b, cfg)
         assert canonical_postings(ix_a).equals(canonical_postings(ix_b))
