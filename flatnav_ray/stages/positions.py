@@ -72,7 +72,11 @@ POS_PARTIAL_SCHEMA = pa.schema(
         # by dm_ntoks (repeat / running ranges), so the shuffled payload is
         # 4 B/token, ~30% below the raw text it replaces
         ("terms", pa.list_(pa.string())),  # sorted local dictionary
-        ("o_codes", pa.binary()),       # int32 local dict code
+        # byte width (2 or 4) of o_codes: a map batch's local dictionary
+        # almost always fits uint16, halving the dominant shuffled stream
+        # (same width-adaptive packing as twophase's posting streams)
+        ("w_code", pa.int8()),
+        ("o_codes", pa.binary()),       # uint16|uint32 local dict code
     ]
 )
 
@@ -153,8 +157,10 @@ def map_positions_partial(
     o_bounds = np.searchsorted(o_sorted, uniq_parts)
     o_ends = np.append(o_bounds[1:], o_sorted.size)
 
+    from .twophase import _WIDTH_DT, _width_for
+
     parts_list, dm_ids_b, dm_ts_b, dm_th_b, dm_nt_b = [], [], [], [], []
-    url_parts, dict_parts, oc_b = [], [], []
+    url_parts, dict_parts, oc_b, wcode_list = [], [], [], []
     for pi, p in enumerate(uniq_parts):
         dsel = d_order[d_bounds[pi]: d_ends[pi]]
         osel = o_order[o_bounds[pi]: o_ends[pi]]
@@ -167,7 +173,9 @@ def map_positions_partial(
         pcodes = rcodes[osel]
         used = np.unique(pcodes)
         dict_parts.append(dic_sorted.take(pa.array(used)))
-        oc_b.append(np.searchsorted(used, pcodes).astype(np.int32).tobytes())
+        w_code = _width_for(used.size - 1)
+        oc_b.append(np.searchsorted(used, pcodes).astype(_WIDTH_DT[w_code]).tobytes())
+        wcode_list.append(w_code)
 
     def _list_of(parts: list[pa.Array]) -> pa.ListArray:
         offs = np.zeros(len(parts) + 1, dtype=np.int32)
@@ -188,6 +196,7 @@ def map_positions_partial(
             pa.array(dm_nt_b, type=pa.binary()),
             _list_of(url_parts),
             _list_of(dict_parts),
+            pa.array(wcode_list, type=pa.int8()),
             pa.array(oc_b, type=pa.binary()),
         ],
         schema=POS_PARTIAL_SCHEMA,
@@ -208,11 +217,14 @@ def merge_positions_partition(grp: pa.Table, index_dir: str) -> pa.Table:
         return pa.table([[partition], [0], [0], [True]], schema=POS_MANIFEST_SCHEMA)
     n_partials = len(grp)
 
+    from .twophase import _WIDTH_DT
+
     v_ids = _bin_row_views(grp.column("dm_doc_ids"))
     v_ts = _bin_row_views(grp.column("dm_warc_ts"))
     v_th = _bin_row_views(grp.column("dm_text_hash"))
     v_nt = _bin_row_views(grp.column("dm_ntoks"))
     v_oc = _bin_row_views(grp.column("o_codes"))
+    w_codes = grp.column("w_code").to_numpy(zero_copy_only=False)
 
     dm_ids = [v.view(np.int64) for v in v_ids]
     all_ids = np.concatenate(dm_ids)
@@ -288,7 +300,7 @@ def merge_positions_partition(grp: pa.Table, index_dir: str) -> pa.Table:
         if not keep_doc.any():
             continue
         keep_occ = np.repeat(keep_doc, ntoks)
-        codes_kept = v_oc[i].view(np.int32)[keep_occ]
+        codes_kept = v_oc[i].view(_WIDTH_DT[w_codes[i]])[keep_occ]
         if codes_kept.size == 0:
             continue
         nt_kept = ntoks[keep_doc]
