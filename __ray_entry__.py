@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
         "knn_ivfpq": d.knn_ivfpq,                 # rows-only (compressed ANN)
         "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
+        "knn_nsw_u8": d.knn_nsw_u8,               # rows-only (quantized NSW — uint8 integer arithmetic)
         "embedding_dups": d.embedding_dups,
         "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
         "embedding_semdedup": d.embedding_semdedup,  # rows-only (approximate)
@@ -311,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": d.knn_ivf_recall,
         "knn_ivfpq_recall": d.knn_ivfpq_recall,
         "knn_nsw_recall": d.knn_nsw_recall,
+        "knn_nsw_u8_recall": d.knn_nsw_u8_recall,  # integer-exact reference set
         "embedding_dups_lsh_recall": d.embedding_dups_lsh_recall,
         # the engine itself (flagship: build + BM25 top-k, rank-identical)
         "bm25_topk": d.bm25_topk,
@@ -1460,6 +1462,22 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_recall": _recall_floor_sql(4),
         "knn_ivfpq_recall": _recall_floor_sql(4),
         "knn_nsw_recall": _recall_floor_sql(9),
+        # quantized-NSW gate: the reference set is the INTEGER-exact uint8
+        # L2 top-k (knn_l2_u8's oracle, incl. exact int64 l2sq values) +
+        # the clamped-overlap floor for the quantized graph's result
+        "knn_nsw_u8_recall": (
+            "WITH z AS (SELECT vec_id, list_transform(embedding, x -> "
+            "CAST(floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 127 + 0.5) AS BIGINT) + 127) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, v AS qv FROM z WHERE vec_id < 10), "
+            "s AS (SELECT q.query_id, z.vec_id, CAST(list_inner_product(q.qv, q.qv) "
+            "- 2 * list_inner_product(q.qv, z.v) + list_inner_product(z.v, z.v) AS BIGINT) AS l2sq "
+            "FROM q CROSS JOIN z), "
+            "r AS (SELECT query_id, vec_id, l2sq, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY l2sq ASC, vec_id ASC) - 1 AS rank FROM s) "
+            "SELECT query_id, rank, vec_id, l2sq, CAST(9 AS BIGINT) AS overlap_at_least "
+            "FROM r WHERE rank < 10 ORDER BY query_id, rank"
+        ),
         "embedding_dups_lsh_recall": (
             "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS false_pairs, "
             "CAST(300 AS BIGINT) AS found_true_at_least "

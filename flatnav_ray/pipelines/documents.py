@@ -933,6 +933,72 @@ def embedding_dups_lsh(sf_dir: str, threshold: float = 0.3) -> pa.Table:
     )
 
 
+def knn_nsw_u8(sf_dir: str, k: int = 10, n_queries: int = 10,
+               ef_search: int = 128) -> pa.Table:
+    """Quantized NSW graph ANN — the reference's uint8_t index instantiation
+    applied to its core algorithm (Datatype.h:126-137 × Index.h): vectors
+    quantize to uint8, the graph builds and searches with PURE INTEGER
+    similarity arithmetic (metric l2, exact int64 squared distances — scores
+    agree bit-for-bit with knn_l2_u8 for shared ids). Approximate result set
+    -> rows-only check; pytest holds recall + exact-score parity
+    (tests/test_nsw.py TestQuantizedNsw)."""
+    import tempfile
+
+    from ..stages.knn import quantize_vectors
+    from ..stages.nsw import build_nsw_index, nsw_index_complete, search_nsw_index
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        lambda b: _quant_batch(b), batch_format="pyarrow"
+    )
+    ix = os.path.join(
+        tempfile.gettempdir(),
+        f"flatnav_docs/nswu8_{hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()}",
+    )
+    if not nsw_index_complete(ix):
+        build_nsw_index(emb, ix, n_shards=2, metric="l2", dtype="uint8")
+    qt = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id < {n_queries}")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    qv = quantize_vectors(np.stack(qt.column("embedding").to_pylist()), dtype="uint8")
+    return search_nsw_index(ix, qv, k=k, ef_search=ef_search)
+
+
+def _quant_batch(b: pa.Table) -> pa.Table:
+    from ..stages.knn import quantize_batch
+
+    return quantize_batch(b, dtype="uint8")
+
+
+def knn_nsw_u8_recall(sf_dir: str, k: int = 10, n_queries: int = 10,
+                      ef_search: int = 128, floor: int = 9) -> pa.Table:
+    """Quantized-NSW recall gate, SQL-hash-checked: emits the EXACT uint8
+    integer-L2 top-k rows (the knn_l2_u8 result, incl. exact int64 l2sq)
+    plus the per-query clamped overlap of the quantized-NSW result — the
+    DuckDB oracle recomputes the integer top-k and the floor constant, so a
+    hash match proves both the reference set and every query's recall."""
+    exact = knn_l2_u8(sf_dir, k, n_queries)
+    return _overlap_gate(exact, knn_nsw_u8(sf_dir, k, n_queries, ef_search),
+                         n_queries, floor)
+
+
+def _overlap_gate(exact: pa.Table, approx: pa.Table, n_queries: int,
+                  floor: int) -> pa.Table:
+    """Append overlap_at_least = min(|approx ∩ exact| per query, floor) to
+    an exact top-k table (shared by the cosine and integer recall gates)."""
+    eq = exact.column("query_id").to_numpy(zero_copy_only=False)
+    ev = exact.column("vec_id").to_numpy(zero_copy_only=False)
+    aq = approx.column("query_id").to_numpy(zero_copy_only=False)
+    av = approx.column("vec_id").to_numpy(zero_copy_only=False)
+    ekey = np.sort((eq.astype(np.int64) << np.int64(32)) | ev.astype(np.int64))
+    akey = (aq.astype(np.int64) << np.int64(32)) | av.astype(np.int64)
+    hit = ekey[np.clip(np.searchsorted(ekey, akey), 0, ekey.size - 1)] == akey
+    ov = np.bincount(aq[hit].astype(np.int64), minlength=n_queries)
+    per_row = np.minimum(ov, floor)[eq.astype(np.int64)]
+    return exact.append_column("overlap_at_least", pa.array(per_row, type=pa.int64()))
+
+
 def _recall_floor_table(approx: pa.Table, sf_dir: str, k: int, n_queries: int,
                         floor: int) -> pa.Table:
     """Driver-checkable recall gate for an approximate ANN result — the Ray
@@ -947,18 +1013,8 @@ def _recall_floor_table(approx: pa.Table, sf_dir: str, k: int, n_queries: int,
     proves (a) the exact reference set used for the overlap is the true one
     and (b) every query's approximate recall clears the floor. The approx
     sets are deterministic given the pipeline seeds, so floors are stable."""
-    exact = knn_cosine(sf_dir, k=k, n_queries=n_queries)
-    eq = exact.column("query_id").to_numpy(zero_copy_only=False)
-    ev = exact.column("vec_id").to_numpy(zero_copy_only=False)
-    aq = approx.column("query_id").to_numpy(zero_copy_only=False)
-    av = approx.column("vec_id").to_numpy(zero_copy_only=False)
-    # overlap per query via sorted membership on packed (query, vec) keys
-    ekey = np.sort((eq.astype(np.int64) << np.int64(32)) | ev.astype(np.int64))
-    akey = (aq.astype(np.int64) << np.int64(32)) | av.astype(np.int64)
-    hit = ekey[np.clip(np.searchsorted(ekey, akey), 0, ekey.size - 1)] == akey
-    ov = np.bincount(aq[hit].astype(np.int64), minlength=n_queries)
-    per_row = np.minimum(ov, floor)[eq.astype(np.int64)]
-    return exact.append_column("overlap_at_least", pa.array(per_row, type=pa.int64()))
+    return _overlap_gate(knn_cosine(sf_dir, k=k, n_queries=n_queries), approx,
+                         n_queries, floor)
 
 
 def knn_ivf_recall(sf_dir: str, k: int = 10, n_queries: int = 10,

@@ -94,7 +94,17 @@ class _ShardGraph:
 
     def __init__(self, vecs: np.ndarray, m: int = 16, ef_construction: int = 64,
                  num_initializations: int = 32, metric: str = "cosine"):
-        self.vecs = vecs  # float32 (n, d); pre-normalized iff metric=cosine
+        self.vecs = vecs  # float32 (n, d), pre-normalized iff metric=cosine;
+        # OR int16 (n, d) for the quantized instantiation (uint8/int8 values
+        # widened so dot products against an int64 query are EXACT int64 —
+        # the reference's int8_t/uint8_t index templates,
+        # include/flatnav/util/Datatype.h:126-137; metric must be ip|l2)
+        self.int_space = np.issubdtype(vecs.dtype, np.integer)
+        if self.int_space and metric not in ("ip", "l2"):
+            raise ValueError(
+                f"integer vectors support metric ip|l2 (got {metric!r}); "
+                "cosine needs float norms — use the float32 graph"
+            )
         self.m = m
         self.efc = ef_construction
         self.num_init = num_initializations
@@ -102,33 +112,45 @@ class _ShardGraph:
         # similarity surrogate, bigger = nearer (the reference's templated
         # DistanceInterface role): cosine/ip = dot; l2 = -squared distance
         # via the norm expansion (one GEMV + precomputed row norms)
-        self._norms2 = (
-            (vecs.astype(np.float64) ** 2).sum(axis=1) if metric == "l2" else None
-        )
+        if metric != "l2":
+            self._norms2 = None
+        elif self.int_space:
+            v64 = vecs.astype(np.int64)
+            self._norms2 = (v64 * v64).sum(axis=1)  # exact int64
+        else:
+            self._norms2 = (vecs.astype(np.float64) ** 2).sum(axis=1)
         n = vecs.shape[0]
         self.adj = np.full((n, 2 * m), -1, dtype=np.int32)
         self.deg = np.zeros(n, dtype=np.int32)
         self._visited = np.zeros(n, dtype=np.int64)  # epoch-marked visited set
         self._epoch = 0
 
-    def _sims_q(self, idx: np.ndarray, q: np.ndarray, q2: float) -> np.ndarray:
-        """Similarity of stored nodes `idx` to an external query vector."""
+    def _sims_q(self, idx: np.ndarray, q: np.ndarray, q2) -> np.ndarray:
+        """Similarity of stored nodes `idx` to an external query vector.
+        int16 vecs × int64 q -> exact int64 dots (no float anywhere on the
+        quantized path; the `2 *` is exact for floats too)."""
         dots = self.vecs[idx] @ q
         if self.metric == "l2":
-            return 2.0 * dots - self._norms2[idx] - q2
+            return 2 * dots - self._norms2[idx] - q2
         return dots
 
     def _sims_node(self, idx: np.ndarray, node: int) -> np.ndarray:
         """Similarity of stored nodes `idx` to stored node `node`."""
+        qv = self.vecs[node]
+        if self.int_space:  # int16 @ int16 would overflow; widen the q side
+            qv = qv.astype(np.int64)
         return self._sims_q(
-            idx, self.vecs[node],
+            idx, qv,
             self._norms2[node] if self._norms2 is not None else 0.0,
         )
 
     # -- construction ------------------------------------------------------
     def build(self) -> None:
         for i in range(1, self.vecs.shape[0]):
-            cand, sims = self._beam(self.vecs[i], self.efc, limit=i)
+            qv = (
+                self.vecs[i].astype(np.int64) if self.int_space else self.vecs[i]
+            )
+            cand, sims = self._beam(qv, self.efc, limit=i)
             nbrs = _select_neighbors(cand, sims, self._sims_node, self.m)
             self.adj[i, : nbrs.size] = nbrs
             self.deg[i] = nbrs.size
@@ -169,7 +191,13 @@ class _ShardGraph:
             return np.empty(0, dtype=np.int64), np.empty(0)
         self._epoch += 1
         vis = self._visited
-        q2 = float((q.astype(np.float64) ** 2).sum()) if self.metric == "l2" else 0.0
+        if self.metric != "l2":
+            q2 = 0.0
+        elif self.int_space:  # exact int64 norm, no float on the quantized path
+            q64 = q.astype(np.int64)
+            q2 = int((q64 * q64).sum())
+        else:
+            q2 = float((q.astype(np.float64) ** 2).sum())
         ep = self._entry(q, q2, n)
         s0 = float(self._sims_q(np.asarray([ep]), q, q2)[0])
         vis[ep] = self._epoch
@@ -245,16 +273,29 @@ def build_nsw_index(
     vec_col: str = "embedding",
     num_initializations: int = 32,
     metric: str = "cosine",
+    dtype: str = "float32",
 ) -> int:
     """Shard-parallel NSW build: hash-shard the embeddings, build one graph
     per shard inside its map_groups task, persist (vec_id, vector, neighbors)
     parquet per shard plus an nsw_stats.json completion marker (written last;
-    records m/ef_construction/metric so search reconstructs graphs with the
-    right adjacency width and distance). metric='cosine'|'ip'|'l2' — the
-    reference's distance_type build knob (bindings.cpp create()). Returns
+    records m/ef_construction/metric/dtype so search reconstructs graphs
+    with the right adjacency width and distance). metric='cosine'|'ip'|'l2'
+    — the reference's distance_type build knob (bindings.cpp create()).
+
+    dtype='uint8'|'int8' is the quantized instantiation (the reference's
+    int8_t/uint8_t index templates, Datatype.h:126-137): the vector column
+    must already be integer (quantize_batch / the .u8bin/.i8bin readers),
+    vectors persist in their original integer type, and ALL similarity
+    arithmetic is exact int64 (metric ip|l2 only) — so scores agree
+    bit-for-bit with brute_force_knn_int for the ids both return. Returns
     total vectors indexed."""
     if metric not in ("cosine", "ip", "l2"):
         raise ValueError(f"unknown metric {metric!r}; one of cosine|ip|l2")
+    if dtype not in ("float32", "uint8", "int8"):
+        raise ValueError(f"unknown dtype {dtype!r}; one of float32|uint8|int8")
+    int_space = dtype != "float32"
+    if int_space and metric == "cosine":
+        raise ValueError("quantized NSW supports metric ip|l2 (no float norms)")
     os.makedirs(index_dir, exist_ok=True)
 
     def _with_shard(batch: pa.Table) -> pa.Table:
@@ -272,10 +313,19 @@ def build_nsw_index(
         ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids)  # deterministic insert order
         ids = ids[order]
-        vecs = _to_matrix(group.column(vec_col))
-        if metric == "cosine":
-            vecs = _normalize(vecs)
-        vecs = vecs[order].astype(np.float32)
+        if int_space:
+            from .knn import _to_int_matrix
+
+            np_dt = np.uint8 if dtype == "uint8" else np.int8
+            stored = _to_int_matrix(group.column(vec_col), np_dt)[order]
+            vecs = stored.astype(np.int16)  # widened compute view (exact dots)
+            vec_pa_type = pa.uint8() if dtype == "uint8" else pa.int8()
+        else:
+            vecs = _to_matrix(group.column(vec_col))
+            if metric == "cosine":
+                vecs = _normalize(vecs)
+            stored = vecs = vecs[order].astype(np.float32)
+            vec_pa_type = pa.float32()
         g = _ShardGraph(vecs, m=m, ef_construction=ef_construction,
                         num_initializations=num_initializations, metric=metric)
         g.build()
@@ -283,7 +333,7 @@ def build_nsw_index(
         t = pa.table(
             {
                 "vec_id": pa.array(ids, type=pa.int64()),
-                "vector": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+                "vector": pa.array([v.tolist() for v in stored], type=pa.list_(vec_pa_type)),
                 "neighbors": pa.array(nbr_ids, type=pa.list_(pa.int32())),
             }
         )
@@ -319,6 +369,7 @@ def build_nsw_index(
                 "ef_construction": ef_construction,
                 "num_initializations": num_initializations,
                 "metric": metric,
+                "dtype": dtype,
             },
             f,
         )
@@ -346,10 +397,23 @@ def search_nsw_index(
     st = load_nsw_stats(index_dir) or {}
     m = int(st.get("m", 16))
     metric = str(st.get("metric", "cosine"))
-    q = np.asarray(query_vectors, dtype=np.float64)
-    if metric == "cosine":
-        q = _normalize(q)
-    q = q.astype(np.float32)
+    dtype = str(st.get("dtype", "float32"))
+    int_space = dtype != "float32"
+    if int_space:
+        q = np.asarray(query_vectors)
+        if not np.issubdtype(q.dtype, np.integer):
+            raise TypeError(
+                f"index dtype is {dtype}: integer query vectors required "
+                f"(got {q.dtype}); quantize first"
+            )
+        q = q.astype(np.int64)
+        score_col = "l2sq" if metric == "l2" else "ip"
+    else:
+        q = np.asarray(query_vectors, dtype=np.float64)
+        if metric == "cosine":
+            q = _normalize(q)
+        q = q.astype(np.float32)
+        score_col = metric
     qids = (
         np.asarray(query_ids, dtype=np.int64)
         if query_ids is not None
@@ -374,7 +438,13 @@ def search_nsw_index(
         qids_, q_ = ray.get(bref)
         t = pq.read_table(path)
         ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        vecs = _to_matrix(t.column("vector")).astype(np.float32)
+        if int_space:
+            from .knn import _to_int_matrix
+
+            np_dt = np.uint8 if dtype == "uint8" else np.int8
+            vecs = _to_int_matrix(t.column("vector"), np_dt).astype(np.int16)
+        else:
+            vecs = _to_matrix(t.column("vector")).astype(np.float32)
         # rebuild adjacency in one shot from the ListArray's offsets/values
         # buffers (a per-row as_py() loop copied every neighbor list)
         nb = t.column("neighbors")
@@ -402,27 +472,41 @@ def search_nsw_index(
             out_q.append(np.full(kk, qids_[qi], dtype=np.int64))
             out_id.append(ids[cand[order]])
             out_s.append(sims[order])
+        s_type = pa.int64() if int_space else pa.float64()
         if not out_q:
             return pa.table(
                 {
                     "query_id": pa.array([], type=pa.int64()),
                     "vec_id": pa.array([], type=pa.int64()),
-                    metric: pa.array([], type=pa.float64()),
+                    score_col: pa.array([], type=s_type),
                 }
             )
+        s_all = np.concatenate(out_s)
+        if int_space:  # beam sims ride float64 but are exact ints (bounded)
+            s_all = s_all.astype(np.int64)
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-                metric: pa.array(np.concatenate(out_s), type=pa.float64()),
+                score_col: pa.array(s_all, type=s_type),
             }
         )
 
     partials = pa.concat_tables(ray.get([_shard_search.remote(p) for p in shards]))
-    # scores recomputed in float32 graph space; recompute exact float64 rank
-    # keys at merge time is unnecessary — ties resolve by (score, vec_id)
-    out = _merge_partials(ray.data.from_arrow(partials), k, "vec_id", score_col=metric)
-    if metric == "l2":  # internal -dist^2 surrogate -> actual Euclidean distance
+    # float path: scores recomputed in float32 graph space; ties resolve by
+    # (score, vec_id). int path: scores are exact int64 end-to-end.
+    out = _merge_partials(
+        ray.data.from_arrow(partials), k, "vec_id", score_col=score_col,
+        score_type=pa.int64() if int_space else pa.float64(),
+    )
+    if metric == "l2" and int_space:
+        # internal -l2sq surrogate -> the actual squared distance (exact
+        # int64, brute_force_knn_int's l2sq convention — no square root)
+        v = -out.column("l2sq").to_numpy(zero_copy_only=False)
+        out = out.set_column(
+            out.schema.get_field_index("l2sq"), "l2sq", pa.array(v, type=pa.int64())
+        )
+    elif metric == "l2":  # internal -dist^2 surrogate -> Euclidean distance
         d = np.sqrt(np.maximum(-out.column("l2").to_numpy(zero_copy_only=False), 0.0))
         out = out.set_column(out.schema.get_field_index("l2"), "l2", pa.array(d))
     return out

@@ -179,3 +179,63 @@ class TestNswPersistence:
 
         os.remove(os.path.join(d, "nsw_stats.json"))
         assert not nsw_index_complete(d)
+
+
+class TestQuantizedNsw:
+    """Quantized-dtype instantiation (the reference's int8_t/uint8_t index
+    templates, Datatype.h:126-137): pure-integer similarity arithmetic, so
+    NSW scores agree EXACTLY with brute_force_knn_int for shared ids."""
+
+    @pytest.mark.parametrize("dtype,metric", [("uint8", "l2"), ("int8", "ip")])
+    def test_quantized_recall_and_exact_scores(self, ray_session, tmp_path, dtype, metric):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from flatnav_ray.stages.knn import brute_force_knn_int, quantize_batch
+
+        src = "/root/testdata/sf0.001/embeddings.parquet"
+        qds = ray.data.read_parquet(src).map_batches(
+            lambda b: quantize_batch(b, dtype=dtype), batch_format="pyarrow"
+        )
+        d = str(tmp_path / f"qix_{dtype}_{metric}")
+        n = build_nsw_index(qds, d, n_shards=2, m=16, ef_construction=64,
+                            metric=metric, dtype=dtype)
+        assert n == 500
+        from flatnav_ray.stages.knn import quantize_vectors
+
+        t = pq.read_table(src)
+        qv = quantize_vectors(np.stack(t.column("embedding").to_pylist()[:15]), dtype=dtype)
+        exact = brute_force_knn_int(qds, qv, k=10, metric=metric, dtype=dtype)
+        got = search_nsw_index(d, qv, k=10, ef_search=128)
+        score = "l2sq" if metric == "l2" else "ip"
+        assert got.schema.names == ["query_id", "rank", "vec_id", score]
+        assert got.schema.field(score).type == pa.int64()
+        assert _recall(got, exact, 10) >= 0.9
+        # exact integer score parity on every (query, vec) pair both returned
+        want = {(r["query_id"], r["vec_id"]): r[score] for r in exact.to_pylist()}
+        overlap = 0
+        for r in got.to_pylist():
+            key = (r["query_id"], r["vec_id"])
+            if key in want:
+                assert r[score] == want[key], (key, r[score], want[key])
+                overlap += 1
+        assert overlap > 0
+
+    def test_quantized_rejects_float_inputs(self, ray_session, tmp_path):
+        import ray.data
+
+        from flatnav_ray.stages.knn import quantize_batch
+
+        src = "/root/testdata/sf0.001/embeddings.parquet"
+        with pytest.raises(ValueError, match="ip|l2"):
+            build_nsw_index(
+                ray.data.read_parquet(src), str(tmp_path / "bad"),
+                metric="cosine", dtype="uint8",
+            )
+        qds = ray.data.read_parquet(src).map_batches(
+            lambda b: quantize_batch(b, dtype="uint8"), batch_format="pyarrow"
+        )
+        d = str(tmp_path / "qix")
+        build_nsw_index(qds, d, n_shards=2, metric="ip", dtype="uint8")
+        with pytest.raises(TypeError, match="integer query"):
+            search_nsw_index(d, np.ones((2, 8), dtype=np.float32), k=5)
