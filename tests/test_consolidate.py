@@ -166,3 +166,52 @@ class TestBuildOverlap:
         monkeypatch.setenv("FLATNAV_CONSOLIDATE", "0")
         build_index(ray.data.from_arrow(blocks), ix_off, IndexConfig(num_partitions=4))
         assert canonical_postings(ix_on).equals(canonical_postings(ix_off))
+
+
+class TestStreamingMergeCrashWindows:
+    def test_orphan_post_file_ignored(self, corpus, tmp_path):
+        """A crashed map task can leave a post- file without its meta-
+        commit marker; the meta-driven merge must produce the identical
+        segment as a spill without the orphan."""
+        cfg = IndexConfig(num_partitions=4)
+        spill_a, spill_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+        for off in range(0, len(corpus), 150):
+            batch = corpus.slice(off, 150)
+            map_partial_spill(batch, 4, None, spill_a)
+            map_partial_spill(batch, 4, None, spill_b)
+        # orphan: copy one post file under a fresh uid with NO meta pair
+        import shutil
+
+        d = os.path.join(spill_b, "part=00000")
+        post = sorted(f for f in os.listdir(d) if f.startswith("post-"))[0]
+        shutil.copy(os.path.join(d, post), os.path.join(d, "post-deadbeef.arrows"))
+        ix_a, ix_b = str(tmp_path / "ixa"), str(tmp_path / "ixb")
+        os.makedirs(ix_a), os.makedirs(ix_b)
+        for p in range(4):
+            merge_spilled_partition(p, spill_a, ix_a, cfg)
+            merge_spilled_partition(p, spill_b, ix_b, cfg)
+        assert canonical_postings(ix_a).equals(canonical_postings(ix_b))
+
+    def test_partial_consolidation_mixes_with_raw_pairs(self, corpus, tmp_path):
+        """The merge must read any MIX of consolidated runs and raw pairs
+        (the overlap loop consolidates snapshots while the map is still
+        spilling, so this is the steady state, not an edge case)."""
+        cfg = IndexConfig(num_partitions=4)
+        spill_a, spill_b = str(tmp_path / "sa"), str(tmp_path / "sb")
+        for off in range(0, len(corpus), 150):
+            batch = corpus.slice(off, 150)
+            map_partial_spill(batch, 4, None, spill_a)
+            map_partial_spill(batch, 4, None, spill_b)
+        ix_a, ix_b = str(tmp_path / "ixa"), str(tmp_path / "ixb")
+        os.makedirs(ix_a), os.makedirs(ix_b)
+        for p in range(4):
+            d = os.path.join(spill_b, f"part={p:05d}")
+            metas = sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.startswith("meta-")
+            )
+            # consolidate only the first half; the rest stay raw pairs
+            n = consolidate_spilled_runs(p, spill_b, metas[: len(metas) // 2])
+            assert n > 0
+            merge_spilled_partition(p, spill_a, ix_a, cfg)
+            merge_spilled_partition(p, spill_b, ix_b, cfg)
+        assert canonical_postings(ix_a).equals(canonical_postings(ix_b))
