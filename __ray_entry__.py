@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": ev.events_sessions,
         "events_asof": ev.events_asof,
         "events_range_join": ev.events_range_join,
+        "events_json_rollup": ev.events_json_rollup,  # semi-structured extraction
         # tokenizer / stats family (M4, A6, A8, A9)
         "doc_token_stats": d.doc_token_stats,
         "term_df": d.term_df,
@@ -1093,6 +1094,18 @@ def oracle_sql() -> dict[str, str]:
             "AND c.event_type = 'click' AND p.event_type = 'purchase' "
             "AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE "
             "ORDER BY left_event_id, right_event_id"
+        ),
+        # semi-structured extraction: integer field k from the props JSON
+        # string (RE2 on the Ray side, same regex here; NULLIF guards the
+        # no-match empty string), exact integer rollups per event_type
+        "events_json_rollup": (
+            "WITH x AS (SELECT event_type, "
+            "CAST(NULLIF(regexp_extract(props, '\"k\"\\s*:\\s*(-?\\d+)', 1), '') AS BIGINT) AS k "
+            "FROM events) "
+            "SELECT event_type, count(*) AS n_events, "
+            "count(*) - count(k) AS n_missing, "
+            "coalesce(sum(k), 0) AS k_sum, min(k) AS k_min, max(k) AS k_max "
+            "FROM x GROUP BY event_type ORDER BY event_type"
         ),
         "docs_sample": (
             "SELECT doc_id, lang, n_chars FROM documents "

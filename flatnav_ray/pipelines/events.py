@@ -334,3 +334,72 @@ def events_asof(sf_dir: str) -> pa.Table:
     from ..stages.relational import asof_join_prior
 
     return asof_join_prior(_events(sf_dir), left_type="purchase", right_type="click")
+
+
+def events_json_rollup(sf_dir: str) -> pa.Table:
+    """Semi-structured field extraction (the ES stored-fields / Spark
+    get_json_object shape): each event's `props` column holds a JSON object;
+    extract the integer field `k` with a VECTORIZED RE2 kernel
+    (pyarrow.compute.extract_regex — no per-row json.loads loop), then
+    roll up per event_type: event count + exact integer sum / min / max of
+    k, plus how many rows carried no extractable field (null accounting —
+    real JSON is ragged). Map-side combined: only (event_type, partials)
+    rows shuffle, never the raw JSON strings."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("props"), r'"k"\s*:\s*(?P<v>-?\d+)')
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        miss = pc.is_null(v).to_numpy(zero_copy_only=False)
+        vn = v.to_numpy(zero_copy_only=False)
+        et = b.column("event_type")
+        enc = pc.dictionary_encode(
+            et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ntyp = len(enc.dictionary)
+        ok = ~miss
+        vi = np.where(ok, np.nan_to_num(vn.astype(np.float64)), 0.0).astype(np.int64)
+        cnt = np.bincount(codes, minlength=ntyp)
+        nmiss = np.bincount(codes[miss], minlength=ntyp)
+        ksum = np.bincount(codes[ok], weights=vi[ok], minlength=ntyp).astype(np.int64)
+        kmin = np.full(ntyp, np.iinfo(np.int64).max)
+        kmax = np.full(ntyp, np.iinfo(np.int64).min)
+        np.minimum.at(kmin, codes[ok], vi[ok])
+        np.maximum.at(kmax, codes[ok], vi[ok])
+        return pa.table(
+            {
+                "event_type": enc.dictionary,
+                "n_events": pa.array(cnt, type=pa.int64()),
+                "n_missing": pa.array(nmiss, type=pa.int64()),
+                "k_sum": pa.array(ksum, type=pa.int64()),
+                "k_min": pa.array(kmin, type=pa.int64()),
+                "k_max": pa.array(kmax, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    # final combine: tiny (n_types x blocks) — exact integer merges
+    enc = pc.dictionary_encode(agg.column("event_type").combine_chunks())
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ntyp = len(enc.dictionary)
+    out = {
+        "event_type": enc.dictionary,
+        "n_events": np.bincount(codes, weights=agg.column("n_events").to_numpy(zero_copy_only=False), minlength=ntyp).astype(np.int64),
+        "n_missing": np.bincount(codes, weights=agg.column("n_missing").to_numpy(zero_copy_only=False), minlength=ntyp).astype(np.int64),
+        "k_sum": np.bincount(codes, weights=agg.column("k_sum").to_numpy(zero_copy_only=False), minlength=ntyp).astype(np.int64),
+    }
+    kmin = np.full(ntyp, np.iinfo(np.int64).max)
+    kmax = np.full(ntyp, np.iinfo(np.int64).min)
+    np.minimum.at(kmin, codes, agg.column("k_min").to_numpy(zero_copy_only=False))
+    np.maximum.at(kmax, codes, agg.column("k_max").to_numpy(zero_copy_only=False))
+    out["k_min"] = kmin
+    out["k_max"] = kmax
+    t = pa.table({k: pa.array(v) if not isinstance(v, pa.Array) else v for k, v in out.items()})
+    return t.sort_by("event_type")

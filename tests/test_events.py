@@ -127,3 +127,39 @@ def test_hopping_covers_each_event_twice(ray_session):
         if e == et and ws <= t < ws + 3600 * 1_000_000
     )
     assert out.column("n_events")[0].as_py() == want
+
+
+def test_json_rollup_ragged_props(ray_session, tmp_path):
+    """events_json_rollup on ragged JSON: missing field, other fields, raw
+    garbage — n_missing accounts for every unextractable row and the integer
+    rollups cover only extracted values (exact)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flatnav_ray.pipelines.events import events_json_rollup
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(8), type=pa.int64()),
+            "ts": pa.array([0] * 8, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 8, type=pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "b", "b", "b", "b", "a"]),
+            "value": pa.array([0.0] * 8),
+            "props": pa.array(
+                [
+                    '{"k": 5}', '{"j": 9}', '{"k": -3}',      # a: 5, miss, -3
+                    '{"k": 0}', "not json", '{"k": 12}', "{}",  # b: 0, miss, 12, miss
+                    '{ "k" :  7 }',                            # a: 7 (spaced)
+                ]
+            ),
+        }
+    )
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in events_json_rollup(d).to_pylist()}
+    assert out["a"]["n_events"] == 4 and out["a"]["n_missing"] == 1
+    assert out["a"]["k_sum"] == 9 and out["a"]["k_min"] == -3 and out["a"]["k_max"] == 7
+    assert out["b"]["n_events"] == 4 and out["b"]["n_missing"] == 2
+    assert out["b"]["k_sum"] == 12 and out["b"]["k_min"] == 0 and out["b"]["k_max"] == 12
