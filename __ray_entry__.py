@@ -1011,26 +1011,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
     )
     return {
-        # star-schema join: lineitem x orders x customer x nation, integer
-        # millicents revenue (identically-associated float product, exact
-        # integer sums)
+        # star-schema join: lineitem x orders x customer x nation. Revenue
+        # in exact scaled integers: round() recovers each 2-decimal column
+        # alone (never near .5 — half-even vs half-away cannot disagree),
+        # then the product cents*(100-disc_bp) is pure int64 (1e-4 units)
         "revenue_by_nation": (
-            "SELECT n.n_name, CAST(sum(CAST(round(l.l_extendedprice * "
-            "(1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_mc "
-            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS db FROM lineitem) "
+            "SELECT n.n_name, CAST(sum(l.pc * (100 - l.db)) AS BIGINT) AS revenue_e4 "
+            "FROM l JOIN orders o ON o.o_orderkey = l.l_orderkey "
             "JOIN customer c ON c.c_custkey = o.o_custkey "
             "JOIN nation n ON n.n_nationkey = c.c_nationkey "
             "GROUP BY n.n_name ORDER BY n.n_name"
         ),
-        # TPC-H Q1 shape: exact integer sums after one identically-
-        # associated rounding per float product
+        # TPC-H Q1 shape: per-column decimal->integer recovery only, then
+        # pure int64 products (disc term 1e-4 units, charge term 1e-6)
         "pricing_summary": (
+            "WITH l AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(round(l_quantity) AS BIGINT) AS qi, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS pc, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS db, "
+            "CAST(round(l_tax * 100) AS BIGINT) AS tb FROM lineitem) "
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
-            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
-            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
-            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS BIGINT) AS sum_disc_mc, "
-            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000) AS BIGINT)) AS BIGINT) AS sum_charge_mc "
-            "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+            "CAST(sum(qi) AS BIGINT) AS sum_qty, "
+            "CAST(sum(pc) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(pc * (100 - db)) AS BIGINT) AS sum_disc_e4, "
+            "CAST(sum(pc * (100 - db) * (100 + tb)) AS BIGINT) AS sum_charge_e6 "
+            "FROM l GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "suppliers_by_region": (
             "SELECT r.r_name, count(*) AS n_suppliers, "

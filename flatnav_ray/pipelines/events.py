@@ -19,10 +19,14 @@ def _events(sf_dir: str) -> ray.data.Dataset:
 def pricing_summary(sf_dir: str) -> pa.Table:
     """The TPC-H Q1 shape (pricing summary report): per (returnflag,
     linestatus) — row count, integer quantity sum, and charge sums in
-    integer cents/millicents (each float product rounded by ONE
-    identically-associated expression, then exact integer sums — the
-    map-side-combine groupby is the engine's A8 pattern on relational
-    data)."""
+    PURE scaled-integer arithmetic. The only float round() is per-column
+    decimal→integer recovery (price·100, disc·100, tax·100 — each a
+    2-decimal value whose scaled double sits ~1e-9 from an integer, so
+    half-even vs half-away can never disagree); every product is then
+    exact int64: disc term = cents·(100−disc_bp) in 1e-4 currency units,
+    charge term = cents·(100−disc_bp)·(100+tax_bp) in 1e-6 units. No
+    float round on a product anywhere on either engine (the r4 hash-fail
+    was banker's-vs-half-away on products landing exactly on .5)."""
     import numpy as np
 
     li = ray.data.read_parquet(
@@ -36,28 +40,26 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
         tax = b.column("l_tax").to_numpy(zero_copy_only=False)
+        price_c = np.round(price * 100.0).astype(np.int64)
+        disc_bp = np.round(disc * 100.0).astype(np.int64)
+        tax_bp = np.round(tax * 100.0).astype(np.int64)
+        disc_e4 = price_c * (100 - disc_bp)
         t = pa.table(
             {
                 "l_returnflag": b.column("l_returnflag"),
                 "l_linestatus": b.column("l_linestatus"),
                 "n_rows": pa.array(np.ones(len(b), dtype=np.int64)),
                 "sum_qty": pa.array(np.round(qty).astype(np.int64), type=pa.int64()),
-                "sum_base_cents": pa.array(
-                    np.round(price * 100.0).astype(np.int64), type=pa.int64()
-                ),
-                "sum_disc_mc": pa.array(
-                    np.round(price * (1.0 - disc) * 1000.0).astype(np.int64),
-                    type=pa.int64(),
-                ),
-                "sum_charge_mc": pa.array(
-                    np.round(price * (1.0 - disc) * (1.0 + tax) * 1000.0).astype(np.int64),
-                    type=pa.int64(),
+                "sum_base_cents": pa.array(price_c, type=pa.int64()),
+                "sum_disc_e4": pa.array(disc_e4, type=pa.int64()),
+                "sum_charge_e6": pa.array(
+                    disc_e4 * (100 + tax_bp), type=pa.int64()
                 ),
             }
         )
         agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("n_rows", "sum"), ("sum_qty", "sum"), ("sum_base_cents", "sum"),
-             ("sum_disc_mc", "sum"), ("sum_charge_mc", "sum")]
+             ("sum_disc_e4", "sum"), ("sum_charge_e6", "sum")]
         )
         # columns BY NAME: pyarrow's key-vs-aggregate output order has
         # changed across releases (see windowed_counts)
@@ -67,15 +69,15 @@ def pricing_summary(sf_dir: str) -> pa.Table:
             "n_rows": agg.column("n_rows_sum"),
             "sum_qty": agg.column("sum_qty_sum"),
             "sum_base_cents": agg.column("sum_base_cents_sum"),
-            "sum_disc_mc": agg.column("sum_disc_mc_sum"),
-            "sum_charge_mc": agg.column("sum_charge_mc_sum"),
+            "sum_disc_e4": agg.column("sum_disc_e4_sum"),
+            "sum_charge_e6": agg.column("sum_charge_e6_sum"),
         })
 
     partials = li.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     t = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
     g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
         [("n_rows", "sum"), ("sum_qty", "sum"), ("sum_base_cents", "sum"),
-         ("sum_disc_mc", "sum"), ("sum_charge_mc", "sum")]
+         ("sum_disc_e4", "sum"), ("sum_charge_e6", "sum")]
     )
     out = pa.table({
         "l_returnflag": g.column("l_returnflag"),
@@ -83,8 +85,8 @@ def pricing_summary(sf_dir: str) -> pa.Table:
         "n_rows": g.column("n_rows_sum"),
         "sum_qty": g.column("sum_qty_sum"),
         "sum_base_cents": g.column("sum_base_cents_sum"),
-        "sum_disc_mc": g.column("sum_disc_mc_sum"),
-        "sum_charge_mc": g.column("sum_charge_mc_sum"),
+        "sum_disc_e4": g.column("sum_disc_e4_sum"),
+        "sum_charge_e6": g.column("sum_charge_e6_sum"),
     })
     return out.sort_by(
         [("l_returnflag", "ascending"), ("l_linestatus", "ascending")]
@@ -99,10 +101,11 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     Join plan by size: lineitem⋈orders is the big co-partitioned pair —
     a hash-shuffle `Dataset.join` on o_orderkey; customer and nation are
     dimension tables, broadcast once via ray.put and resolved inside
-    map_batches (never shuffled). Revenue is integer millicents
-    round(extendedprice·(1-discount)·1000) — the float product is one
-    identically-associated expression on both engines, so the integer sums
-    make the whole pipeline hash-exact."""
+    map_batches (never shuffled). Revenue is the exact scaled integer
+    cents·(100−disc_bp) (units 1e-4 currency): both factors are recovered
+    per-column from 2-decimal values (never near a .5 boundary), so no
+    float round touches a product on either engine and the integer sums
+    are hash-exact."""
     import numpy as np
 
     from ..stages.dedup import drop_empty_blocks
@@ -123,7 +126,7 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
     if left is None or right is None:
         return pa.table(
             {"n_name": pa.array([], type=pa.string()),
-             "revenue_mc": pa.array([], type=pa.int64())}
+             "revenue_e4": pa.array([], type=pa.int64())}
         )
     joined = left.join(
         right, "inner", num_partitions=nparts,
@@ -156,17 +159,19 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
         nk = cnn[pos]  # custkeys are dense FK — always present
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        mc = np.round(price * (1.0 - disc) * 1000.0).astype(np.int64)
+        price_c = np.round(price * 100.0).astype(np.int64)
+        disc_bp = np.round(disc * 100.0).astype(np.int64)
+        e4 = price_c * (100 - disc_bp)
         t = pa.table(
             {
                 "n_name": pa.array([nn[int(k)] for k in nk], type=pa.string()),
-                "revenue_mc": pa.array(mc, type=pa.int64()),
+                "revenue_e4": pa.array(e4, type=pa.int64()),
             }
         )
-        a = t.group_by(["n_name"]).aggregate([("revenue_mc", "sum")])
+        a = t.group_by(["n_name"]).aggregate([("revenue_e4", "sum")])
         # by name, not positional (pyarrow key/aggregate order varies)
         return pa.table(
-            {"n_name": a.column("n_name"), "revenue_mc": a.column("revenue_mc_sum")}
+            {"n_name": a.column("n_name"), "revenue_e4": a.column("revenue_e4_sum")}
         )
 
     parts = pa.concat_tables(
@@ -174,9 +179,9 @@ def revenue_by_nation(sf_dir: str) -> pa.Table:
             batch_format="pyarrow"
         )
     )
-    g = parts.group_by(["n_name"]).aggregate([("revenue_mc", "sum")])
+    g = parts.group_by(["n_name"]).aggregate([("revenue_e4", "sum")])
     out = pa.table(
-        {"n_name": g.column("n_name"), "revenue_mc": g.column("revenue_mc_sum")}
+        {"n_name": g.column("n_name"), "revenue_e4": g.column("revenue_e4_sum")}
     )
     return out.sort_by("n_name")
 

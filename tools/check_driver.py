@@ -70,16 +70,31 @@ def main() -> int:
             continue
         ok_rows = len(got) == len(want)
         ok_cols = list(got.columns) == list(want.columns)
+        # the driver hashes VALUES exactly and a float64 oracle column vs an
+        # int64 engine column stringifies differently — treat dtype kind
+        # divergence and any value difference as failures (strictly harder
+        # than the driver's gate)
+        ok_dtypes = ok_cols and all(
+            got[c].dtype.kind == want[c].dtype.kind for c in got.columns
+        )
         ok_vals = False
         if ok_rows and ok_cols:
             try:
                 pd.testing.assert_frame_equal(
-                    got, want, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+                    got, want, check_dtype=False, check_exact=True
                 )
                 ok_vals = True
             except AssertionError as ex:
                 ok_vals = False
                 detail = str(ex).splitlines()[0]
+        if ok_vals and not ok_dtypes:
+            kinds = [
+                f"{c}: {got[c].dtype}!={want[c].dtype}"
+                for c in got.columns
+                if got[c].dtype.kind != want[c].dtype.kind
+            ]
+            ok_vals = False
+            detail = "dtype kind mismatch — " + "; ".join(kinds)
         if ok_rows and ok_cols and ok_vals:
             print(f"OK    {name}: {len(got)} rows")
         else:
