@@ -1112,7 +1112,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT event_type, count(*) AS n_events, "
             "count(*) - count(k) AS n_missing, "
-            "coalesce(sum(k), 0) AS k_sum, min(k) AS k_min, max(k) AS k_max "
+            # CAST: sum(BIGINT) is HUGEINT, which pandas renders float64 —
+            # the driver's exact value-hash then sees 123.0 vs the engine's
+            # 123 (the r4 driver-env hash-fail class)
+            "CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum, "
+            "min(k) AS k_min, max(k) AS k_max "
             "FROM x GROUP BY event_type ORDER BY event_type"
         ),
         "docs_sample": (
@@ -1143,8 +1147,12 @@ def oracle_sql() -> dict[str, str]:
             "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
             "per AS (SELECT tf.doc_id, sum(tf.tf * w.w ORDER BY tf.term) AS logratio, "
             "sum(tf.tf) AS n_tokens FROM tf JOIN w ON w.term = tf.term GROUP BY 1) "
-            "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
-            "coalesce(p.logratio, 0.0) AS logratio FROM documents d "
+            # n_tokens: sum(BIGINT) is HUGEINT -> pandas float64 (hash
+            # class); logratio: quantized to 1e-6 BIGINT, the float fold
+            # differs sub-ULP between engines
+            "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(round(coalesce(p.logratio, 0.0) * 1000000) AS BIGINT) AS logratio_e6 "
+            "FROM documents d "
             "LEFT JOIN per p ON p.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         # unigram LM perplexity: ppl = exp(-(sum tf ln p ORDER BY term)/n)
@@ -1158,8 +1166,11 @@ def oracle_sql() -> dict[str, str]:
             "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
             "per AS (SELECT tf.doc_id, sum(tf.tf * lp.lp ORDER BY tf.term) AS ll, "
             "sum(tf.tf) AS n_tokens FROM tf JOIN lp ON lp.term = tf.term GROUP BY 1) "
-            "SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
-            "CASE WHEN p.n_tokens > 0 THEN exp(-(p.ll / p.n_tokens)) ELSE 0.0 END AS ppl "
+            # n_tokens CAST (HUGEINT->float64 hash class); ppl quantized to
+            # 1e-6 BIGINT (raw float drifted ~1e-14 between engines)
+            "SELECT d.doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens, "
+            "CAST(round((CASE WHEN p.n_tokens > 0 THEN exp(-(p.ll / p.n_tokens)) "
+            "ELSE 0.0 END) * 1000000) AS BIGINT) AS ppl_e6 "
             "FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         # first BPE iteration: occurrence-weighted adjacent char pairs
@@ -1251,7 +1262,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
             "base AS (SELECT doc_id, len(tk) AS n_tokens, "
             "len(list_distinct(tk)) AS n_distinct, "
-            "coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS sum_tok_len, "
+            # CAST: list_sum yields HUGEINT -> pandas float64 -> driver
+            # hash divergence vs the engine's int64 (r4 hash-fail class)
+            "CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS sum_tok_len, "
             f"len(list_filter(tk, x -> list_contains({_STOP_SQL}, x))) AS n_stop "
             "FROM t), "
             "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), "

@@ -38,6 +38,17 @@ def _concat(ds: ray.data.Dataset) -> pa.Table:
     return pa.concat_tables(batches) if batches else pa.table({})
 
 
+def _q6(x: np.ndarray) -> np.ndarray:
+    """round(x * 1e6) half-away-from-zero, as int64 — DuckDB round()
+    semantics. Hash-checked entries must not ship raw float64 columns:
+    sub-ULP accumulation differences between numpy folds and DuckDB's
+    internal summation (measured ~1e-14 relative on unigram_ppl) break
+    the driver's exact value-hash; a 1e-6 quantum is 8 orders of
+    magnitude coarser than the drift."""
+    s = x * 1e6
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
 # ---------- token / term statistics (SQL-checkable) ----------
 
 def doc_token_stats(sf_dir: str) -> pa.Table:
@@ -393,7 +404,9 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en") -> pa.Table:
     batch (term, cf_target, cf_background) rows folded driver-side — the
     vocabulary is the small side; DSIR hashes n-grams into fixed buckets
     at larger vocabularies, same shape). Weights broadcast once; the
-    per-doc fold is a vectorized reduceat over (doc, term)-sorted tokens."""
+    per-doc fold is a vectorized reduceat over (doc, term)-sorted tokens.
+    Output is the 1e-6-quantized BIGINT logratio_e6 (raw float folds drift
+    sub-ULP between numpy and DuckDB — see _q6)."""
     from ..functions.tokenize import explode_tokens
 
     docs = _docs(sf_dir).select_columns(["doc_id", "lang", "text"])
@@ -444,7 +457,7 @@ def dsir_logratio(sf_dir: str, target_lang: str = "en") -> pa.Table:
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "n_tokens": pa.array(n_tok, type=pa.int64()),
-                "logratio": pa.array(score, type=pa.float64()),
+                "logratio_e6": pa.array(_q6(score), type=pa.int64()),
             }
         )
 
@@ -486,8 +499,9 @@ def unigram_ppl(sf_dir: str) -> pa.Table:
     model — the quality-filter score CCNet computes with a KenLM 5-gram
     (the sandbox has no KenLM; the unigram model exercises the identical
     pipeline shape: one distributed cf pass, broadcast weights, vectorized
-    per-doc fold). Scalar libm log/exp end to end; ordered fold; the float
-    column hash-matches DuckDB."""
+    per-doc fold). Scalar libm log/exp end to end; ordered fold; output is
+    the 1e-6-quantized BIGINT ppl_e6 (DuckDB's internal sum accumulation
+    drifted ~1e-14 from the numpy fold — raw floats cannot hash-match)."""
     import math
 
     from ..functions.tokenize import explode_tokens
@@ -532,7 +546,7 @@ def unigram_ppl(sf_dir: str) -> pa.Table:
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "n_tokens": pa.array(n_tok, type=pa.int64()),
-                "ppl": pa.array(ppl, type=pa.float64()),
+                "ppl_e6": pa.array(_q6(ppl), type=pa.int64()),
             }
         )
 

@@ -357,11 +357,19 @@ def events_json_rollup(sf_dir: str) -> pa.Table:
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
 
+    def _isum(codes: np.ndarray, vals: np.ndarray, n: int) -> np.ndarray:
+        # exact int64 scatter-add (np.bincount weights would detour
+        # through float64 and lose exactness past 2^53)
+        out = np.zeros(n, dtype=np.int64)
+        np.add.at(out, codes, vals)
+        return out
+
     def _partial(b: pa.Table) -> pa.Table:
         ex = pc.extract_regex(b.column("props"), r'"k"\s*:\s*(?P<v>-?\d+)')
         v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
         miss = pc.is_null(v).to_numpy(zero_copy_only=False)
-        vn = v.to_numpy(zero_copy_only=False)
+        # int64 throughout: fill nulls BEFORE to_numpy so no float64 detour
+        vi = pc.fill_null(v, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         et = b.column("event_type")
         enc = pc.dictionary_encode(
             et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et
@@ -369,10 +377,9 @@ def events_json_rollup(sf_dir: str) -> pa.Table:
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ntyp = len(enc.dictionary)
         ok = ~miss
-        vi = np.where(ok, np.nan_to_num(vn.astype(np.float64)), 0.0).astype(np.int64)
         cnt = np.bincount(codes, minlength=ntyp)
         nmiss = np.bincount(codes[miss], minlength=ntyp)
-        ksum = np.bincount(codes[ok], weights=vi[ok], minlength=ntyp).astype(np.int64)
+        ksum = _isum(codes[ok], vi[ok], ntyp)
         kmin = np.full(ntyp, np.iinfo(np.int64).max)
         kmax = np.full(ntyp, np.iinfo(np.int64).min)
         np.minimum.at(kmin, codes[ok], vi[ok])
@@ -394,17 +401,25 @@ def events_json_rollup(sf_dir: str) -> pa.Table:
     enc = pc.dictionary_encode(agg.column("event_type").combine_chunks())
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     ntyp = len(enc.dictionary)
-    out = {
-        "event_type": enc.dictionary,
-        "n_events": np.bincount(codes, weights=agg.column("n_events").to_numpy(zero_copy_only=False), minlength=ntyp).astype(np.int64),
-        "n_missing": np.bincount(codes, weights=agg.column("n_missing").to_numpy(zero_copy_only=False), minlength=ntyp).astype(np.int64),
-        "k_sum": np.bincount(codes, weights=agg.column("k_sum").to_numpy(zero_copy_only=False), minlength=ntyp).astype(np.int64),
-    }
+    n_events = _isum(codes, agg.column("n_events").to_numpy(zero_copy_only=False).astype(np.int64), ntyp)
+    n_missing = _isum(codes, agg.column("n_missing").to_numpy(zero_copy_only=False).astype(np.int64), ntyp)
+    k_sum = _isum(codes, agg.column("k_sum").to_numpy(zero_copy_only=False).astype(np.int64), ntyp)
     kmin = np.full(ntyp, np.iinfo(np.int64).max)
     kmax = np.full(ntyp, np.iinfo(np.int64).min)
     np.minimum.at(kmin, codes, agg.column("k_min").to_numpy(zero_copy_only=False))
     np.maximum.at(kmax, codes, agg.column("k_max").to_numpy(zero_copy_only=False))
-    out["k_min"] = kmin
-    out["k_max"] = kmax
-    t = pa.table({k: pa.array(v) if not isinstance(v, pa.Array) else v for k, v in out.items()})
+    # groups where every row lacked an extractable k: min/max are NULL
+    # (matching the oracle's min(k)/max(k) over an empty set), never the
+    # iinfo sentinels the partials seed with
+    empty = n_events == n_missing
+    t = pa.table(
+        {
+            "event_type": enc.dictionary,
+            "n_events": pa.array(n_events, type=pa.int64()),
+            "n_missing": pa.array(n_missing, type=pa.int64()),
+            "k_sum": pa.array(k_sum, type=pa.int64()),
+            "k_min": pa.array(kmin, type=pa.int64(), mask=empty),
+            "k_max": pa.array(kmax, type=pa.int64(), mask=empty),
+        }
+    )
     return t.sort_by("event_type")

@@ -64,14 +64,17 @@ def test_dsir_matches_python_replica(dsir_dir):
         tf = Counter(_toks(t))
         want.append(sum(tf[term] * wmap[term] for term in sorted(tf)))
 
-    got = out.column("logratio").to_pylist()
+    got = out.column("logratio_e6").to_pylist()
     assert len(got) == len(texts)
     for g, w in zip(got, want):
-        assert np.float64(g) == np.float64(w)
+        # engine output is the 1e-6-quantized BIGINT (driver hash contract)
+        s = np.float64(w) * 1e6
+        expect = int(np.floor(s + 0.5) if s >= 0 else np.ceil(s - 0.5))
+        assert g == expect
     # discrimination: every en doc with text outscores every non-en doc
     langs = [l for _, l in texts]
     en = [g for g, (t, l) in zip(got, texts) if l == "en" and t]
     other = [g for g, (t, l) in zip(got, texts) if l != "en"]
     assert min(en) > max(other)
     # empty doc: zero tokens, zero score
-    assert got[6] == 0.0 and out.column("n_tokens")[6].as_py() == 0
+    assert got[6] == 0 and out.column("n_tokens")[6].as_py() == 0

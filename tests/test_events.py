@@ -163,3 +163,33 @@ def test_json_rollup_ragged_props(ray_session, tmp_path):
     assert out["a"]["k_sum"] == 9 and out["a"]["k_min"] == -3 and out["a"]["k_max"] == 7
     assert out["b"]["n_events"] == 4 and out["b"]["n_missing"] == 2
     assert out["b"]["k_sum"] == 12 and out["b"]["k_min"] == 0 and out["b"]["k_max"] == 12
+
+
+def test_json_rollup_all_missing_group_yields_null_min_max(ray_session, tmp_path):
+    """A group whose rows all lack an extractable k must report NULL
+    k_min/k_max (the SQL min/max over an empty set) — not int64 iinfo
+    sentinels — and k_sum 0."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flatnav_ray.pipelines.events import events_json_rollup
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(4), type=pa.int64()),
+            "ts": pa.array([0] * 4, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, type=pa.int64()),
+            "event_type": pa.array(["a", "a", "c", "c"]),
+            "value": pa.array([0.0] * 4),
+            "props": pa.array(['{"k": 2}', "{}", '{"j": 1}', "nope"]),
+        }
+    )
+    d = str(tmp_path / "ev2")
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in events_json_rollup(d).to_pylist()}
+    assert out["c"]["n_events"] == 2 and out["c"]["n_missing"] == 2
+    assert out["c"]["k_sum"] == 0
+    assert out["c"]["k_min"] is None and out["c"]["k_max"] is None
+    assert out["a"]["k_min"] == 2 and out["a"]["k_max"] == 2
