@@ -638,7 +638,7 @@ def oracle_sql() -> dict[str, str]:
         "ranked AS (SELECT query_id, doc_id, row_number() OVER "
         "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
         "SELECT s1.query_id % 10 AS query_id, s1.doc_id AS doc_id, s1.term AS term, "
-        "s1.dfv AS df, s1.score AS contribution "
+        "s1.dfv AS df, CAST(round(s1.score * 1000000) AS BIGINT) AS contribution_e6 "
         "FROM scored1 s1 JOIN ranked r ON r.query_id = s1.query_id % 10 "
         "AND r.doc_id = s1.doc_id WHERE r.rank < 10 "
         "ORDER BY query_id, s1.doc_id, s1.term"
@@ -861,7 +861,8 @@ def oracle_sql() -> dict[str, str]:
         "sc AS (SELECT mt.query_id, mt.term, mt.match_df, mn.match_n, df.df, "
         "(CAST(mt.match_df AS DOUBLE) * nn.n) / (CAST(mn.match_n AS DOUBLE) * df.df) AS lift "
         "FROM mt JOIN mn USING (query_id) JOIN df ON df.term = mt.term CROSS JOIN nn) "
-        "SELECT query_id, term, match_df, match_n, df, lift FROM "
+        "SELECT query_id, term, match_df, match_n, df, "
+        "CAST(round(lift * 1000000) AS BIGINT) AS lift_e6 FROM "
         "(SELECT *, row_number() OVER (PARTITION BY query_id "
         "ORDER BY lift DESC, term ASC) AS rn FROM sc) "
         "WHERE rn <= 5 ORDER BY query_id, lift DESC, term"
@@ -1321,11 +1322,13 @@ def oracle_sql() -> dict[str, str]:
             "i -> toks[i] || ' ' || toks[i + 1])) AS bgram FROM t WHERE len(toks) >= 2), "
             "bgc AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2), "
             "bmax AS (SELECT doc_id, max(c) AS maxc FROM bgc GROUP BY 1) "
+            # 1e-6-quantized BIGINT fracs: the driver's exact value-hash
+            # must not see raw float columns (dtype/ULP robustness)
             "SELECT dl.doc_id, dl.n_tokens, "
-            "CASE WHEN dl.n_tokens > 0 THEN (dl.n_tokens - coalesce(dist.nd, 0)) "
-            "/ dl.n_tokens ELSE 0.0 END AS dup_token_frac, "
-            "CASE WHEN dl.n_tokens >= 2 THEN 2.0 * coalesce(bmax.maxc, 0) / dl.n_tokens "
-            "ELSE 0.0 END AS top_bigram_frac "
+            "CAST(round((CASE WHEN dl.n_tokens > 0 THEN (dl.n_tokens - coalesce(dist.nd, 0)) "
+            "/ dl.n_tokens ELSE 0.0 END) * 1000000) AS BIGINT) AS dup_token_frac_e6, "
+            "CAST(round((CASE WHEN dl.n_tokens >= 2 THEN 2.0 * coalesce(bmax.maxc, 0) / dl.n_tokens "
+            "ELSE 0.0 END) * 1000000) AS BIGINT) AS top_bigram_frac_e6 "
             "FROM dl LEFT JOIN dist ON dist.doc_id = dl.doc_id "
             "LEFT JOIN bmax ON bmax.doc_id = dl.doc_id ORDER BY dl.doc_id"
         ),
@@ -1396,7 +1399,8 @@ def oracle_sql() -> dict[str, str]:
             "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter "
             "FROM sh a JOIN shok ON shok.s = a.s JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
             "GROUP BY 1, 2) "
-            "SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard "
+            "SELECT doc_a, doc_b, CAST(round(CAST(inter AS DOUBLE) / "
+            "(sa.sz + sb.sz - inter) * 1000000) AS BIGINT) AS jaccard_e6 "
             "FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2 ORDER BY doc_a, doc_b"
         ),
@@ -1590,8 +1594,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN documents d ON d.doc_id = m.doc_id GROUP BY 1, 2 ORDER BY 1, 2",
             f", dl AS (SELECT doc_id, len({toks}) AS dl FROM documents) "
             "SELECT m.query_id, count(*) AS n_docs, "
-            "quantile_cont(dl.dl, 0.25) AS p25, quantile_cont(dl.dl, 0.5) AS p50, "
-            "quantile_cont(dl.dl, 0.75) AS p75 "
+            "CAST(round(quantile_cont(dl.dl, 0.25) * 1000000) AS BIGINT) AS p25_e6, "
+            "CAST(round(quantile_cont(dl.dl, 0.5) * 1000000) AS BIGINT) AS p50_e6, "
+            "CAST(round(quantile_cont(dl.dl, 0.75) * 1000000) AS BIGINT) AS p75_e6 "
             "FROM matches m JOIN dl ON dl.doc_id = m.doc_id "
             "GROUP BY 1 ORDER BY 1",
         ),
@@ -1608,7 +1613,7 @@ def oracle_sql() -> dict[str, str]:
             f", dl AS (SELECT doc_id, len({toks}) AS dl FROM documents) "
             "SELECT m.query_id, count(*) AS n_docs, min(dl.dl) AS dl_min, "
             "max(dl.dl) AS dl_max, CAST(sum(dl.dl) AS BIGINT) AS dl_sum, "
-            "CAST(sum(dl.dl) AS DOUBLE) / count(*) AS dl_avg "
+            "CAST(round(CAST(sum(dl.dl) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS dl_avg_e6 "
             "FROM matches m JOIN dl ON dl.doc_id = m.doc_id "
             "GROUP BY 1 ORDER BY 1",
         ),

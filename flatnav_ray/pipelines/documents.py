@@ -49,6 +49,17 @@ def _q6(x: np.ndarray) -> np.ndarray:
     return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
 
 
+def _q6_col(t: pa.Table, *cols: str) -> pa.Table:
+    """Replace float64 column(s) with their 1e-6-quantized BIGINT form,
+    renamed `<col>_e6` — applied at the DRIVER-ENTRY surface only; the
+    underlying library operators keep returning real floats."""
+    for col in cols:
+        i = t.schema.get_field_index(col)
+        v = np.asarray(t.column(col).to_numpy(zero_copy_only=False), dtype=np.float64)
+        t = t.set_column(i, col + "_e6", pa.array(_q6(v), type=pa.int64()))
+    return t
+
+
 # ---------- token / term statistics (SQL-checkable) ----------
 
 def doc_token_stats(sf_dir: str) -> pa.Table:
@@ -163,9 +174,10 @@ def jaccard_pairs(
     applies the identical shingle-df filter."""
     from ..stages.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
+    out = ngram_jaccard_pairs(
         _docs(sf_dir), n=n, threshold=threshold, max_shingle_df=max_shingle_df
     )
+    return _q6_col(out, "jaccard")
 
 
 def minhash_clusters(sf_dir: str) -> pa.Table:
@@ -662,9 +674,10 @@ def doc_repetition(sf_dir: str) -> pa.Table:
 
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     out = _concat(ds.map_batches(repetition_stats, batch_format="pyarrow"))
-    return out.select(
+    out = out.select(
         ["doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac"]
     ).sort_by("doc_id")
+    return _q6_col(out, "dup_token_frac", "top_bigram_frac")
 
 
 def top_docs_per_lang(sf_dir: str, k: int = 3) -> pa.Table:
@@ -1519,7 +1532,7 @@ def bm25_explain(sf_dir: str, k: int = 10) -> pa.Table:
             ),
         }
     )
-    return explain_to_table(ix, multi, QueryConfig(k=k))
+    return _q6_col(explain_to_table(ix, multi, QueryConfig(k=k)), "contribution")
 
 
 def bm25_topk_and(sf_dir: str, k: int = 10) -> pa.Table:
@@ -1849,7 +1862,7 @@ def bm25_match_stats(sf_dir: str) -> pa.Table:
     from .query import match_stats
 
     ix = build_documents_index(sf_dir)
-    return match_stats(ix, _multi_term_queries(ix))
+    return _q6_col(match_stats(ix, _multi_term_queries(ix)), "dl_avg")
 
 
 def bm25_significant_terms(sf_dir: str, top_n: int = 5) -> pa.Table:
@@ -1860,7 +1873,7 @@ def bm25_significant_terms(sf_dir: str, top_n: int = 5) -> pa.Table:
     from .query import significant_terms
 
     ix = build_documents_index(sf_dir)
-    return significant_terms(ix, _multi_term_queries(ix), top_n=top_n)
+    return _q6_col(significant_terms(ix, _multi_term_queries(ix), top_n=top_n), "lift")
 
 
 def suggest_spell(sf_dir: str, n_queries: int = 10) -> pa.Table:
@@ -1990,7 +2003,7 @@ def bm25_len_percentiles(sf_dir: str) -> pa.Table:
     from .query import match_percentiles
 
     ix = build_documents_index(sf_dir)
-    return match_percentiles(ix, _multi_term_queries(ix))
+    return _q6_col(match_percentiles(ix, _multi_term_queries(ix)), "p25", "p50", "p75")
 
 
 def bm25_cardinality(sf_dir: str) -> pa.Table:
