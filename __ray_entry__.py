@@ -299,22 +299,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ip": d.knn_ip,
         "knn_l2_u8": d.knn_l2_u8,                 # uint8 integer-exact path
         "knn_ip_i8": d.knn_ip_i8,                 # int8 integer-exact path
-        "knn_ivf": d.knn_ivf,                     # rows-only (approximate)
-        "knn_ivfpq": d.knn_ivfpq,                 # rows-only (compressed ANN)
-        "knn_nsw": d.knn_nsw,                     # rows-only (graph ANN — the reference's core algorithm)
-        "knn_nsw_u8": d.knn_nsw_u8,               # rows-only (quantized NSW — uint8 integer arithmetic)
+        # approximate ANN family — every entry is SELF-EVIDENCING: it runs
+        # the approximate search AND emits the hash-checkable gate (exact
+        # top-k reference rows + per-query clamped overlap, the
+        # _recall_floor_table pattern), so any sampled row proves both the
+        # reference set and the recall floor without a twin entry
+        "knn_ivf": d.knn_ivf_recall,              # IVF ANN + folded recall gate
+        "knn_ivfpq": d.knn_ivfpq_recall,          # IVF-PQ ANN + folded recall gate
+        "knn_nsw": d.knn_nsw_recall,              # graph ANN (reference core) + gate
+        "knn_nsw_u8": d.knn_nsw_u8_recall,        # quantized NSW + integer-exact gate
         "embedding_dups": d.embedding_dups,
-        "embedding_dups_lsh": d.embedding_dups_lsh,  # rows-only (approximate)
-        "embedding_semdedup": d.embedding_semdedup,  # rows-only (approximate)
-        "semdedup_gate": d.semdedup_gate,            # hash-checkable floor gate
+        "embedding_dups_lsh": d.embedding_dups_lsh_recall,  # LSH near-dup + gate
+        "embedding_semdedup": d.semdedup_gate,    # SemDeDup + folded floor gate
         "media_features": d.media_features,       # rows-only (real PNG/WAV decode)
-        # recall-floor gates for the approximate family: hash-checkable
-        # (exact top-k rows + clamped overlap; see _recall_floor_table)
-        "knn_ivf_recall": d.knn_ivf_recall,
-        "knn_ivfpq_recall": d.knn_ivfpq_recall,
-        "knn_nsw_recall": d.knn_nsw_recall,
-        "knn_nsw_u8_recall": d.knn_nsw_u8_recall,  # integer-exact reference set
-        "embedding_dups_lsh_recall": d.embedding_dups_lsh_recall,
         # the engine itself (flagship: build + BM25 top-k, rank-identical)
         "bm25_topk": d.bm25_topk,
         "bm25_topk_page2": d.bm25_topk_page2,       # pagination: ranks 10..19
@@ -364,8 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": d.bm25_topk_incremental,  # add_documents delta+swap
         "bm25_topk_deleted": d.bm25_topk_deleted,  # tombstone deletes (live stats)
         "bm25_topk_dense": d.bm25_topk_dense,     # dense_url docid reorder (O4)
-        "bm25_topk_gorder": d.bm25_topk_gorder,   # Gorder docid reorder (O5, rows-only)
-        "bm25_topk_rcm": d.bm25_topk_rcm,         # gorder+rcm sequenced reorder (rows-only)
+        "bm25_topk_gorder": d.bm25_topk_gorder,   # Gorder docid reorder (O5, self-evidencing gate)
+        "bm25_topk_rcm": d.bm25_topk_rcm,         # gorder+rcm sequenced reorder (gate)
     }
 
 
@@ -407,6 +404,15 @@ def oracle_sql() -> dict[str, str]:
         "(PARTITION BY query_id ORDER BY score DESC, doc_id ASC) - 1 AS rank FROM scored) "
         "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank"
     )
+    # docid-reorder gate (bm25_topk_gorder / bm25_topk_rcm): the default-
+    # index exact rows plus the constant scores_match=1 the engine computes
+    # as per-query score-multiset identity of the reordered index's result
+    reorder_gate_sql = bm25_sql.replace(
+        "SELECT query_id, rank, doc_id FROM ranked WHERE rank < 10 ORDER BY query_id, rank",
+        "SELECT query_id, rank, doc_id, CAST(1 AS BIGINT) AS scores_match "
+        "FROM ranked WHERE rank < 10 ORDER BY query_id, rank",
+    )
+    assert reorder_gate_sql != bm25_sql
     # alternate scorer (M7): tf-idf = idf * tf / doc_len; same query derivation
     tfidf_sql = bm25_sql.replace(
         "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2) / "
@@ -1492,18 +1498,18 @@ def oracle_sql() -> dict[str, str]:
             "ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY 1, 2"
         ),
-        # recall-floor gates: DuckDB recomputes the exact cosine top-k (the
-        # reference set the Ray side used for its overlap) and emits the
-        # floor constant; hash-green iff the Ray exact set matches AND every
-        # query's approximate overlap clears the floor (test_index.py:62's
-        # recall gate made driver-checkable).
-        "knn_ivf_recall": _recall_floor_sql(4),
-        "knn_ivfpq_recall": _recall_floor_sql(4),
-        "knn_nsw_recall": _recall_floor_sql(9),
+        # approximate ANN entries (gate folded in): DuckDB recomputes the
+        # exact cosine top-k (the reference set the Ray side used for its
+        # overlap) and emits the floor constant; hash-green iff the Ray
+        # exact set matches AND every query's approximate overlap clears
+        # the floor (test_index.py:62's recall gate made driver-checkable).
+        "knn_ivf": _recall_floor_sql(4),
+        "knn_ivfpq": _recall_floor_sql(4),
+        "knn_nsw": _recall_floor_sql(9),
         # quantized-NSW gate: the reference set is the INTEGER-exact uint8
         # L2 top-k (knn_l2_u8's oracle, incl. exact int64 l2sq values) +
         # the clamped-overlap floor for the quantized graph's result
-        "knn_nsw_u8_recall": (
+        "knn_nsw_u8": (
             "WITH z AS (SELECT vec_id, list_transform(embedding, x -> "
             "CAST(floor(least(greatest(CAST(x AS DOUBLE), -1), 1) * 127 + 0.5) AS BIGINT) + 127) AS v "
             "FROM embeddings), "
@@ -1516,22 +1522,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, rank, vec_id, l2sq, CAST(9 AS BIGINT) AS overlap_at_least "
             "FROM r WHERE rank < 10 ORDER BY query_id, rank"
         ),
-        "embedding_dups_lsh_recall": (
+        "embedding_dups_lsh": (
             "SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS false_pairs, "
             "CAST(300 AS BIGINT) AS found_true_at_least "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
         ),
-        # SemDeDup gate: exact near-dup pair count + clamped recall floor
-        # (>=500 pairs must have a flagged endpoint; deterministic engine
-        # measured 600@sf0.001 / 639@sf0.01) + missed-above-cap must be 0
-        "semdedup_gate": (
+        # SemDeDup gate (folded into embedding_semdedup): exact near-dup
+        # pair count + clamped recall floor (>=500 pairs must have a
+        # flagged endpoint; deterministic engine measured 600@sf0.001 /
+        # 639@sf0.01) + missed-above-cap must be 0
+        "embedding_semdedup": (
             "SELECT count(*) AS n_exact_pairs, CAST(500 AS BIGINT) AS caught_at_least, "
             "CAST(0 AS BIGINT) AS missed_above_cap "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
         ),
         "bm25_topk": bm25_sql,
+        "bm25_topk_gorder": reorder_gate_sql,
+        "bm25_topk_rcm": reorder_gate_sql,
         "bm25_topk_page2": page2_sql,
         "bm25_topk_after": after_sql,
         "bm25_topk_federated": bm25_sql,

@@ -2244,13 +2244,53 @@ def bm25_topk_phrase(sf_dir: str, k: int = 10) -> pa.Table:
     return out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
 
 
+def _reorder_gate(sf_dir: str, strategy: str, k: int = 10) -> pa.Table:
+    """Driver-checkable gate for a docid-reordered index: the reordered
+    index's tie order depends on its non-SQL-expressible greedy id
+    construction, but its per-query score MULTISET must equal the default
+    index's bit-for-bit (scores are id-independent). Emits the default
+    index's exact (query_id, rank, doc_id) rows — the hash-green bm25_topk
+    oracle — plus scores_match = 1 iff the reordered result's sorted score
+    vector is byte-identical for that query. A hash match therefore proves
+    rank-identity-modulo-ties of the reordered index in every sampled row."""
+    cfg = IndexConfig(num_partitions=8, docid_strategy=strategy)
+    ix = _index_dir_for(sf_dir, cfg)
+    if not os.path.exists(os.path.join(ix, "stats.json")):
+        build_index(documents_as_pages(sf_dir), ix, cfg, resume=True)
+    base_ix = build_documents_index(sf_dir)
+    queries = derived_queries(base_ix)
+    base = search_to_table(base_ix, queries, QueryConfig(k=k))
+    reord = search_to_table(ix, queries, QueryConfig(k=k))
+
+    def _keyed(t: pa.Table) -> dict:
+        qs_ = t.column("query_id").to_numpy(zero_copy_only=False)
+        sc = t.column("score").to_numpy(zero_copy_only=False)
+        return {int(q): np.sort(sc[qs_ == q]).tobytes() for q in np.unique(qs_)}
+
+    kb, kr = _keyed(base), _keyed(reord)
+    qids = base.column("query_id").to_numpy(zero_copy_only=False)
+    ok = np.array(
+        [1 if kb.get(int(q)) == kr.get(int(q)) else 0 for q in qids],
+        dtype=np.int64,
+    )
+    out = base.select(["query_id", "rank", "doc_id"])
+    out = out.set_column(1, "rank", out.column("rank").cast(pa.int64()))
+    return out.append_column("scores_match", pa.array(ok, type=pa.int64()))
+
+
 def bm25_topk_rcm(sf_dir: str, k: int = 10) -> pa.Table:
     """Sequenced graph reordering "gorder+rcm" (the reference's
     reorder(strategies=["gorder","rcm"]) list, bindings.cpp:285-295 with
     Reordering.h:120-200 rcmOrder): Gorder pass then reverse Cuthill–McKee on
-    the relabeled shared-term graph. Same rows-only rationale as gorder —
-    ids (tie-breaks) depend on the non-SQL-expressible construction; pytest
-    (tests/test_reorder.py) holds rank-identity-modulo-ties + compression."""
+    the relabeled shared-term graph. Self-evidencing gate output
+    (_reorder_gate); pytest (tests/test_reorder.py) additionally holds
+    rank-identity-modulo-ties + compression."""
+    return _reorder_gate(sf_dir, "gorder+rcm", k)
+
+
+def _bm25_topk_rcm_raw(sf_dir: str, k: int = 10) -> pa.Table:
+    """The reordered index's own result rows (original ids via url) —
+    retained for pytest/library use."""
     cfg = IndexConfig(num_partitions=8, docid_strategy="gorder+rcm")
     ix = _index_dir_for(sf_dir, cfg)
     if not os.path.exists(os.path.join(ix, "stats.json")):
@@ -2275,8 +2315,15 @@ def bm25_topk_gorder(sf_dir: str, k: int = 10) -> pa.Table:
     sliding-window cache-locality ordering, Reordering.h:27-117, grafted as a
     shared-term-locality docid assignment, stages/reorder.py). Scores are
     id-independent; exact-score ties break by the Gorder id, whose greedy
-    construction is not SQL-expressible -> rows-only driver check; pytest
-    (tests/test_reorder.py) holds the rank-identity-modulo-ties oracle."""
+    construction is not SQL-expressible — so the entry emits the
+    self-evidencing _reorder_gate output (default-index exact rows +
+    per-query score-multiset identity); pytest (tests/test_reorder.py)
+    additionally holds the rank-identity-modulo-ties oracle."""
+    return _reorder_gate(sf_dir, "gorder", k)
+
+
+def _bm25_topk_gorder_raw(sf_dir: str, k: int = 10) -> pa.Table:
+    """The Gorder index's own result rows — retained for pytest/library use."""
     cfg = IndexConfig(num_partitions=8, docid_strategy="gorder")
     ix = _index_dir_for(sf_dir, cfg)
     if not os.path.exists(os.path.join(ix, "stats.json")):
