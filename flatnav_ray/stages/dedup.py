@@ -818,6 +818,11 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+# semdedup greedy-scan chunk width (patchable in tests to force the
+# multi-chunk code path on small clusters)
+_SEMDEDUP_CHUNK = 512
+
+
 def semdedup(
     ds: ray.data.Dataset,
     id_col: str = "vec_id",
@@ -839,9 +844,10 @@ def semdedup(
     assignment is a streaming map_batches against broadcast centroids, and
     the quadratic verify runs per CLUSTER via groupby(centroid).map_groups
     — the corpus is never all-pairs'd; n_clusters scales so cluster sizes
-    stay bounded (the paper uses ~100k clusters). The greedy scan is a
-    per-cluster Python loop of vectorized row ops — inherently sequential
-    (each decision depends on which earlier members survived).
+    stay bounded (the paper uses ~100k clusters). The greedy scan is
+    chunked: one chunk x kept-prefix matmul settles every prefix-shadowed
+    member vectorized; only the residual in-chunk dependencies run the
+    short sequential loop (identical keep-first semantics, see _flag).
 
     Returns (vec_id, centroid, keep, dup_of) — dup_of = the kept member
     that shadowed this one, -1 for kept rows."""
@@ -863,12 +869,36 @@ def semdedup(
         keep = np.ones(n, dtype=bool)
         dup_of = np.full(n, -1, dtype=np.int64)
         if n > 1:
-            sims = m @ m.T
-            for j in range(1, n):
-                hit = np.nonzero(keep[:j] & (sims[j, :j] >= tau))[0]
-                if hit.size:
-                    keep[j] = False
-                    dup_of[j] = ids[hit[0]]
+            # chunked keep-first greedy, identical semantics to the naive
+            # sequential scan: a chunk member's first kept hit is either in
+            # the KEPT PREFIX (all indices < chunk start — one vectorized
+            # chunk x prefix matmul decides every prefix-shadowed member
+            # and its first shadower at once) or, failing that, among kept
+            # EARLIER members of its own chunk (short sequential loop
+            # bounded by the chunk size). Replaces the O(n) Python loop
+            # over n x n sims with O(n/C) matmuls + O(C) inner steps.
+            chunk = _SEMDEDUP_CHUNK
+            kept_idx: list[int] = [0]
+            for s in range(1, n, chunk):
+                e = min(s + chunk, n)
+                kid = np.asarray(kept_idx, dtype=np.int64)
+                pre = (m[s:e] @ m[kid].T) >= tau
+                pre_any = pre.any(axis=1)
+                pre_first = pre.argmax(axis=1)
+                local = m[s:e] @ m[s:e].T
+                for jl in range(e - s):
+                    j = s + jl
+                    if pre_any[jl]:
+                        keep[j] = False
+                        dup_of[j] = ids[kid[pre_first[jl]]]
+                        continue
+                    lk = keep[s:j]
+                    hit = np.nonzero(lk & (local[jl, : j - s] >= tau))[0]
+                    if hit.size:
+                        keep[j] = False
+                        dup_of[j] = ids[s + hit[0]]
+                    else:
+                        kept_idx.append(j)
         return pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
@@ -900,41 +930,24 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    target_block_rows: int = 8192,
 ) -> pa.Table:
-    """Embedding-cosine near-dup pairs (doc_a < doc_b, cosine >= threshold).
+    """Embedding-cosine near-dup pairs (doc_a < doc_b, cosine >= threshold),
+    EXACT all-pairs semantics.
 
-    Batch-vs-broadcast matmul: each batch is compared against the (small)
-    normalized matrix broadcast via ray.put — at larger scales replace the
-    broadcast with LSH bucketing (random hyperplanes, see stages/knn.py)."""
+    Distributed block-pair matmul: the dataset is split into row blocks
+    that stay in the object store (to_arrow_refs — nothing corpus-sized is
+    ever materialized on the driver), then every unordered block pair
+    (i <= j) is one Ray task computing a single cross matmul and emitting
+    only its above-threshold pairs. Memory per task = two blocks; the
+    driver holds only the result pairs. Exact all-pairs compute is
+    inherently O(N^2) whatever the engine — at 100 TB use
+    embedding_near_dups_lsh (the recall-gated scale path) and keep this as
+    the oracle/verifier for bounded slices."""
     import ray
 
-    full = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
-    ids = full.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = _to_matrix(full.column(vec_col))
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.maximum(norms, 1e-12)
-    mat_ref = ray.put((ids, mat))
-
-    def _pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(mat_ref)
-        bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        bmat = _to_matrix(batch.column(vec_col))
-        bmat = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        sims = bmat @ all_mat.T
-        ai, bi = np.nonzero(sims >= threshold)
-        keep = bids[ai] < all_ids[bi]
-        return pa.table(
-            {
-                "doc_a": pa.array(bids[ai][keep], type=pa.int64()),
-                "doc_b": pa.array(all_ids[bi][keep], type=pa.int64()),
-                "cosine": pa.array(sims[ai, bi][keep], type=pa.float64()),
-            }
-        )
-
-    batches = list(
-        ds.map_batches(_pairs, batch_format="pyarrow").iter_batches(batch_format="pyarrow")
-    )
-    if not batches:
+    nrows = ds.count()
+    if nrows == 0:
         return pa.table(
             {
                 "doc_a": pa.array([], type=pa.int64()),
@@ -942,5 +955,47 @@ def embedding_near_dups(
                 "cosine": pa.array([], type=pa.float64()),
             }
         )
-    out = pa.concat_tables(batches)
+    nblocks = max(1, -(-nrows // target_block_rows))
+    refs = ds.repartition(nblocks).to_arrow_refs()
+
+    def _prep(t: pa.Table):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize_rows(_to_matrix(t.column(vec_col)))
+        return ids, m
+
+    @ray.remote(num_cpus=1)
+    def _pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a, ma = _prep(ta)
+        ids_b, mb = _prep(tb)
+        sims = ma @ mb.T
+        ai, bi = np.nonzero(sims >= threshold)
+        a, b = ids_a[ai], ids_b[bi]
+        if same:
+            k = a < b
+        else:
+            k = a != b  # distinct blocks: every cross pair, once
+        a, b, c = a[k], b[k], sims[ai, bi][k]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "doc_a": pa.array(lo, type=pa.int64()),
+                "doc_b": pa.array(hi, type=pa.int64()),
+                "cosine": pa.array(c, type=pa.float64()),
+            }
+        )
+
+    tasks = [
+        _pair_task.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    out = pa.concat_tables(ray.get(tasks))
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
     return out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])

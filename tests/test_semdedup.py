@@ -98,3 +98,39 @@ class TestSemDeDup:
         )
         assert got_keep == want_keep
         assert got_dup == want_dup
+
+
+class TestChunkedGreedyEquivalence:
+    def test_chunked_scan_equals_naive_greedy_across_chunk_boundaries(
+        self, ray_session, monkeypatch
+    ):
+        """Force tiny chunks so prefix-shadow, in-chunk-shadow and
+        chunk-boundary cases all occur; the chunked scan must reproduce the
+        naive keep-first greedy exactly (keep AND dup_of)."""
+        import ray.data
+
+        from flatnav_ray.stages import dedup as dd
+
+        monkeypatch.setattr(dd, "_SEMDEDUP_CHUNK", 7)
+        rng = np.random.default_rng(11)
+        # clusters of correlated vectors -> plenty of >= tau hits
+        base = rng.normal(size=(12, 16))
+        vecs = np.repeat(base, 10, axis=0) + rng.normal(scale=0.35, size=(120, 16))
+        tau = 0.8
+        out = dd.semdedup(
+            ray.data.from_arrow(_vec_table(vecs)), n_clusters=1, tau=tau
+        )
+        m = dd._normalize_rows(vecs.astype(np.float64))
+        kept: list[int] = []
+        want_keep, want_dup = {}, {}
+        for j in range(len(vecs)):
+            hit = next((i for i in kept if float(m[j] @ m[i]) >= tau), None)
+            if hit is None:
+                kept.append(j)
+                want_keep[j], want_dup[j] = True, -1
+            else:
+                want_keep[j], want_dup[j] = False, hit
+        got_keep = dict(zip(out.column("vec_id").to_pylist(), out.column("keep").to_pylist()))
+        got_dup = dict(zip(out.column("vec_id").to_pylist(), out.column("dup_of").to_pylist()))
+        assert got_keep == want_keep
+        assert got_dup == want_dup
