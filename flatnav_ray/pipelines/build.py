@@ -221,11 +221,17 @@ def build_index(
                     if not os.path.isdir(d):
                         continue
                     # meta files only — the commit markers of completed
-                    # spill pairs; consolidate derives the post- paths
+                    # spill pairs; consolidate derives the post- paths.
+                    # meta-cons- pairs (prior fold outputs) never re-enter
+                    # a snapshot: re-folding the ever-growing consolidated
+                    # run each round is O(N^2) posting I/O; the final merge
+                    # k-ways raw and cons pairs alike.
                     fs = sorted(
                         os.path.join(d, f)
                         for f in os.listdir(d)
-                        if f.startswith("meta-") and f.endswith(".arrows")
+                        if f.startswith("meta-")
+                        and not f.startswith("meta-cons-")
+                        and f.endswith(".arrows")
                     )
                     if len(fs) >= min_run:
                         inflight[cons_remote.remote(p, spill_dir, fs)] = p

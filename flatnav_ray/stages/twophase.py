@@ -299,18 +299,25 @@ def map_partial_spill(
     return pa.table({"partition": pa.array(out, type=pa.int32())})
 
 
-def _write_spill_pair(d: str, row: pa.Table) -> None:
+def _write_spill_pair(d: str, row: pa.Table, consolidated: bool = False) -> None:
     """Write one partial row as its post-<uid>/meta-<uid> pair (atomic
     tmp+rename each). This helper OWNS the crash-safety ordering invariant:
     the post file lands first, the meta file second — a meta file's
     presence is the commit marker the streaming merge keys on, so a crash
-    can only ever leave an orphan post file, which is never read."""
+    can only ever leave an orphan post file, which is never read.
+
+    consolidated=True names the pair meta-cons-<uid>/post-cons-<uid>: the
+    final merge reads it like any pair (it derives the post path from the
+    meta prefix), but the map-phase consolidation snapshot EXCLUDES the
+    cons- prefix — without it, each fold re-entered every later snapshot
+    and the ever-growing consolidated run was re-read and re-written each
+    round (O(N^2) posting I/O over a long map phase)."""
     import uuid
 
     import pyarrow.ipc as ipc
 
     opts = ipc.IpcWriteOptions(compression="lz4")
-    uid = uuid.uuid4().hex
+    uid = ("cons-" if consolidated else "") + uuid.uuid4().hex
     for name, tbl in (
         (f"post-{uid}.arrows", row.select(["partition", *_POST_COLS])),
         (f"meta-{uid}.arrows", row.drop_columns(list(_POST_COLS))),
@@ -566,7 +573,9 @@ def consolidate_spilled_runs(partition: int, spill_dir: str, files: list[str]) -
     out = combine_partials(grp)
     if out is None:  # unpackable widths: leave the originals for the merge
         return -1
-    _write_spill_pair(os.path.join(spill_dir, f"part={partition:05d}"), out)
+    _write_spill_pair(
+        os.path.join(spill_dir, f"part={partition:05d}"), out, consolidated=True
+    )
     for f in metas:
         os.remove(f)
     for f in posts:

@@ -131,6 +131,15 @@ class TestConsolidateFiles:
             assert len(left) == 2  # one consolidated meta+post pair
             assert left[0].startswith("meta-") and left[1].startswith("post-")
             assert left[0][len("meta-"):] == left[1][len("post-"):]
+            # fold outputs carry the cons- prefix so the map-phase snapshot
+            # filter (pipelines/build.py _kick) never re-folds them —
+            # re-reading the growing consolidated run each round is O(N^2)
+            assert left[0].startswith("meta-cons-")
+            snapshot = [
+                f for f in left
+                if f.startswith("meta-") and not f.startswith("meta-cons-")
+            ]
+            assert snapshot == []
             # returned posting count must match the width the tfs were
             # actually packed with (regression: a /4 divisor halved the
             # count for uint16 runs and returned 0 for 1-posting runs)
