@@ -136,6 +136,7 @@ def make_query_plan(
     expansions: dict[str, set[str]] | None = None,
     synonyms: dict[str, tuple[str, ...]] | None = None,
     boosts: dict[str, float] | None = None,
+    pre_tokens: list[list[str]] | None = None,
 ) -> QueryPlan:
     """Tokenize the query table (same analyzer as build — SURVEY.md M5) and
     pre-compute idf. Terms within a query are sorted lexicographically: the
@@ -179,7 +180,10 @@ def make_query_plan(
     qseqs: list[list[str]] = []
     distinct: set[str] = set()
     for i, t in enumerate(texts):
-        toks = tokenize_py(t)
+        # pre_tokens: the session already tokenized every text once to
+        # collect df-lookup terms — reuse instead of re-running the
+        # analyzer over the whole batch on the serial driver path
+        toks = pre_tokens[i] if pre_tokens is not None else tokenize_py(t)
         counts: dict[str, int] = {}
         if qgroups is not None:
             # each token expands to one GROUP {token} | synonyms[token];
@@ -2120,17 +2124,23 @@ def merge_topk_table(partials: pa.Table, k: int) -> pa.Table:
     """Vectorized driver-side merge of ALL queries' partials at once:
     lexsort (query_id, -score, doc_id) then per-group head-k. Used when the
     partial set is small (k × partitions × queries); the distributed
-    groupby(query_id) path handles the rest."""
+    groupby(query_id) path handles the rest.
+
+    The url column is OPTIONAL: the packed serving path (search_packed)
+    ships partials without urls — 8 B x 3 columns per row instead of the
+    ~80 B/row the string column made them — and the session resolves urls
+    for the final winners only (lookup_urls)."""
+    has_url = "url" in partials.column_names
     if len(partials) == 0:
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "rank": pa.array([], type=pa.int32()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "url": pa.array([], type=pa.string()),
-                "score": pa.array([], type=pa.float64()),
-            }
-        )
+        cols = {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int32()),
+            "doc_id": pa.array([], type=pa.int64()),
+        }
+        if has_url:
+            cols["url"] = pa.array([], type=pa.string())
+        cols["score"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
     qid = partials.column("query_id").to_numpy(zero_copy_only=False)
     score = partials.column("score").to_numpy(zero_copy_only=False)
     doc = partials.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2141,15 +2151,15 @@ def merge_topk_table(partials: pa.Table, k: int) -> pa.Table:
     rank = np.arange(qs.size) - grp_start
     keep = rank < k
     sel = order[keep]
-    return pa.table(
-        {
-            "query_id": pa.array(qid[sel], type=pa.int64()),
-            "rank": pa.array(rank[keep].astype(np.int32), type=pa.int32()),
-            "doc_id": pa.array(doc[sel], type=pa.int64()),
-            "url": partials.column("url").take(pa.array(sel)),
-            "score": pa.array(score[sel], type=pa.float64()),
-        }
-    )
+    cols = {
+        "query_id": pa.array(qid[sel], type=pa.int64()),
+        "rank": pa.array(rank[keep].astype(np.int32), type=pa.int32()),
+        "doc_id": pa.array(doc[sel], type=pa.int64()),
+    }
+    if has_url:
+        cols["url"] = partials.column("url").take(pa.array(sel))
+    cols["score"] = pa.array(score[sel], type=pa.float64())
+    return pa.table(cols)
 
 
 def _expand_dedup_results(
@@ -2198,21 +2208,22 @@ def _merge_partial_range(refs, lo, hi, k: int) -> pa.Table:
         if len(ft):
             kept.append(ft)
     if not kept:
-        return pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                "rank": pa.array([], type=pa.int32()),
-                "doc_id": pa.array([], type=pa.int64()),
-                "url": pa.array([], type=pa.string()),
-                "score": pa.array([], type=pa.float64()),
-            }
-        )
+        return None
     return merge_topk_table(pa.concat_tables(kept), k)
 
 
 # partial-row count above which SearchSession fans the final merge out to
 # raw Ray tasks instead of a driver-side lexsort
 _MERGE_FANOUT_ROWS = 200_000
+
+# empty packed-partial table (the urlless serving shuffle schema)
+_EMPTY_PACKED_PARTIALS = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "doc_id": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+    }
+)
 
 
 def _shard_actor_cls():
@@ -2282,6 +2293,53 @@ def _shard_actor_cls():
                 )
                 for st in self.states.values()
             ]
+            return pa.concat_tables(outs) if outs else None
+
+        def search_packed(self, plan: QueryPlan, scorer_name: str, method: str,
+                          approx_factor: float = 1.0, msm: int = 0,
+                          slop: int = 0, flt: str | None = None,
+                          sort_by: str | None = None,
+                          flt_len: tuple[int | None, int | None] | None = None,
+                          k: int = 10) -> pa.Table | None:
+            """search(), packed for the serving shuffle: drops the url and
+            per-query stats columns (~80 B/row -> 24 B/row of fixed-width
+            arrays) and pre-merges this ACTOR's partitions to top-k per
+            query, so an actor owning P/N partitions ships one bounded
+            partial instead of P/N. Urls resolve post-merge for the final
+            winners only (lookup_urls) — the k x P x Q string traffic was
+            the serving shuffle's dominant byte cost."""
+            t = self.search(plan, scorer_name, method, approx_factor, msm,
+                            slop, flt, sort_by, flt_len)
+            if t is None or len(t) == 0:
+                return None
+            t = t.select(["query_id", "doc_id", "score"])
+            if len(self.states) > 1:
+                m = merge_topk_table(t, k)
+                t = m.select(["query_id", "doc_id", "score"])
+            return t
+
+        def lookup_urls(self, doc_ids: np.ndarray) -> pa.Table | None:
+            """Resolve urls for the doc_ids this actor owns (co-resident
+            docmap, SURVEY.md J1). Ids owned by other actors are ignored;
+            in a generation stack any generation's copy resolves the same
+            url (doc_id <-> url is 1:1 by construction)."""
+            ids = np.asarray(doc_ids, dtype=np.int64)
+            outs = []
+            for st in self.states.values():
+                dm = st.docmap_ids
+                if dm.size == 0:
+                    continue
+                pos = np.clip(np.searchsorted(dm, ids), 0, dm.size - 1)
+                hit = dm[pos] == ids
+                if hit.any():
+                    outs.append(
+                        pa.table(
+                            {
+                                "doc_id": pa.array(ids[hit], type=pa.int64()),
+                                "url": st.docmap_urls.take(pa.array(pos[hit])),
+                            }
+                        )
+                    )
             return pa.concat_tables(outs) if outs else None
 
     return ShardActor
@@ -2407,8 +2465,9 @@ class SearchSession:
             ]
             return pa.concat_tables(parts)
         text_terms: set[str] = set()
-        for t in queries.column("text").to_pylist():
-            text_terms.update(tokenize_py(t))
+        toks_per_query = [tokenize_py(t) for t in queries.column("text").to_pylist()]
+        for toks in toks_per_query:
+            text_terms.update(toks)
         distinct = set(text_terms)
         if has_neg:  # negation terms need their true df in the plan too
             for t in queries.column("neg_text").to_pylist():
@@ -2458,6 +2517,7 @@ class SearchSession:
         plan = make_query_plan(
             queries, term_df, self._n_docs, self._avgdl, query_cfg.k,
             expansions=expansions, synonyms=syn, boosts=boosts,
+            pre_tokens=toks_per_query,
         )
         if getattr(SCORERS[query_cfg.scorer], "needs_cf", False):
             import dataclasses
@@ -2483,7 +2543,7 @@ class SearchSession:
             )
         plan_ref = ray.put(plan)
         futs = [
-            a.search.remote(
+            a.search_packed.remote(
                 plan_ref, query_cfg.scorer, query_cfg.method,
                 getattr(query_cfg, "approx_factor", 1.0),
                 getattr(query_cfg, "min_should_match", 0),
@@ -2491,6 +2551,7 @@ class SearchSession:
                 getattr(query_cfg, "filter_lang", None),
                 getattr(query_cfg, "sort_by", None),
                 _len_bounds(query_cfg),
+                query_cfg.k,
             )
             for a in self.actors
         ]
@@ -2506,36 +2567,82 @@ class SearchSession:
             # dedupe cut points (repeated qids) while keeping coverage
             bounds = sorted(set(cuts))
             task = ray.remote(num_cpus=1)(_merge_partial_range)
-            outs = ray.get(
-                [
-                    task.remote(
-                        futs, bounds[i],
-                        bounds[i + 1] if i + 1 < len(bounds) else None, query_cfg.k,
-                    )
-                    for i in range(len(bounds))
-                ]
+            outs = [
+                t for t in ray.get(
+                    [
+                        task.remote(
+                            futs, bounds[i],
+                            bounds[i + 1] if i + 1 < len(bounds) else None,
+                            query_cfg.k,
+                        )
+                        for i in range(len(bounds))
+                    ]
+                )
+                if t is not None
+            ]
+            merged = (
+                pa.concat_tables(outs) if outs
+                else merge_topk_table(_EMPTY_PACKED_PARTIALS, query_cfg.k)
             )
-            merged = pa.concat_tables(outs)
-            return merged.take(
-                pc.sort_indices(merged, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
-            )
-        parts = [t for t in ray.get(futs) if t is not None and len(t)]
-        if not parts:
-            return merge_topk_table(
-                pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int64()),
-                        "doc_id": pa.array([], type=pa.int64()),
-                        "url": pa.array([], type=pa.string()),
-                        "score": pa.array([], type=pa.float64()),
-                    }
-                ),
+        else:
+            parts = [t for t in ray.get(futs) if t is not None and len(t)]
+            merged = merge_topk_table(
+                pa.concat_tables(parts) if parts else _EMPTY_PACKED_PARTIALS,
                 query_cfg.k,
             )
-        merged = merge_topk_table(pa.concat_tables(parts), query_cfg.k)
+        merged = self._attach_urls(merged)
         return merged.take(
             pc.sort_indices(merged, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
         )
+
+    def _attach_urls(self, merged: pa.Table) -> pa.Table:
+        """Resolve the winners' urls from the shard actors' co-resident
+        docmaps (one bounded broadcast of the distinct winner ids; each
+        actor answers only for ids it owns). The packed serving shuffle
+        ships no strings — this is the only url traffic, O(final winners)
+        instead of O(k x partitions x queries)."""
+        import ray
+
+        doc = merged.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq = np.unique(doc)
+        urls: pa.Array | pa.ChunkedArray
+        if uniq.size:
+            ids_ref = ray.put(uniq)
+            tabs = [
+                t
+                for t in ray.get([a.lookup_urls.remote(ids_ref) for a in self.actors])
+                if t is not None and len(t)
+            ]
+        else:
+            tabs = []
+        if tabs:
+            # vectorized join: sort the (id, url) catalog once, dedupe ids
+            # (a generation stack can answer the same id from two states),
+            # then one searchsorted resolves every output row — no Python
+            # dict/listcomp over k x Q rows on the serial driver path
+            cat = pa.concat_tables(tabs)
+            ids = cat.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            ids_s = ids[order]
+            first = np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+            ids_u, pos_u = ids_s[first], order[first]
+            loc = np.clip(np.searchsorted(ids_u, doc), 0, max(ids_u.size - 1, 0))
+            found = ids_u[loc] == doc
+            take = pos_u[loc].astype(np.int64)
+            url_col = cat.column("url").combine_chunks()
+            urls = url_col.take(
+                pa.array(take, type=pa.int64(), mask=~found)
+            )
+        else:
+            urls = pa.array([None] * len(merged), type=pa.string())
+        out = {
+            "query_id": merged.column("query_id"),
+            "rank": merged.column("rank"),
+            "doc_id": merged.column("doc_id"),
+            "url": urls,
+            "score": merged.column("score"),
+        }
+        return pa.table(out)
 
     def shutdown(self) -> None:
         import ray
