@@ -2216,6 +2216,11 @@ def _merge_partial_range(refs, lo, hi, k: int) -> pa.Table:
 # raw Ray tasks instead of a driver-side lexsort
 _MERGE_FANOUT_ROWS = 200_000
 
+# query-batch size (rows = queries x k) at or below which shard actors keep
+# urls inline in their partials — the extra winner-url round trip would
+# dominate single-query latency; above it the packed urlless shuffle wins
+_INLINE_URL_ROWS = 4096
+
 # empty packed-partial table (the urlless serving shuffle schema)
 _EMPTY_PACKED_PARTIALS = pa.table(
     {
@@ -2300,22 +2305,26 @@ def _shard_actor_cls():
                           slop: int = 0, flt: str | None = None,
                           sort_by: str | None = None,
                           flt_len: tuple[int | None, int | None] | None = None,
-                          k: int = 10) -> pa.Table | None:
+                          k: int = 10, with_urls: bool = False) -> pa.Table | None:
             """search(), packed for the serving shuffle: drops the url and
             per-query stats columns (~80 B/row -> 24 B/row of fixed-width
             arrays) and pre-merges this ACTOR's partitions to top-k per
             query, so an actor owning P/N partitions ships one bounded
-            partial instead of P/N. Urls resolve post-merge for the final
-            winners only (lookup_urls) — the k x P x Q string traffic was
-            the serving shuffle's dominant byte cost."""
+            partial instead of P/N. For LARGE batches urls resolve
+            post-merge for the final winners only (lookup_urls) — the
+            k x P x Q string traffic was the serving shuffle's dominant
+            byte cost; for SMALL batches (with_urls=True) the partial keeps
+            its url column so the session skips the extra lookup round trip
+            that would dominate single-query latency."""
             t = self.search(plan, scorer_name, method, approx_factor, msm,
                             slop, flt, sort_by, flt_len)
             if t is None or len(t) == 0:
                 return None
-            t = t.select(["query_id", "doc_id", "score"])
+            cols = ["query_id", "doc_id", "url", "score"] if with_urls else [
+                "query_id", "doc_id", "score"]
+            t = t.select(cols)
             if len(self.states) > 1:
-                m = merge_topk_table(t, k)
-                t = m.select(["query_id", "doc_id", "score"])
+                t = merge_topk_table(t, k).select(cols)
             return t
 
         def lookup_urls(self, doc_ids: np.ndarray) -> pa.Table | None:
@@ -2542,6 +2551,10 @@ class SearchSession:
                 total_len=int(st["sum_doc_len"]),
             )
         plan_ref = ray.put(plan)
+        # small batches keep urls inline (one fewer actor round trip — it
+        # would dominate single-query latency); large batches ship packed
+        # urlless partials and resolve winner urls post-merge
+        inline_urls = len(queries) * query_cfg.k <= _INLINE_URL_ROWS
         futs = [
             a.search_packed.remote(
                 plan_ref, query_cfg.scorer, query_cfg.method,
@@ -2552,6 +2565,7 @@ class SearchSession:
                 getattr(query_cfg, "sort_by", None),
                 _len_bounds(query_cfg),
                 query_cfg.k,
+                inline_urls,
             )
             for a in self.actors
         ]
@@ -2590,7 +2604,10 @@ class SearchSession:
                 pa.concat_tables(parts) if parts else _EMPTY_PACKED_PARTIALS,
                 query_cfg.k,
             )
-        merged = self._attach_urls(merged)
+        if "url" not in merged.column_names:
+            merged = self._attach_urls(merged)
+        else:  # inline-url path: column order must match the packed path
+            merged = merged.select(["query_id", "rank", "doc_id", "url", "score"])
         return merged.take(
             pc.sort_indices(merged, sort_keys=[("query_id", "ascending"), ("rank", "ascending")])
         )
