@@ -156,6 +156,24 @@ class TestRankIdentity:
             sess.shutdown()
         assert a.equals(b)
 
+    def test_inline_and_packed_url_paths_identical(self, built_index, monkeypatch):
+        """The session's two serving shapes — small-batch inline urls vs the
+        packed urlless shuffle + winner-url resolution — must return
+        byte-identical tables (incl. the url column) for the same queries."""
+        import flatnav_ray.stages.search as S
+
+        ix, _, _, queries = built_index
+        sess = S.SearchSession(ix, num_actors=3)
+        try:
+            monkeypatch.setattr(S, "_INLINE_URL_ROWS", 10**9)
+            inline = sess.search(queries, QueryConfig(k=10))
+            monkeypatch.setattr(S, "_INLINE_URL_ROWS", 0)
+            packed = sess.search(queries, QueryConfig(k=10))
+        finally:
+            sess.shutdown()
+        assert inline.equals(packed)
+        assert inline.column("url").null_count == 0
+
     def test_empty_and_absent_queries(self, built_index):
         ix, *_ = built_index
         q = pa.table(

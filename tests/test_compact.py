@@ -157,6 +157,17 @@ def test_stacked_generations_serve_bit_identical_to_union_build(ray_session, tmp
         # wand path over the stack stays exact too
         rw = s_stack.search(q, QueryConfig(k=10, method="wand"))
         assert rw.equals(ru)
+        # packed urlless shuffle over a GENERATION STACK: winner urls must
+        # resolve across generations (lookup_urls dedupes multi-gen hits)
+        import flatnav_ray.stages.search as S
+
+        old = S._INLINE_URL_ROWS
+        S._INLINE_URL_ROWS = 0
+        try:
+            rp = s_stack.search(q, QueryConfig(k=10))
+        finally:
+            S._INLINE_URL_ROWS = old
+        assert rp.equals(ru)
     finally:
         s_stack.shutdown()
         s_union.shutdown()
