@@ -1070,19 +1070,42 @@ def embedding_dups_lsh_recall(sf_dir: str, threshold: float = 0.3,
     same join the hash-green embedding_dups entry uses); false_pairs — LSH
     pairs whose true cosine is below the threshold (precision check; the
     bucketed verifier recomputes exact cosine, so this must be 0);
-    found_true_at_least — min(#true LSH pairs, floor), the recall floor."""
-    emb_tbl = pa.concat_tables(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-        .iter_batches(batch_format="pyarrow")
-    ).sort_by("vec_id")
-    vid = emb_tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    vecs = np.stack(emb_tbl.column("embedding").to_pylist()).astype(np.float64)
-    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-    pos = {int(v): i for i, v in enumerate(vid)}
+    found_true_at_least — min(#true LSH pairs, floor), the recall floor.
+
+    Scale shape: only vectors that APPEAR IN AN LSH PAIR are pulled to the
+    driver (a broadcast id-set filter inside map_batches — O(pairs) rows),
+    never the whole embedding table; the candidate-pair set is the bounded
+    quantity LSH exists to produce."""
     lsh = embedding_dups_lsh(sf_dir, threshold=threshold)
-    a = np.array([pos[int(x)] for x in lsh.column("doc_a").to_pylist()], dtype=np.int64)
-    b = np.array([pos[int(x)] for x in lsh.column("doc_b").to_pylist()], dtype=np.int64)
-    cos = np.einsum("ij,ij->i", vecs[a], vecs[b]) if a.size else np.empty(0)
+    ids_a = lsh.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    ids_b = lsh.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    need = np.unique(np.concatenate([ids_a, ids_b])) if len(lsh) else np.empty(0, np.int64)
+    need_ref = ray.put(need)
+
+    def _collect(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if nd.size == 0:
+            return batch.slice(0, 0)
+        p = np.clip(np.searchsorted(nd, ids), 0, nd.size - 1)
+        return batch.filter(pa.array(nd[p] == ids))
+
+    emb_tbl = _concat(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .map_batches(_collect, batch_format="pyarrow")
+    )
+    if len(emb_tbl):
+        emb_tbl = emb_tbl.sort_by("vec_id")
+        vid = emb_tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(emb_tbl.column("embedding").to_pylist()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        a = np.searchsorted(vid, ids_a)
+        b = np.searchsorted(vid, ids_b)
+        cos = np.einsum("ij,ij->i", vecs[a], vecs[b])
+    else:
+        cos = np.empty(0)
+        ids_a = np.empty(0, np.int64)
+    a = ids_a
     n_false = int((cos < threshold - 1e-12).sum())
     n_true = int(a.size) - n_false
     n_exact = len(embedding_dups(sf_dir, threshold=threshold))

@@ -832,7 +832,8 @@ def semdedup(
     iters: int = 10,
     sample: int = 2048,
     seed: int = 0,
-) -> pa.Table:
+    stream: bool = False,
+) -> pa.Table | ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
     embedding space, then remove within-cluster semantic duplicates —
     per cluster, scan members in ascending id order and flag a member as a
@@ -850,7 +851,11 @@ def semdedup(
     short sequential loop (identical keep-first semantics, see _flag).
 
     Returns (vec_id, centroid, keep, dup_of) — dup_of = the kept member
-    that shadowed this one, -1 for kept rows."""
+    that shadowed this one, -1 for kept rows. This table-returning form
+    materializes the per-vector labels on the driver (fine for gates and
+    small corpora); the 100-TB path is `semdedup_stream`, which returns
+    the SAME labels as a Ray Dataset to be joined/consumed distributedly
+    (the minhash_clusters_stream pattern)."""
     from .knn import IvfIndex
 
     ivf = IvfIndex.train(
@@ -908,11 +913,12 @@ def semdedup(
             }
         )
 
-    batches = list(
-        assigned.groupby("centroid")
-        .map_groups(_flag, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
+    labels = assigned.groupby("centroid").map_groups(
+        _flag, batch_format="pyarrow"
     )
+    if stream:
+        return labels
+    batches = list(labels.iter_batches(batch_format="pyarrow"))
     if not batches:
         return pa.table(
             {
@@ -923,6 +929,27 @@ def semdedup(
             }
         )
     return pa.concat_tables(batches).sort_by(id_col)
+
+
+def semdedup_stream(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    tau: float = 0.3,
+    iters: int = 10,
+    sample: int = 2048,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """SemDeDup labels as a streaming Dataset — the 100-TB return path:
+    (vec_id, centroid, keep, dup_of) rows flow out of the per-cluster
+    map_groups tasks and can be joined back onto the corpus distributedly;
+    nothing per-vector ever lands on the driver. Values identical to
+    `semdedup` (same pipeline, minus the driver concat)."""
+    return semdedup(
+        ds, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters, tau=tau,
+        iters=iters, sample=sample, seed=seed, stream=True,
+    )
 
 
 def embedding_near_dups(

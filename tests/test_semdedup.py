@@ -134,3 +134,23 @@ class TestChunkedGreedyEquivalence:
         got_dup = dict(zip(out.column("vec_id").to_pylist(), out.column("dup_of").to_pylist()))
         assert got_keep == want_keep
         assert got_dup == want_dup
+
+
+def test_semdedup_stream_equals_table_form(ray_session):
+    """semdedup_stream (the Dataset-returning 100-TB label path) must carry
+    identical rows to the table form."""
+    import ray.data
+
+    from flatnav_ray.stages.dedup import semdedup, semdedup_stream
+
+    rng = np.random.default_rng(5)
+    vecs = np.repeat(rng.normal(size=(8, 12)), 6, axis=0) + rng.normal(
+        scale=0.3, size=(48, 12)
+    )
+    tbl = semdedup(ray.data.from_arrow(_vec_table(vecs)), n_clusters=4, tau=0.8)
+    st = pa.concat_tables(
+        semdedup_stream(
+            ray.data.from_arrow(_vec_table(vecs)), n_clusters=4, tau=0.8
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("vec_id")
+    assert tbl.equals(st.select(tbl.column_names))
